@@ -1,0 +1,192 @@
+"""Periodogram meta-feature + peak extraction.
+
+Analog of /root/reference/src/features/periodogram.rs:197-575 and
+_periodogram_peaks.rs:121-132:
+
+- compute the Lomb-Scargle power spectrum on a dynamic (or fixed) grid;
+- run a spectrum extractor on the (freq, power) pseudo-time-series whose
+  first sub-feature is always the peak extractor; names are prefixed
+  ``periodogram_``;
+- each peak i yields (period = 2*pi/freq_i, s/n = (p_i - mean(p))/std(p)),
+  zero-padded to 2*npeaks; peaks are strict local maxima sorted by
+  descending power (/root/reference/src/peak_indices.rs:5-32).
+
+The FFT power path holds reusable scratch state; inside the Ray pipeline one
+evaluator instance lives per actor (stages/rollup.py), mirroring the
+reference's per-thread FFT plan cache.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from .base import Feature, register
+from .extractor import FeatureExtractor
+from .kernel import Series
+from .periodogram import (
+    DynamicFreqParams,
+    FftPowerEvaluator,
+    LinearFreqGrid,
+    NyquistFreq,
+    ZeroBasedPow2FreqGrid,
+    power_direct,
+)
+
+
+def peak_indices_desc(a: np.ndarray) -> np.ndarray:
+    """Indices of strict local maxima, sorted by descending value.
+
+    A peak at i requires a[i] > a[i-1] (strict rise into i) and not rising
+    out of i (a[i+1] <= a[i]); the first and last points can't be peaks.
+    Matches /root/reference/src/peak_indices.rs:5-32 (plateaus excluded).
+    """
+    if a.shape[0] < 3:
+        return np.empty(0, dtype=np.int64)
+    rising = a[1:] > a[:-1]  # rising[i]: a[i+1] > a[i]
+    peaks = np.flatnonzero(rising[:-1] & ~rising[1:]) + 1
+    order = np.argsort(-a[peaks], kind="stable")
+    return peaks[order]
+
+
+@register
+class PeriodogramPeaks(Feature):
+    """Top-k (period, s/n) pairs of a (freq, power) series."""
+
+    kind = "_periodogram_peaks"
+    min_ts_length = 1
+    t_required = True
+    sorting_required = True
+
+    def __init__(self, peaks: int = 1):
+        assert peaks > 0
+        self.peaks = int(peaks)
+
+    @property
+    def size(self):
+        return 2 * self.peaks
+
+    @property
+    def names(self):
+        out = []
+        for i in range(self.peaks):
+            out += [f"period_{i}", f"period_s_to_n_{i}"]
+        return out
+
+    def _params(self):
+        return {"peaks": self.peaks}
+
+    def _eval(self, s: Series):
+        idx = peak_indices_desc(s.m)
+        out = np.zeros(2 * self.peaks, dtype=np.float64)
+        k = min(self.peaks, idx.shape[0])
+        if k:
+            sel = idx[:k]
+            out[0 : 2 * k : 2] = 2.0 * np.pi / s.t[sel]
+            std = s.std("m")
+            if std != 0.0:
+                out[1 : 2 * k + 1 : 2] = (s.m[sel] - s.mean("m")) / std
+        return out
+
+
+@register
+class Periodogram(Feature):
+    """Lomb-Scargle periodogram meta-feature."""
+
+    kind = "periodogram"
+    min_ts_length = 2
+    t_required = True
+    sorting_required = True
+
+    def __init__(
+        self,
+        peaks: int = 1,
+        resolution: float = 10.0,
+        max_freq_factor: float = 1.0,
+        nyquist: str | dict | NyquistFreq = "average",
+        fast: bool = True,
+        normalization: str = "psd",
+        features: list | None = None,
+    ):
+        self.peaks_feature = PeriodogramPeaks(peaks)
+        self.resolution = float(resolution)
+        self.max_freq_factor = float(max_freq_factor)
+        self.nyquist = (
+            nyquist if isinstance(nyquist, NyquistFreq) else NyquistFreq.from_dict(nyquist)
+        )
+        self.fast = bool(fast)
+        self.normalization = normalization
+        extra = (
+            FeatureExtractor.from_config(features).features if features else []
+        )
+        self.spectrum_extractor = FeatureExtractor(
+            [self.peaks_feature] + list(extra)
+        )
+        self._fft = FftPowerEvaluator()
+
+    @property
+    def peaks(self) -> int:
+        return self.peaks_feature.peaks
+
+    @property
+    def size(self):
+        return self.spectrum_extractor.size
+
+    @property
+    def names(self):
+        return [f"periodogram_{n}" for n in self.spectrum_extractor.names()]
+
+    def _params(self) -> dict[str, Any]:
+        extra = self.spectrum_extractor.features[1:]
+        return {
+            "peaks": self.peaks,
+            "resolution": self.resolution,
+            "max_freq_factor": self.max_freq_factor,
+            "nyquist": self.nyquist.to_dict(),
+            "fast": self.fast,
+            "normalization": self.normalization,
+            "features": [f.to_dict() for f in extra] or None,
+        }
+
+    # -- power ---------------------------------------------------------------
+
+    def _dynamic_params(self) -> DynamicFreqParams:
+        return DynamicFreqParams(
+            resolution=self.resolution,
+            max_freq_factor=self.max_freq_factor,
+            nyquist=self.nyquist,
+        )
+
+    def freq_power(self, s: Series) -> tuple[np.ndarray, np.ndarray]:
+        """(freqs, power) with the configured normalization applied."""
+        params = self._dynamic_params()
+        if self.fast:
+            grid = ZeroBasedPow2FreqGrid.from_t(s.t, params)
+            power = self._fft.power(s.t, s.m, grid, s.std2())
+        else:
+            grid = LinearFreqGrid.from_t(s.t, params)
+            power = power_direct(s.t, s.m, grid.freqs(), s.std2())
+        power = self._normalize(power, s.n)
+        return grid.freqs(), power
+
+    def _normalize(self, power: np.ndarray, n: int) -> np.ndarray:
+        """Psd (raw) / standard / model / log —
+        /root/reference/src/periodogram/power_trait.rs:26-110."""
+        if self.normalization == "psd":
+            return power
+        factor = 2.0 / (n - 1)
+        p_std = power * factor
+        if self.normalization == "standard":
+            return p_std
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if self.normalization == "model":
+                return np.where(p_std >= 1.0, np.inf, p_std / (1.0 - p_std))
+            if self.normalization == "log":
+                return np.where(p_std >= 1.0, np.inf, -np.log1p(-p_std))
+        raise ValueError(f"unknown normalization {self.normalization!r}")
+
+    def _eval(self, s: Series):
+        freqs, power = self.freq_power(s)
+        derived = Series(freqs, power, check=False)
+        return self.spectrum_extractor.eval_or_fill(derived)

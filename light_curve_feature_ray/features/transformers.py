@@ -1,0 +1,179 @@
+"""Transformers + the Transformed meta-feature.
+
+Analog of /root/reference/src/transformers/mod.rs:102-138 (elementwise
+Identity / Arcsinh / Ln1p / Lg / Sqrt), clipped_lg.rs:34-41 (ClippedLg) and
+/root/reference/src/features/transformed.rs:114-122 (Transformed wrapper:
+post-transform of a feature's output vector, names prefixed).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any
+
+import numpy as np
+
+from .base import Feature, feature_from_config, register
+from .kernel import Series
+
+
+class Transformer:
+    kind: str = ""
+
+    def transform(self, v: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def names(self, names: list[str]) -> list[str]:
+        raise NotImplementedError
+
+    def size_of(self, input_size: int) -> int:
+        return input_size
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"name": self.kind}
+
+
+class Identity(Transformer):
+    kind = "identity"
+
+    def transform(self, v):
+        return v
+
+    def names(self, names):
+        return list(names)
+
+
+class _Elementwise(Transformer):
+    prefix = ""
+    fn = None
+
+    def transform(self, v):
+        return type(self).fn(v)
+
+    def names(self, names):
+        return [f"{self.prefix}_{n}" for n in names]
+
+
+class Arcsinh(_Elementwise):
+    kind = "arcsinh"
+    prefix = "arcsinh"
+    fn = staticmethod(np.arcsinh)
+
+
+class Ln1p(_Elementwise):
+    kind = "ln1p"
+    prefix = "ln1p"
+    fn = staticmethod(np.log1p)
+
+
+class Lg(_Elementwise):
+    kind = "lg"
+    prefix = "lg"
+    fn = staticmethod(np.log10)
+
+
+class Sqrt(_Elementwise):
+    kind = "sqrt"
+    prefix = "sqrt"
+    fn = staticmethod(np.sqrt)
+
+
+class ClippedLg(Transformer):
+    """log10 clipped at the smallest positive normal float —
+    /root/reference/src/transformers/clipped_lg.rs:34-41."""
+
+    kind = "clipped_lg"
+
+    def __init__(self, min_value: float | None = None):
+        self.min_value = (
+            float(min_value)
+            if min_value is not None
+            else np.log10(sys.float_info.min)
+        )
+
+    def transform(self, v):
+        v = np.asarray(v, dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(v < sys.float_info.min, self.min_value, np.log10(v))
+        return out
+
+    def names(self, names):
+        return [f"clipped_lg_{n}" for n in names]
+
+    def to_dict(self):
+        return {"name": self.kind, "min_value": self.min_value}
+
+
+TRANSFORMERS: dict[str, type] = {
+    c.kind: c for c in (Identity, Arcsinh, Ln1p, Lg, Sqrt, ClippedLg)
+}
+
+
+def transformer_from_config(spec: dict[str, Any] | str) -> Transformer:
+    if isinstance(spec, str):
+        return TRANSFORMERS[spec]()
+    spec = dict(spec)
+    kind = spec.pop("name")
+    return TRANSFORMERS[kind](**spec)
+
+
+@register
+class Transformed(Feature):
+    """Wraps a feature and post-transforms its output vector —
+    /root/reference/src/features/transformed.rs:114-122."""
+
+    kind = "transformed"
+
+    def __init__(self, feature, transformer):
+        self.feature = (
+            feature if isinstance(feature, Feature) else feature_from_config(feature)
+        )
+        self.transformer = (
+            transformer
+            if isinstance(transformer, Transformer)
+            else transformer_from_config(transformer)
+        )
+
+    @property
+    def size(self):
+        return self.transformer.size_of(self.feature.size)
+
+    @property
+    def min_ts_length(self):
+        return self.feature.min_ts_length
+
+    @property
+    def t_required(self):
+        return self.feature.t_required
+
+    @property
+    def m_required(self):
+        return self.feature.m_required
+
+    @property
+    def w_required(self):
+        return self.feature.w_required
+
+    @property
+    def sorting_required(self):
+        return self.feature.sorting_required
+
+    @property
+    def variability_required(self):
+        return self.feature.variability_required
+
+    @property
+    def names(self):
+        return self.transformer.names(self.feature.names)
+
+    def check(self, s: Series):
+        self.feature.check(s)
+
+    def _eval(self, s: Series):
+        return self.transformer.transform(self.feature.eval(s))
+
+    def _params(self):
+        return {
+            "feature": self.feature.to_dict(),
+            "transformer": self.transformer.to_dict(),
+        }
