@@ -206,6 +206,9 @@ def fit_straight_line(t, m, w=None):
     """
     t = np.asarray(t, dtype=np.float64)
     m = np.asarray(m, dtype=np.float64)
+    # slope / sigma / chi2 are invariant under a time shift; centering at
+    # t[0] keeps precision when t is e.g. epoch seconds (~1e9)
+    t = t - t[0]
     n = t.shape[0]
     known_errors = w is not None
     ww = np.asarray(w, dtype=np.float64) if known_errors else np.ones_like(t)

@@ -1,0 +1,435 @@
+"""The rollup engine: derive → one hash shuffle → per-partition tier cascade.
+
+Pipeline shape (SURVEY.md §3, §7):
+
+1. ``derive``: stateless ``map_batches`` over zero-copy Arrow — project each
+   turn to (conv_id, turn_idx, ts_us, m=len(text), w=1.0) and assign a
+   partition id ``part = hash64(conv_id) % P``. Hot conversations (detected
+   by a cheap pre-aggregated count pass and broadcast via ``ray.put``) are
+   salted: their part key also mixes ``day // salt_window_days``, spreading
+   a huge conversation across partitions by time range. Tier buckets are at
+   most 1 day and salt ranges are whole days, so no bucket ever spans two
+   salt ranges; gap-fill for hot convs is bounded to the salt window
+   (documented skew/correctness trade-off).
+2. ``groupby("part").map_groups``: THE single all-to-all exchange. Each
+   partition is processed wholly inside one task by :class:`RollupWorker`:
+   lexsort by (conv, turn_idx), first-wins dedup of (conv_id, turn_idx),
+   then the tier cascade:
+
+   - tier 1m: features over the raw points of each (conv, minute) bucket
+     (vectorized across all buckets via features/grouped.py);
+   - the 1m *bin series* (Bins semantics, reference
+     /root/reference/src/features/bins.rs:171-201: t* = center, m* =
+     weighted mean, w* = sum(w)/N) is gap-filled (prev/linear) and feeds
+     tier 1h; the 1h bin series is gap-filled and feeds tier 1d.
+   - per bucket, the points that fed the tier are stored Gorilla-compressed
+     (codec/gorilla.py) in a binary column.
+
+   The worker is an actor-pool callable class: per-actor state (the
+   configured feature suite, incl. the periodogram FFT scratch cache) is
+   built once in ``__init__``.
+
+No other shuffle exists; the cascade is conv-local once partitioned.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..codec import gorilla
+from ..features.extractor import FeatureExtractor
+from ..features.grouped import GroupedSuite
+
+US_PER_MIN = 60_000_000
+
+#: tier name -> (bucket width in minutes, source: "raw" | previous tier)
+TIERS = {"1m": 1, "1h": 60, "1d": 1440}
+
+DEFAULT_FEATURES: tuple = (
+    "observation_count",
+    "mean",
+    "weighted_mean",
+    "standard_deviation",
+    "amplitude",
+    "duration",
+    "skew",
+    "kurtosis",
+    {"name": "beyond_n_std", "nstd": 1.0},
+    "eta",
+    "eta_e",
+    "stetson_k",
+    "linear_trend",
+    "linear_fit",
+    {"name": "periodogram", "peaks": 1},
+)
+
+
+@dataclass
+class RollupConfig:
+    features: tuple = DEFAULT_FEATURES
+    tiers: tuple = ("1m", "1h", "1d")
+    gap_fill: str = "linear"  # "none" | "prev" | "linear"
+    max_fill_gap: int = 2880  # max missing slots filled per gap (None = all)
+    num_partitions: int = 64
+    hot_threshold: int | None = 10_000  # turns; None disables salting
+    salt_window_days: int = 1
+    store_points: bool = True
+    fill_value: float = float("nan")
+
+    def extractor(self) -> FeatureExtractor:
+        return FeatureExtractor.from_config(list(self.features))
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "features": list(self.features),
+            "tiers": list(self.tiers),
+            "gap_fill": self.gap_fill,
+            "max_fill_gap": self.max_fill_gap,
+            "num_partitions": self.num_partitions,
+            "hot_threshold": self.hot_threshold,
+            "salt_window_days": self.salt_window_days,
+            "store_points": self.store_points,
+        }
+
+
+# ---------------------------------------------------------------------------
+# hashing (deterministic across processes; vectorized)
+# ---------------------------------------------------------------------------
+
+
+def hash_strings(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of a string column via polars
+    (ahash with fixed seeds; stable across processes for a given polars
+    version, which is all a single job needs)."""
+    import polars as pl
+
+    s = pl.from_arrow(arr)
+    return s.hash(seed=seed).to_numpy().astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# derive + partition assignment stage
+# ---------------------------------------------------------------------------
+
+
+class DeriveAssign:
+    """Stateless-per-batch map_batches callable: derive (t, m, w) and assign
+    the (salted) partition key. The hot-conv list is broadcast once via
+    ``ray.put`` and resolved per worker (pipelines/rollup.py)."""
+
+    def __init__(self, config: RollupConfig, hot_list=None):
+        self.config = config
+        self.hot = set(hot_list) if hot_list else set()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        ts_us = batch["ts"].cast(pa.int64())
+        m = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
+        h = hash_strings(batch["conv_id"])
+        part = (h % np.uint64(cfg.num_partitions)).astype(np.int32)
+        if self.hot:
+            conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+            is_hot = np.isin(conv, list(self.hot))
+            if is_hot.any():
+                days = (
+                    ts_us.to_numpy(zero_copy_only=False) // (86_400 * 1_000_000)
+                ).astype(np.uint64)
+                salt = days // np.uint64(cfg.salt_window_days)
+                mixed = (h ^ (salt * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(
+                    cfg.num_partitions
+                )
+                part = np.where(is_hot, mixed.astype(np.int32), part)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "ts_us": ts_us,
+                "m": m,
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+
+def detect_hot_convs(ds, threshold: int):
+    """Pre-pass: per-batch partial counts -> tiny groupby -> hot conv list.
+
+    The shuffle moves one row per (batch, conv), i.e. orders of magnitude
+    less than the data; the result is small enough to broadcast.
+    """
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts = batch.group_by("conv_id").aggregate([("conv_id", "count")])
+        return pa.table(
+            {
+                "conv_id": counts["conv_id"],
+                "cnt": counts["conv_id_count"].cast(pa.int64()),
+            }
+        )
+
+    counts = ds.select_columns(["conv_id"]).map_batches(
+        partial_counts, batch_format="pyarrow"
+    )
+    total = counts.groupby("conv_id").sum("cnt")
+    hot = total.filter(lambda row: row["sum(cnt)"] >= threshold)
+    return [r["conv_id"] for r in hot.take_all()]
+
+
+# ---------------------------------------------------------------------------
+# per-partition tier cascade
+# ---------------------------------------------------------------------------
+
+
+def _segment_starts(*keys: np.ndarray) -> np.ndarray:
+    """Start offsets of runs of equal key tuples (arrays already sorted)."""
+    n = keys[0].shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    return np.flatnonzero(change).astype(np.int64)
+
+
+def _bin_series(
+    codes: np.ndarray,
+    slot: np.ndarray,
+    m: np.ndarray,
+    w: np.ndarray,
+    starts: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Collapse each (conv, slot) segment to its Bins-semantics bin:
+    returns (codes_b, slot_b, m_b, w_b)."""
+    ends = np.r_[starts[1:], codes.shape[0]]
+    n = (ends - starts).astype(np.float64)
+    sum_w = np.add.reduceat(w, starts)
+    sum_mw = np.add.reduceat(m * w, starts)
+    return codes[starts], slot[starts], sum_mw / sum_w, sum_w / n
+
+
+def _gap_fill(
+    codes: np.ndarray,
+    slot: np.ndarray,
+    m: np.ndarray,
+    w: np.ndarray,
+    mode: str,
+    max_gap: int | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fill missing integer slots between consecutive bins of each conv.
+
+    mode 'prev': copy previous bin's (m, w); 'linear': linear interpolation
+    of both towards the next bin. Gaps longer than ``max_gap`` slots are
+    left unfilled. Input sorted by (codes, slot); output likewise.
+    """
+    if mode == "none" or codes.shape[0] == 0:
+        return codes, slot, m, w
+    same = codes[1:] == codes[:-1]
+    gap = np.where(same, slot[1:] - slot[:-1] - 1, 0)
+    if max_gap is not None:
+        gap = np.where(gap > max_gap, 0, gap)
+    fill_after = np.r_[gap, 0]
+    counts = 1 + fill_after
+    total = int(counts.sum())
+    if total == codes.shape[0]:
+        return codes, slot, m, w
+    idx = np.repeat(np.arange(codes.shape[0]), counts)
+    out_codes = codes[idx]
+    # offset within each run: 0 for the real bin, 1..gap for fills
+    run_starts = np.r_[0, np.cumsum(counts)[:-1]]
+    offsets = np.arange(total) - run_starts[idx]
+    out_slot = slot[idx] + offsets
+    if mode == "prev":
+        out_m = m[idx]
+        out_w = w[idx]
+    elif mode == "linear":
+        nxt = np.minimum(idx + 1, codes.shape[0] - 1)
+        denom = (fill_after[idx] + 1).astype(np.float64)
+        frac = offsets / denom
+        out_m = m[idx] + frac * (m[nxt] - m[idx])
+        out_w = w[idx] + frac * (w[nxt] - w[idx])
+    else:
+        raise ValueError(f"unknown gap_fill mode {mode!r}")
+    return out_codes, out_slot, out_m, out_w
+
+
+def _encode_points(
+    ts_us: np.ndarray, m: np.ndarray, starts: np.ndarray
+) -> pa.Array:
+    ends = np.r_[starts[1:], ts_us.shape[0]]
+    blobs = [
+        gorilla.encode(ts_us[lo:hi], m[lo:hi]) for lo, hi in zip(starts, ends)
+    ]
+    return pa.array(blobs, type=pa.binary())
+
+
+class RollupWorker:
+    """Actor-pool callable: processes one partition table into tier rows."""
+
+    def __init__(self, config: RollupConfig):
+        self.config = config
+        self.suite = GroupedSuite(config.extractor(), config.fill_value)
+        self.feature_names = self.suite.names
+
+    def _tier_table(
+        self,
+        dictionary: pa.Array,
+        codes: np.ndarray,
+        bucket_us: np.ndarray,
+        starts: np.ndarray,
+        feats: dict[str, np.ndarray],
+        points: pa.Array | None,
+        tier: str,
+        n_pts: np.ndarray,
+    ) -> pa.Table:
+        nseg = starts.shape[0]
+        cols: dict[str, Any] = {
+            "conv_id": pa.DictionaryArray.from_arrays(
+                pa.array(codes, type=pa.int32()), dictionary
+            ).cast(pa.string()),
+            "tier": pa.array(np.repeat(tier, nseg), type=pa.string()),
+            "bucket_ts": pa.array(bucket_us, type=pa.timestamp("us")),
+            "n_points": pa.array(n_pts, type=pa.int64()),
+        }
+        if points is not None:
+            cols["points"] = points
+        for name in self.feature_names:
+            cols[name] = pa.array(feats[name], type=pa.float64())
+        return pa.table(cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        if batch.num_rows == 0:
+            return self._empty()
+        conv_dict = pc.dictionary_encode(batch["conv_id"].combine_chunks())
+        codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dictionary = conv_dict.dictionary
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = batch["ts_us"].to_numpy(zero_copy_only=False)
+        m = batch["m"].to_numpy(zero_copy_only=False)
+
+        order = np.lexsort((turn, codes))
+        codes, turn, ts_us, m = codes[order], turn[order], ts_us[order], m[order]
+        # first-wins dedup on (conv, turn_idx); lexsort is stable so the
+        # first occurrence in input order survives
+        keep = np.ones(codes.shape[0], dtype=bool)
+        keep[1:] = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
+        if not keep.all():
+            codes, turn, ts_us, m = codes[keep], turn[keep], ts_us[keep], m[keep]
+        w = np.ones_like(m)
+
+        tables = []
+        # ---- tier 1m: features over raw points --------------------------
+        slot = ts_us // US_PER_MIN  # integer minute index
+        # within conv, turn order should be time order; enforce bucket order
+        order2 = np.lexsort((turn, slot, codes))
+        codes, turn, ts_us, m, slot = (
+            x[order2] for x in (codes, turn, ts_us, m, slot)
+        )
+        t_sec = ts_us.astype(np.float64) / 1e6
+        starts = _segment_starts(codes, slot)
+        if "1m" in cfg.tiers:
+            feats = self.suite.eval(t_sec, m, w, starts)
+            points = (
+                _encode_points(ts_us, m, starts) if cfg.store_points else None
+            )
+            ends = np.r_[starts[1:], codes.shape[0]]
+            tables.append(
+                self._tier_table(
+                    dictionary,
+                    codes[starts],
+                    slot[starts] * US_PER_MIN,
+                    starts,
+                    feats,
+                    points,
+                    "1m",
+                    (ends - starts).astype(np.int64),
+                )
+            )
+
+        # ---- 1m bin series -> gap-fill -> 1h ----------------------------
+        codes_b, slot_b, m_b, w_b = _bin_series(codes, slot, m, w, starts)
+        codes_f, slot_f, m_f, w_f = _gap_fill(
+            codes_b, slot_b, m_b, w_b, cfg.gap_fill, cfg.max_fill_gap
+        )
+        if "1h" in cfg.tiers or "1d" in cfg.tiers:
+            hour = slot_f // 60
+            t_f = (slot_f * 60 + 30).astype(np.float64)  # 1m bin centers, sec
+            ts_f_us = (slot_f * 60 + 30) * 1_000_000
+            starts_h = _segment_starts(codes_f, hour)
+            if "1h" in cfg.tiers:
+                feats_h = self.suite.eval(t_f, m_f, w_f, starts_h)
+                points_h = (
+                    _encode_points(ts_f_us, m_f, starts_h)
+                    if cfg.store_points
+                    else None
+                )
+                ends_h = np.r_[starts_h[1:], codes_f.shape[0]]
+                tables.append(
+                    self._tier_table(
+                        dictionary,
+                        codes_f[starts_h],
+                        hour[starts_h] * (60 * US_PER_MIN),
+                        starts_h,
+                        feats_h,
+                        points_h,
+                        "1h",
+                        (ends_h - starts_h).astype(np.int64),
+                    )
+                )
+
+            # ---- 1h bin series -> gap-fill -> 1d ------------------------
+            if "1d" in cfg.tiers:
+                codes_hb, hour_hb, m_hb, w_hb = _bin_series(
+                    codes_f, hour, m_f, w_f, starts_h
+                )
+                max_gap_h = (
+                    None
+                    if cfg.max_fill_gap is None
+                    else max(cfg.max_fill_gap // 60, 1)
+                )
+                codes_g, hour_g, m_g, w_g = _gap_fill(
+                    codes_hb, hour_hb, m_hb, w_hb, cfg.gap_fill, max_gap_h
+                )
+                day = hour_g // 24
+                t_g = (hour_g * 3600 + 1800).astype(np.float64)
+                ts_g_us = (hour_g * 3600 + 1800) * 1_000_000
+                starts_d = _segment_starts(codes_g, day)
+                feats_d = self.suite.eval(t_g, m_g, w_g, starts_d)
+                points_d = (
+                    _encode_points(ts_g_us, m_g, starts_d)
+                    if cfg.store_points
+                    else None
+                )
+                ends_d = np.r_[starts_d[1:], codes_g.shape[0]]
+                tables.append(
+                    self._tier_table(
+                        dictionary,
+                        codes_g[starts_d],
+                        day[starts_d] * (1440 * US_PER_MIN),
+                        starts_d,
+                        feats_d,
+                        points_d,
+                        "1d",
+                        (ends_d - starts_d).astype(np.int64),
+                    )
+                )
+
+        return pa.concat_tables(tables) if tables else self._empty()
+
+    def _empty(self) -> pa.Table:
+        cols: dict[str, Any] = {
+            "conv_id": pa.array([], type=pa.string()),
+            "tier": pa.array([], type=pa.string()),
+            "bucket_ts": pa.array([], type=pa.timestamp("us")),
+            "n_points": pa.array([], type=pa.int64()),
+        }
+        if self.config.store_points:
+            cols["points"] = pa.array([], type=pa.binary())
+        for name in self.feature_names:
+            cols[name] = pa.array([], type=pa.float64())
+        return pa.table(cols)
