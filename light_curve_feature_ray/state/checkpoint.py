@@ -1,0 +1,160 @@
+"""Resumable job execution: per-partition parquet output + lineage manifests.
+
+Output layout (resumable-output contract; no reference counterpart —
+engine-side design):
+
+    out_dir/
+      _job.json                     # config + input lineage of the job
+      part=<p>/
+        data.parquet                # tier rows of partition p
+        _manifest.json              # completion marker with metrics
+
+A partition directory is written atomically (temp file + rename); the
+manifest is written last, so a partition is complete iff its manifest
+exists. On resume, completed partitions are skipped — the derive stage
+filters their rows out before the shuffle, so a rerun only pays for the
+missing partitions. Every stage is deterministic (fixed hashes, no RNG), so
+retries and resumes produce identical bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from ..stages.rollup import RollupConfig, RollupWorker, detect_hot_convs
+
+
+def _manifest_path(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, f"part={part}", "_manifest.json")
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    done = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if name.startswith("part="):
+            p = int(name.split("=", 1)[1])
+            if os.path.exists(_manifest_path(out_dir, p)):
+                done.add(p)
+    return done
+
+
+def _write_partition(
+    table: pa.Table, out_dir: str, part: int, lineage: dict[str, Any]
+) -> dict[str, Any]:
+    part_dir = os.path.join(out_dir, f"part={part}")
+    os.makedirs(part_dir, exist_ok=True)
+    tmp = os.path.join(part_dir, ".data.parquet.tmp")
+    pq.write_table(table, tmp)
+    final = os.path.join(part_dir, "data.parquet")
+    os.replace(tmp, final)
+    tier_counts = (
+        pc.value_counts(table["tier"]).to_pylist() if table.num_rows else []
+    )
+    manifest = {
+        "partition": part,
+        "rows": table.num_rows,
+        "bytes": os.path.getsize(final),
+        "tiers": {d["values"]: d["counts"] for d in tier_counts},
+        "written_at": time.time(),
+        "lineage": lineage,
+    }
+    tmp_m = _manifest_path(out_dir, part) + ".tmp"
+    with open(tmp_m, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp_m, _manifest_path(out_dir, part))
+    return manifest
+
+
+class CheckpointedRollupWorker:
+    """map_groups callable: rollup one partition, write it, emit the
+    manifest row (the Dataset output is the tiny manifest table)."""
+
+    def __init__(self, config: RollupConfig, out_dir: str, lineage: dict):
+        self.worker = RollupWorker(config)
+        self.out_dir = out_dir
+        self.lineage = lineage
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        part = int(batch["part"][0].as_py()) if batch.num_rows else -1
+        table = self.worker(batch)
+        manifest = _write_partition(table, self.out_dir, part, self.lineage)
+        return pa.table(
+            {
+                "partition": pa.array([part], type=pa.int32()),
+                "rows": pa.array([manifest["rows"]], type=pa.int64()),
+                "bytes": pa.array([manifest["bytes"]], type=pa.int64()),
+            }
+        )
+
+
+def run_rollup_job(
+    input_path: str,
+    out_dir: str,
+    config: RollupConfig | None = None,
+) -> dict[str, Any]:
+    """Run (or resume) the rollup over transcript parquet at ``input_path``,
+    writing per-partition tier parquet + manifests under ``out_dir``.
+    Returns a job summary dict. This is the ``ray job submit`` entrypoint
+    body (see scripts/rollup_job.py)."""
+    from ..pipelines.rollup import _derive_fn, read_transcripts
+
+    config = config or RollupConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_partitions(out_dir)
+    lineage = {"input": input_path, "config": config.to_dict()}
+    with open(os.path.join(out_dir, "_job.json"), "w") as f:
+        json.dump(lineage, f)
+
+    ds = read_transcripts(input_path)
+    hot_ref = None
+    if config.hot_threshold is not None:
+        hot = detect_hot_convs(ds, config.hot_threshold)
+        if hot:
+            hot_ref = ray.put(hot)
+    derived = ds.map_batches(
+        _derive_fn(config, hot_ref), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if done:
+        done_arr = list(done)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(pc.is_in(batch["part"], value_set=pa.array(done_arr)))
+            )
+
+        derived = derived.map_batches(drop_done, batch_format="pyarrow")
+
+    worker = CheckpointedRollupWorker(config, out_dir, lineage)
+    manifests = derived.groupby("part").map_groups(
+        worker, batch_format="pyarrow"
+    )
+    new_parts = manifests.to_pandas()
+    return {
+        "partitions_completed_previously": sorted(done),
+        "partitions_written": sorted(new_parts["partition"].tolist())
+        if len(new_parts)
+        else [],
+        "rows_written": int(new_parts["rows"].sum()) if len(new_parts) else 0,
+    }
+
+
+def read_rollup_output(out_dir: str):
+    """Dataset over all completed partitions' tier rows."""
+    import ray.data as rd
+
+    paths = [
+        os.path.join(out_dir, f"part={p}", "data.parquet")
+        for p in sorted(completed_partitions(out_dir))
+    ]
+    return rd.read_parquet(paths)

@@ -1,0 +1,100 @@
+"""Checkpointed job (resume skips finished partitions) and turn-level
+invariants (byte-exact text, stable order, dedup)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from light_curve_feature_ray.sources.synth import (
+    synth_transcripts_parquet,
+    synth_transcripts_table,
+)
+from light_curve_feature_ray.stages.rollup import RollupConfig
+
+CFG = dict(n_convs=20, mean_turns=30, hot_convs=0, seed=21)
+
+
+@pytest.fixture()
+def synth_dir(tmp_path):
+    return synth_transcripts_parquet(str(tmp_path / "in"), shards=3, **CFG)
+
+
+def test_job_writes_manifests_and_resumes(ray_session, synth_dir, tmp_path):
+    from light_curve_feature_ray.state.checkpoint import (
+        completed_partitions,
+        read_rollup_output,
+        run_rollup_job,
+    )
+
+    out = str(tmp_path / "out")
+    cfg = RollupConfig(
+        features=("observation_count", "mean"),
+        num_partitions=6,
+        store_points=False,
+        hot_threshold=None,
+    )
+    summary = run_rollup_job(synth_dir, out, cfg)
+    parts = completed_partitions(out)
+    assert parts == set(summary["partitions_written"])
+    assert summary["rows_written"] > 0
+    # manifests carry lineage + metrics
+    p = sorted(parts)[0]
+    with open(os.path.join(out, f"part={p}", "_manifest.json")) as f:
+        man = json.load(f)
+    assert man["rows"] > 0 and man["bytes"] > 0
+    assert man["lineage"]["input"] == synth_dir
+    assert "1m" in man["tiers"]
+
+    total_rows = read_rollup_output(out).count()
+
+    # simulate a partial failure: delete one partition's manifest, resume
+    victim = sorted(parts)[0]
+    os.remove(os.path.join(out, f"part={victim}", "_manifest.json"))
+    summary2 = run_rollup_job(synth_dir, out, cfg)
+    assert summary2["partitions_written"] == [victim]
+    assert set(summary2["partitions_completed_previously"]) == parts - {victim}
+    assert read_rollup_output(out).count() == total_rows
+
+    # fully-complete job: nothing to do
+    summary3 = run_rollup_job(synth_dir, out, cfg)
+    assert summary3["partitions_written"] == []
+
+
+def test_turns_passthrough_invariants(ray_session, synth_dir):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.turns import clean_turns
+
+    ds = rd.read_parquet(synth_dir)
+    out = clean_turns(ds, num_partitions=5).to_pandas()
+    src = synth_transcripts_table(**CFG).to_pandas()
+
+    assert len(out) == len(src)
+    out_s = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    src_s = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # byte-exact text and identical multiset of turns
+    for col in ("conv_id", "turn_idx", "role", "text", "tool"):
+        assert (out_s[col].values == src_s[col].values).all(), col
+    assert (out_s["ts"].values == src_s["ts"].values).all()
+    # stable order within each partition group: turn_idx ascending per conv
+    grp = out.groupby("conv_id")["turn_idx"]
+    assert (grp.apply(lambda s: (np.diff(s.values) > 0).all())).all()
+
+
+def test_turns_dedup_idempotent_reingest(ray_session, synth_dir):
+    # re-ingesting the same shard twice collapses to the original table
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.turns import clean_turns
+
+    ds = rd.read_parquet(synth_dir)
+    both = ds.union(rd.read_parquet(synth_dir))
+    out = clean_turns(both, num_partitions=5).to_pandas()
+    src = synth_transcripts_table(**CFG).to_pandas()
+    assert len(out) == len(src)
+    out_s = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    src_s = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (out_s["text"].values == src_s["text"].values).all()
