@@ -136,8 +136,12 @@ def run_rollup_job(
         derived = derived.map_batches(drop_done, batch_format="pyarrow")
 
     worker = CheckpointedRollupWorker(config, out_dir, lineage)
+
+    def checkpointed_rollup(batch: pa.Table) -> pa.Table:
+        return worker(batch)
+
     manifests = derived.groupby("part").map_groups(
-        worker, batch_format="pyarrow"
+        checkpointed_rollup, batch_format="pyarrow"
     )
     new_parts = manifests.to_pandas()
     return {
