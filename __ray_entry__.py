@@ -1,16 +1,17 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() / queries() / oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver before importing this module; nothing here
+calls ray.init/shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The testdata has no transcript table, so transcript-shaped queries derive
+one deterministically from ``events`` (pipelines/events_adapter.py); the
+matching DuckDB oracles apply the identical SQL transformation, so the
+driver's row-count/schema/value-hash comparison exercises the real engine
+end to end. Float feature outputs are rounded to 6 decimals on BOTH sides
+to absorb summation-order ulp differences between numpy and DuckDB; NaN
+fills are converted to Arrow nulls, which is exactly where DuckDB's
+aggregates yield NULL (verified conventions: stddev_samp/skewness/kurtosis/
+x/0 all NULL on degenerate input).
 """
 
 from __future__ import annotations
@@ -18,27 +19,763 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF0_001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+from light_curve_feature_ray.pipelines.events_adapter import TRANSCRIPTS_SQL
+from light_curve_feature_ray.pipelines.text import EN_STOPWORDS
+
+_TM = f"""
+turns AS ({TRANSCRIPTS_SQL}),
+tm AS (
+    SELECT conv_id, turn_idx, epoch(ts) AS t,
+           CAST(length(text) AS DOUBLE) AS m,
+           CAST(floor(epoch(ts)/60) AS BIGINT) AS j
+    FROM turns
+)
+"""
+
+
+def _r5(q: str, lm: str = "lm", n: str = "n") -> str:
+    """R-5 quantile of a sorted list column ``lm`` with count ``n``
+    (matches kernel.Series.ppf: h = n*q - 0.5, linear interp, clamped)."""
+    h = f"least(greatest({n}*{q} - 0.5, 0), {n} - 1)"
+    lo = f"CAST(floor({h}) AS BIGINT)"
+    return (
+        f"({lm}[{lo}+1] + ({h} - floor({h})) * "
+        f"({lm}[least({lo}+2, {n})] - {lm}[{lo}+1]))"
+    )
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_TOKEN_REGEX = r"[0-9A-Za-z_]+|[^0-9A-Za-z_ \t\n\r\f\v]"
+
+
+def _round6(table: pa.Table, skip=("conv_id", "tier", "bucket_ts", "n_points")):
+    """Round float64 columns to 6 decimals and convert NaN -> null (parity
+    with the SQL oracles' round(x, 6) and NULL semantics)."""
+    cols = {}
+    for name in table.column_names:
+        col = table[name]
+        if pa.types.is_float64(col.type) and name not in skip:
+            col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
+            # DuckDB round() is half-away-from-zero (std::round); match it
+            col = pc.round(col, ndigits=6, round_mode="half_towards_infinity")
+        cols[name] = col
+    return pa.table(cols)
+
+
+def _finalize(ds, skip=("conv_id", "tier", "bucket_ts", "n_points")):
+    return ds.map_batches(
+        lambda b: _round6(b, skip), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# transcript-family queries (events-derived)
+# ---------------------------------------------------------------------------
+
+
+def _turns(sf_dir: str):
+    from light_curve_feature_ray.pipelines.events_adapter import (
+        events_turns_dataset,
+    )
+
+    return events_turns_dataset(sf_dir, num_partitions=16)
+
+
+def q_turns_clean(sf_dir: str):
+    ds = _turns(sf_dir)
+    return ds.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        batch_format="pyarrow",
+    )
+
+
+def _rollup(sf_dir: str, **cfg_kwargs):
+    from light_curve_feature_ray.stages.rollup import RollupConfig, RollupWorker
+
+    cfg_kwargs.setdefault("store_points", False)
+    config = RollupConfig(num_partitions=16, hot_threshold=None, **cfg_kwargs)
+    turns = _turns(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "m": pc.cast(pc.utf8_length(batch["text"]), pa.float64()),
+                "part": batch["part"],
+            }
+        )
+
+    derived = turns.map_batches(derive, batch_format="pyarrow")
+    worker = RollupWorker(config)
+
+    def run_worker(batch: pa.Table) -> pa.Table:
+        return worker(batch)
+
+    return derived.groupby("part").map_groups(run_worker, batch_format="pyarrow")
+
+
+_STATS_FEATURES = (
+    "observation_count",
+    "mean",
+    "weighted_mean",
+    "standard_deviation",
+    "amplitude",
+    "duration",
+)
+
+_STATS_SQL_EXPRS = """
+       CAST(count(*) AS DOUBLE) AS observation_count,
+       round(avg({v}), 6) AS mean,
+       round(avg({v}), 6) AS weighted_mean,
+       round(stddev_samp({v}), 6) AS standard_deviation,
+       round((max({v}) - min({v}))/2, 6) AS amplitude,
+       round(max({t}) - min({t}), 6) AS duration
+"""
+
+
+def q_rollup_1m_stats(sf_dir: str):
+    ds = _rollup(sf_dir, features=_STATS_FEATURES, tiers=("1m",))
+    return _finalize(
+        ds.map_batches(
+            lambda b: b.drop_columns(["tier"]), batch_format="pyarrow"
+        )
+    )
+
+
+SQL_ROLLUP_1M_STATS = f"""
+WITH {_TM}
+SELECT conv_id,
+       make_timestamp(j*60*1000000) AS bucket_ts,
+       count(*) AS n_points,
+       {_STATS_SQL_EXPRS.format(v='m', t='t')}
+FROM tm GROUP BY conv_id, j
+"""
+
+
+def q_rollup_1m_quantiles(sf_dir: str):
+    feats = (
+        "median",
+        "median_absolute_deviation",
+        "percent_amplitude",
+        {"name": "inter_percentile_range", "quantile": 0.25},
+    )
+    ds = _rollup(sf_dir, features=feats, tiers=("1m",))
+    return _finalize(
+        ds.map_batches(
+            lambda b: b.drop_columns(["tier"]), batch_format="pyarrow"
+        )
+    )
+
+
+SQL_ROLLUP_1M_QUANTILES = f"""
+WITH {_TM},
+g AS (
+    SELECT conv_id, j, list_sort(list(m)) AS lm, count(*) AS n,
+           median(m) AS med, mad(m) AS madv, max(m) AS mx, min(m) AS mn
+    FROM tm GROUP BY conv_id, j
+)
+SELECT conv_id,
+       make_timestamp(j*60*1000000) AS bucket_ts,
+       n AS n_points,
+       round(med, 6) AS median,
+       round(madv, 6) AS median_absolute_deviation,
+       round(greatest(mx - med, med - mn), 6) AS percent_amplitude,
+       round({_r5('0.75')} - {_r5('0.25')}, 6) AS inter_percentile_range_25
+FROM g
+"""
+
+
+def q_rollup_1h_cascade(sf_dir: str):
+    ds = _rollup(
+        sf_dir, features=_STATS_FEATURES, tiers=("1h",), gap_fill="none"
+    )
+    return _finalize(
+        ds.map_batches(
+            lambda b: b.drop_columns(["tier"]), batch_format="pyarrow"
+        )
+    )
+
+
+SQL_ROLLUP_1H_CASCADE = f"""
+WITH {_TM},
+bins AS (SELECT conv_id, j, avg(m) AS bm FROM tm GROUP BY conv_id, j)
+SELECT conv_id,
+       make_timestamp((j//60)*3600*1000000) AS bucket_ts,
+       count(*) AS n_points,
+       CAST(count(*) AS DOUBLE) AS observation_count,
+       round(avg(bm), 6) AS mean,
+       round(avg(bm), 6) AS weighted_mean,
+       round(stddev_samp(bm), 6) AS standard_deviation,
+       round((max(bm) - min(bm))/2, 6) AS amplitude,
+       round(CAST((max(j) - min(j))*60 AS DOUBLE), 6) AS duration
+FROM bins GROUP BY conv_id, j//60
+"""
+
+
+def q_rollup_1d_cascade(sf_dir: str):
+    ds = _rollup(
+        sf_dir, features=_STATS_FEATURES, tiers=("1d",), gap_fill="none"
+    )
+    return _finalize(
+        ds.map_batches(
+            lambda b: b.drop_columns(["tier"]), batch_format="pyarrow"
+        )
+    )
+
+
+SQL_ROLLUP_1D_CASCADE = f"""
+WITH {_TM},
+bins AS (SELECT conv_id, j, avg(m) AS bm FROM tm GROUP BY conv_id, j),
+hb AS (SELECT conv_id, j//60 AS h, avg(bm) AS hm FROM bins GROUP BY conv_id, j//60)
+SELECT conv_id,
+       make_timestamp((h//24)*86400*1000000) AS bucket_ts,
+       count(*) AS n_points,
+       CAST(count(*) AS DOUBLE) AS observation_count,
+       round(avg(hm), 6) AS mean,
+       round(avg(hm), 6) AS weighted_mean,
+       round(stddev_samp(hm), 6) AS standard_deviation,
+       round((max(hm) - min(hm))/2, 6) AS amplitude,
+       round(CAST((max(h) - min(h))*3600 AS DOUBLE), 6) AS duration
+FROM hb GROUP BY conv_id, h//24
+"""
+
+
+def q_rollup_1d_gapfill_prev(sf_dir: str):
+    ds = _rollup(
+        sf_dir,
+        features=("observation_count", "mean"),
+        tiers=("1d",),
+        gap_fill="prev",
+        fill_levels=("1h",),
+        max_fill_gap=None,
+    )
+    return _finalize(
+        ds.map_batches(
+            lambda b: b.drop_columns(["tier"]), batch_format="pyarrow"
+        )
+    )
+
+
+SQL_ROLLUP_1D_GAPFILL_PREV = f"""
+WITH {_TM},
+bins AS (SELECT conv_id, j, avg(m) AS bm FROM tm GROUP BY conv_id, j),
+hb AS (SELECT conv_id, j//60 AS h, avg(bm) AS hm FROM bins GROUP BY conv_id, j//60),
+rng AS (SELECT conv_id, min(h) AS hmin, max(h) AS hmax FROM hb GROUP BY conv_id),
+slots AS (SELECT conv_id, unnest(generate_series(hmin, hmax)) AS h FROM rng),
+filled AS (
+    SELECT s.conv_id, s.h,
+           last_value(hb.hm IGNORE NULLS) OVER (
+               PARTITION BY s.conv_id ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS hm
+    FROM slots s LEFT JOIN hb ON hb.conv_id = s.conv_id AND hb.h = s.h
+)
+SELECT conv_id,
+       make_timestamp((h//24)*86400*1000000) AS bucket_ts,
+       count(*) AS n_points,
+       CAST(count(*) AS DOUBLE) AS observation_count,
+       round(avg(hm), 6) AS mean
+FROM filled GROUP BY conv_id, h//24
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-conversation feature queries
+# ---------------------------------------------------------------------------
+
+
+def _conv_features(sf_dir: str, features):
+    from light_curve_feature_ray.pipelines.conv_features import per_conv_features
+
+    return _finalize(per_conv_features(_turns(sf_dir), features), skip=("conv_id",))
+
+
+def q_conv_moments(sf_dir: str):
+    return _conv_features(
+        sf_dir,
+        (
+            "mean",
+            "weighted_mean",
+            "standard_deviation",
+            "mean_variance",
+            "excess_variance",
+            "reduced_chi2",
+            "stetson_k",
+            "skew",
+            "kurtosis",
+        ),
+    )
+
+
+SQL_CONV_MOMENTS = f"""
+WITH {_TM},
+d AS (
+    SELECT conv_id, m,
+           avg(m) OVER (PARTITION BY conv_id) AS mu,
+           count(*) OVER (PARTITION BY conv_id) AS n
+    FROM tm
+)
+SELECT conv_id,
+       round(avg(m), 6) AS mean,
+       round(avg(m), 6) AS weighted_mean,
+       round(stddev_samp(m), 6) AS standard_deviation,
+       round(stddev_samp(m)/avg(m), 6) AS mean_variance,
+       round((var_samp(m) - 1.0)/(avg(m)*avg(m)), 6) AS excess_variance,
+       round(var_samp(m), 6) AS chi2,
+       round(sum(abs(m - mu))/sqrt(any_value(n)*sum((m - mu)*(m - mu))), 6) AS "stetson_K",
+       round(skewness(m), 6) AS skew,
+       round(kurtosis(m), 6) AS kurtosis
+FROM d GROUP BY conv_id
+"""
+
+
+def q_conv_time(sf_dir: str):
+    return _conv_features(
+        sf_dir,
+        (
+            "observation_count",
+            "duration",
+            "time_mean",
+            "time_standard_deviation",
+            "maximum_time_interval",
+            "minimum_time_interval",
+            "maximum_slope",
+        ),
+    )
+
+
+SQL_CONV_TIME = f"""
+WITH {_TM},
+d AS (
+    SELECT conv_id, t, m,
+           t - lag(t) OVER w AS dt,
+           m - lag(m) OVER w AS dm
+    FROM tm WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       CAST(count(*) AS DOUBLE) AS observation_count,
+       round(max(t) - min(t), 6) AS duration,
+       round(avg(t), 6) AS time_mean,
+       round(stddev_samp(t), 6) AS time_standard_deviation,
+       round(max(dt), 6) AS maximum_time_interval,
+       round(min(dt), 6) AS minimum_time_interval,
+       round(max(abs(dm / nullif(dt, 0))), 6) AS maximum_slope
+FROM d GROUP BY conv_id
+"""
+
+
+def q_conv_shape(sf_dir: str):
+    return _conv_features(
+        sf_dir,
+        (
+            {"name": "beyond_n_std", "nstd": 1.0},
+            "eta",
+            "eta_e",
+            "cusum",
+            "lafler_kinman_string_length",
+            "linear_trend",
+            "linear_fit",
+        ),
+    )
+
+
+SQL_CONV_SHAPE = f"""
+WITH {_TM},
+d AS (
+    SELECT conv_id, turn_idx, t, m,
+           t - lag(t) OVER w AS dt,
+           m - lag(m) OVER w AS dm,
+           avg(m) OVER (PARTITION BY conv_id) AS mu,
+           stddev_samp(m) OVER (PARTITION BY conv_id) AS sd,
+           count(*) OVER (PARTITION BY conv_id) AS n
+    FROM tm WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+c AS (
+    SELECT conv_id,
+           sum(m - mu) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS cs,
+           sd, n
+    FROM d
+),
+cus AS (
+    SELECT conv_id, round((max(cs) - min(cs))/(any_value(sd)*any_value(n)), 6) AS cusum
+    FROM c GROUP BY conv_id
+),
+base AS (
+    SELECT conv_id,
+           CASE WHEN any_value(n) < 2 THEN NULL
+                ELSE round(CAST(count(*) FILTER (abs(m - mu) > sd) AS DOUBLE)/any_value(n), 6)
+           END AS beyond_1_std,
+           round(sum(dm*dm)/((any_value(n) - 1)*var_samp(m)), 6) AS eta,
+           round((max(t) - min(t))*(max(t) - min(t))*sum(power(dm / nullif(dt, 0), 2))
+             / (var_samp(m)*power(any_value(n) - 1, 3)), 6) AS eta_e,
+           round((sum(dm*dm) + power(arg_min(m, turn_idx) - arg_max(m, turn_idx), 2))
+             / (2*var_samp(m)*(any_value(n) - 1)), 6) AS lafler_kinman_string_length,
+           round(regr_slope(m, t), 6) AS linear_trend,
+           round(sqrt(greatest(regr_syy(m, t) - regr_slope(m, t)*regr_slope(m, t)*regr_sxx(m, t), 0)
+             / (any_value(n) - 2) / regr_sxx(m, t)), 6) AS linear_trend_sigma,
+           round(sqrt(greatest(regr_syy(m, t) - regr_slope(m, t)*regr_slope(m, t)*regr_sxx(m, t), 0)
+             / (any_value(n) - 2)), 6) AS linear_trend_noise,
+           round(regr_slope(m, t), 6) AS linear_fit_slope,
+           round(sqrt(1.0 / regr_sxx(m, t)), 6) AS linear_fit_slope_sigma,
+           round(greatest(regr_syy(m, t) - regr_slope(m, t)*regr_slope(m, t)*regr_sxx(m, t), 0)
+             / (any_value(n) - 2), 6) AS linear_fit_reduced_chi2
+    FROM d GROUP BY conv_id
+)
+SELECT base.*, cus.cusum FROM base JOIN cus USING (conv_id)
+"""
+
+
+def q_conv_quantiles(sf_dir: str):
+    return _conv_features(
+        sf_dir,
+        (
+            "median",
+            "median_absolute_deviation",
+            "percent_amplitude",
+            {"name": "inter_percentile_range", "quantile": 0.25},
+            {
+                "name": "magnitude_percentage_ratio",
+                "quantile_numerator": 0.40,
+                "quantile_denominator": 0.05,
+            },
+            {
+                "name": "percent_difference_magnitude_percentile",
+                "quantile": 0.05,
+            },
+            "roms",
+        ),
+    )
+
+
+SQL_CONV_QUANTILES = f"""
+WITH {_TM},
+g AS (
+    SELECT conv_id, list_sort(list(m)) AS lm, count(*) AS n,
+           median(m) AS med, mad(m) AS madv, max(m) AS mx, min(m) AS mn
+    FROM tm GROUP BY conv_id
+),
+r AS (
+    SELECT conv_id,
+           sum(abs(tm.m - g.med)) AS sad,
+           any_value(g.n) AS n,
+           any_value(g.mx) AS mx, any_value(g.mn) AS mn
+    FROM tm JOIN g USING (conv_id) GROUP BY conv_id
+)
+SELECT g.conv_id,
+       round(g.med, 6) AS median,
+       round(g.madv, 6) AS median_absolute_deviation,
+       round(greatest(g.mx - g.med, g.med - g.mn), 6) AS percent_amplitude,
+       round({_r5('0.75', 'g.lm', 'g.n')} - {_r5('0.25', 'g.lm', 'g.n')}, 6) AS inter_percentile_range_25,
+       round(({_r5('0.60', 'g.lm', 'g.n')} - {_r5('0.40', 'g.lm', 'g.n')})
+           / nullif({_r5('0.95', 'g.lm', 'g.n')} - {_r5('0.05', 'g.lm', 'g.n')}, 0), 6) AS magnitude_percentage_ratio_40_5,
+       round(({_r5('0.95', 'g.lm', 'g.n')} - {_r5('0.05', 'g.lm', 'g.n')}) / nullif(g.med, 0), 6)
+           AS percent_difference_magnitude_percentile_5,
+       CASE WHEN g.mx = g.mn OR g.n < 2 THEN NULL
+            ELSE round(r.sad/(g.n - 1), 6) END AS roms
+FROM g JOIN r ON g.conv_id = r.conv_id
+"""
+
+
+def q_conv_bins(sf_dir: str):
+    return _conv_features(
+        sf_dir,
+        (
+            {
+                "name": "bins",
+                "features": ["observation_count", "mean", "standard_deviation"],
+                "window": 3600.0,
+                "offset": 0.0,
+            },
+        ),
+    )
+
+
+SQL_CONV_BINS = f"""
+WITH {_TM},
+bins AS (SELECT conv_id, CAST(floor(t/3600) AS BIGINT) AS hb, avg(m) AS bm
+         FROM tm GROUP BY conv_id, hb)
+SELECT conv_id,
+       CAST(count(*) AS DOUBLE) AS "bins_window3600_offset0_observation_count",
+       round(avg(bm), 6) AS "bins_window3600_offset0_mean",
+       round(stddev_samp(bm), 6) AS "bins_window3600_offset0_standard_deviation"
+FROM bins GROUP BY conv_id
+"""
+
+
+def q_conv_transformed(sf_dir: str):
+    return _conv_features(
+        sf_dir,
+        (
+            {"name": "transformed", "feature": "mean", "transformer": "arcsinh"},
+            {"name": "transformed", "feature": "amplitude", "transformer": "ln1p"},
+        ),
+    )
+
+
+SQL_CONV_TRANSFORMED = f"""
+WITH {_TM}
+SELECT conv_id,
+       round(ln(avg(m) + sqrt(avg(m)*avg(m) + 1)), 6) AS arcsinh_mean,
+       round(ln(1 + (max(m) - min(m))/2), 6) AS ln1p_amplitude
+FROM tm GROUP BY conv_id
+"""
+
+
+def q_conv_advanced(sf_dir: str):
+    # no SQL oracle: special functions (incomplete gamma, ln_erfc, Otsu,
+    # biweight, Lomb-Scargle) are not DuckDB-expressible -> rows-only check
+    return _conv_features(
+        sf_dir,
+        (
+            "anderson_darling_normal",
+            "chi2_pvar",
+            {"name": "biweight_scale", "c": 9.0},
+            "otsu_split",
+            {"name": "periodogram", "peaks": 1},
+        ),
+    )
+
+
+def q_rollup_full_tiers(sf_dir: str):
+    """Flagship: all three tiers with the headline suite incl. periodogram +
+    Gorilla-compressed points (rows-only: binary column + Lomb-Scargle)."""
+    from light_curve_feature_ray.stages.rollup import DEFAULT_FEATURES
+
+    ds = _rollup(
+        sf_dir,
+        features=DEFAULT_FEATURES,
+        tiers=("1m", "1h", "1d"),
+        gap_fill="linear",
+        store_points=True,
+    )
+    return _finalize(ds)
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings queries
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    from light_curve_feature_ray.pipelines.text import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id, md5(text) AS text_md5
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_text_stats(sf_dir: str):
+    from light_curve_feature_ray.pipelines.text import text_stats
+
+    return _finalize(text_stats(_docs(sf_dir)), skip=("doc_id", "n_chars", "n_words"))
+
+
+SQL_DOC_TEXT_STATS = rf"""
+WITH w AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+           length(regexp_replace(text, '\s', '', 'g')) AS non_space
+    FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(len(words) AS BIGINT) AS n_words,
+       round(CASE WHEN len(words) > 0
+             THEN CAST(non_space AS DOUBLE)/len(words) END, 6) AS avg_word_len,
+       round(CASE WHEN len(words) > 0
+             THEN CAST(len(list_filter(words, x -> lower(x) IN ({_STOP_LIST})))
+                  AS DOUBLE)/len(words) END, 6) AS stop_ratio
+FROM w
+"""
+
+
+def q_doc_lang_id(sf_dir: str):
+    from light_curve_feature_ray.pipelines.text import lang_id
+
+    return lang_id(_docs(sf_dir))
+
+
+SQL_DOC_LANG_ID = rf"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(words) > 0 AND
+                 CAST(len(list_filter(words, x -> lower(x) IN ({_STOP_LIST})))
+                      AS DOUBLE)/len(words) >= 0.08
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM w
+"""
+
+
+def q_doc_token_count(sf_dir: str):
+    from light_curve_feature_ray.pipelines.text import token_count
+
+    return token_count(_docs(sf_dir))
+
+
+SQL_DOC_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_TOKEN_REGEX}')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from light_curve_feature_ray.pipelines.text import fingerprint
+
+    return fingerprint(_docs(sf_dir))
+
+
+SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_doc_minhash_dups(sf_dir: str):
+    from light_curve_feature_ray.pipelines.text import minhash_lsh_dups
+
+    return minhash_lsh_dups(_docs(sf_dir), threshold=0.5)
+
+
+def q_doc_simhash(sf_dir: str):
+    from light_curve_feature_ray.pipelines.text import simhash_signatures
+
+    return simhash_signatures(_docs(sf_dir))
+
+
+def q_knn_cosine(sf_dir: str):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.similarity import knn_cosine
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds = knn_cosine(emb, n_queries=5, k=10)
+    return _finalize(ds, skip=("query_id", "rank", "vec_id"))
+
+
+SQL_KNN_COSINE = """
+WITH q AS (
+    SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id < 5
+),
+s AS (
+    SELECT q.qid, e.vec_id,
+           list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+    FROM q CROSS JOIN embeddings e
+)
+SELECT qid AS query_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       vec_id, round(cos, 6) AS cosine
+FROM s
+QUALIFY rank <= 10
+"""
+
+
+def q_knn_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.similarity import lsh_knn_cosine
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return _finalize(
+        lsh_knn_cosine(emb, n_queries=5, k=10), skip=("query_id", "rank", "vec_id")
+    )
+
+
+def q_multimodal_decode(sf_dir: str):
+    from light_curve_feature_ray.pipelines.multimodal import (
+        attach_fake_payloads,
+        decode_images,
+    )
+
+    return decode_images(attach_fake_payloads(_docs(sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# driver hooks
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: derive transcripts from events, run the
+    full three-tier rollup with the headline feature suite."""
+    return q_rollup_full_tiers(SF0_001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "turns_clean": q_turns_clean,
+        "rollup_1m_stats": q_rollup_1m_stats,
+        "rollup_1m_quantiles": q_rollup_1m_quantiles,
+        "rollup_1h_cascade": q_rollup_1h_cascade,
+        "rollup_1d_cascade": q_rollup_1d_cascade,
+        "rollup_1d_gapfill_prev": q_rollup_1d_gapfill_prev,
+        "rollup_full_tiers": q_rollup_full_tiers,
+        "conv_moments": q_conv_moments,
+        "conv_time": q_conv_time,
+        "conv_shape": q_conv_shape,
+        "conv_quantiles": q_conv_quantiles,
+        "conv_bins": q_conv_bins,
+        "conv_transformed": q_conv_transformed,
+        "conv_advanced": q_conv_advanced,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_token_count": q_doc_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_minhash_dups": q_doc_minhash_dups,
+        "doc_simhash": q_doc_simhash,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "turns_clean": f"WITH turns AS ({TRANSCRIPTS_SQL}) SELECT * FROM turns",
+        "rollup_1m_stats": SQL_ROLLUP_1M_STATS,
+        "rollup_1m_quantiles": SQL_ROLLUP_1M_QUANTILES,
+        "rollup_1h_cascade": SQL_ROLLUP_1H_CASCADE,
+        "rollup_1d_cascade": SQL_ROLLUP_1D_CASCADE,
+        "rollup_1d_gapfill_prev": SQL_ROLLUP_1D_GAPFILL_PREV,
+        "conv_moments": SQL_CONV_MOMENTS,
+        "conv_time": SQL_CONV_TIME,
+        "conv_shape": SQL_CONV_SHAPE,
+        "conv_quantiles": SQL_CONV_QUANTILES,
+        "conv_bins": SQL_CONV_BINS,
+        "conv_transformed": SQL_CONV_TRANSFORMED,
+        "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+        "doc_text_stats": SQL_DOC_TEXT_STATS,
+        "doc_lang_id": SQL_DOC_LANG_ID,
+        "doc_token_count": SQL_DOC_TOKEN_COUNT,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "knn_cosine": SQL_KNN_COSINE,
+    }

@@ -1,0 +1,65 @@
+"""Whole-conversation feature extraction (one row per conv_id).
+
+The distributed analog of the reference's primary API
+(``FeatureExtractor::eval`` over one series,
+/root/reference/src/extractor.rs:124-143): each conversation's full turn
+stream is one light curve; the configured features are evaluated once per
+conversation. Uses the engine's standard single hash shuffle + vectorized
+multi-segment evaluation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..features.extractor import FeatureExtractor
+from ..features.grouped import GroupedSuite
+
+
+def per_conv_features(turns_ds, features, *, nan_to_null: bool = True):
+    """turns_ds: Dataset with (conv_id, turn_idx, text, ts, part) at least.
+    Returns a Dataset with one row per conv: conv_id + one column per
+    feature output (NaN fills converted to Arrow nulls so SQL oracles
+    compare 1:1)."""
+    extractor = FeatureExtractor.from_config(list(features))
+    suite = GroupedSuite(extractor)
+    names = extractor.names()
+
+    def eval_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = {"conv_id": pa.array([], type=pa.string())}
+            for n in names:
+                cols[n] = pa.array([], type=pa.float64())
+            return pa.table(cols)
+        conv_dict = batch["conv_id"].combine_chunks().dictionary_encode()
+        codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (
+            pc.cast(pc.utf8_length(batch["text"].combine_chunks()), pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((turn, codes))
+        codes, ts_us, m = codes[order], ts_us[order], m[order]
+        t = ts_us.astype(np.float64) / 1e6
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]).astype(
+            np.int64
+        )
+        feats = suite.eval(t, m, np.ones_like(m), starts)
+        cols: dict = {
+            "conv_id": pa.DictionaryArray.from_arrays(
+                pa.array(codes[starts], type=pa.int32()), conv_dict.dictionary
+            ).cast(pa.string())
+        }
+        for n in names:
+            arr = pa.array(feats[n], type=pa.float64())
+            if nan_to_null:
+                arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, pa.float64()), arr)
+            cols[n] = arr
+        return pa.table(cols)
+
+    return turns_ds.groupby("part").map_groups(
+        eval_partition, batch_format="pyarrow"
+    )

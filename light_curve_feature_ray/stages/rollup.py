@@ -74,6 +74,7 @@ class RollupConfig:
     features: tuple = DEFAULT_FEATURES
     tiers: tuple = ("1m", "1h", "1d")
     gap_fill: str = "linear"  # "none" | "prev" | "linear"
+    fill_levels: tuple = ("1m", "1h")  # which bin series get gap-filled
     max_fill_gap: int = 2880  # max missing slots filled per gap (None = all)
     num_partitions: int = 64
     hot_threshold: int | None = 10_000  # turns; None disables salting
@@ -89,6 +90,7 @@ class RollupConfig:
             "features": list(self.features),
             "tiers": list(self.tiers),
             "gap_fill": self.gap_fill,
+            "fill_levels": list(self.fill_levels),
             "max_fill_gap": self.max_fill_gap,
             "num_partitions": self.num_partitions,
             "hot_threshold": self.hot_threshold,
@@ -353,8 +355,9 @@ class RollupWorker:
 
         # ---- 1m bin series -> gap-fill -> 1h ----------------------------
         codes_b, slot_b, m_b, w_b = _bin_series(codes, slot, m, w, starts)
+        mode_1m = cfg.gap_fill if "1m" in cfg.fill_levels else "none"
         codes_f, slot_f, m_f, w_f = _gap_fill(
-            codes_b, slot_b, m_b, w_b, cfg.gap_fill, cfg.max_fill_gap
+            codes_b, slot_b, m_b, w_b, mode_1m, cfg.max_fill_gap
         )
         if "1h" in cfg.tiers or "1d" in cfg.tiers:
             hour = slot_f // 60
@@ -392,8 +395,9 @@ class RollupWorker:
                     if cfg.max_fill_gap is None
                     else max(cfg.max_fill_gap // 60, 1)
                 )
+                mode_1h = cfg.gap_fill if "1h" in cfg.fill_levels else "none"
                 codes_g, hour_g, m_g, w_g = _gap_fill(
-                    codes_hb, hour_hb, m_hb, w_hb, cfg.gap_fill, max_gap_h
+                    codes_hb, hour_hb, m_hb, w_hb, mode_1h, max_gap_h
                 )
                 day = hour_g // 24
                 t_g = (hour_g * 3600 + 1800).astype(np.float64)
