@@ -1,0 +1,179 @@
+"""Benchmark harness: headline rollup throughput + per-query timings.
+
+Plain run: one JSON line
+    {"metric": "rollup_throughput", "value": <headline seconds>,
+     "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N,
+     "turns": T, "turns_per_sec": ...}
+
+``--scaling``: runs the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus efficiency = (t8/t32)/4 (BASELINE.md protocol).
+
+Input: a deterministic synthetic transcript table (input_hint schema),
+generated once under /tmp and reused; sized by $GRAFT_SF_DIR's scale
+factor so the 8-cpu run is long enough to amortize startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_SEED = 424242
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.1
+
+
+def bench_input(sf: float) -> str:
+    """Synth transcript parquet sized by sf (cached under /tmp)."""
+    from light_curve_feature_ray.sources.synth import synth_transcripts_parquet
+
+    n_convs = max(20, int(4000 * sf / 0.1))
+    path = f"/tmp/lcf_ray_bench/synth_sf{sf}"
+    return synth_transcripts_parquet(
+        path,
+        shards=16,
+        n_convs=n_convs,
+        mean_turns=220,
+        hot_convs=max(1, n_convs // 400),
+        hot_turns=60_000,
+        seed=BENCH_SEED,
+        mean_dt_seconds=40.0,
+    )
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.rollup import (
+        read_transcripts,
+        rollup_dataset,
+    )
+    from light_curve_feature_ray.stages.rollup import RollupConfig
+
+    sf = sf_of(sf_dir)
+    path = bench_input(sf)
+    # warm the page cache so we measure compute + shuffle, not first read
+    turns = read_transcripts(path).count()
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: full three-tier rollup, headline features + gorilla ----
+    cfg = RollupConfig(
+        num_partitions=max(4 * num_cpus, 32),
+        hot_threshold=20_000,
+        gap_fill="linear",
+        store_points=True,
+    )
+    t0 = time.perf_counter()
+    out = rollup_dataset(read_transcripts(path), cfg)
+    rows = out.count()
+    headline = time.perf_counter() - t0
+    timings["rollup_full"] = round(headline, 3)
+
+    # ---- secondary queries (same input scale) ----
+    t0 = time.perf_counter()
+    cfg2 = RollupConfig(
+        features=("observation_count", "mean", "standard_deviation", "amplitude"),
+        num_partitions=max(4 * num_cpus, 32),
+        hot_threshold=None,
+        store_points=False,
+        gap_fill="none",
+    )
+    rollup_dataset(read_transcripts(path), cfg2).count()
+    timings["rollup_light"] = round(time.perf_counter() - t0, 3)
+
+    from light_curve_feature_ray.pipelines.turns import clean_turns
+
+    t0 = time.perf_counter()
+    clean_turns(read_transcripts(path, for_rollup=False), 128).count()
+    timings["turns_clean"] = round(time.perf_counter() - t0, 3)
+
+    # documents ops at the given sf testdata (small side ops)
+    docs_path = f"{sf_dir}/documents.parquet"
+    if os.path.exists(docs_path):
+        from light_curve_feature_ray.pipelines.text import exact_dedup, text_stats
+
+        docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+        t0 = time.perf_counter()
+        text_stats(docs).count()
+        timings["doc_text_stats"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        exact_dedup(docs).count()
+        timings["doc_exact_dedup"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "rollup_throughput",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "turns": turns,
+        "tier_rows": rows,
+        "turns_per_sec": round(turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_subprocess(sf_dir: str, ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        lo = run_subprocess(sf_dir, 8)
+        hi = run_subprocess(sf_dir, 32)
+        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8": lo["value"],
+                    "sec_32": hi["value"],
+                    "turns_per_sec_8": lo["turns_per_sec"],
+                    "turns_per_sec_32": hi["turns_per_sec"],
+                    "sf": lo["sf"],
+                }
+            )
+        )
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

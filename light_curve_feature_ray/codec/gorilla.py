@@ -195,6 +195,204 @@ def encode(ts: np.ndarray, values: np.ndarray) -> bytes:
     return _pack_tokens(payloads[keep], nbits[keep]).tobytes()
 
 
+def _dod_tokens(dod: np.ndarray):
+    """Delta-of-delta tokens: returns (payload, nbits, payload2, nbits2)
+    where the second token is nonempty only for 64-bit raw escapes."""
+    n = dod.shape[0]
+    payload = np.zeros(n, dtype=np.uint64)
+    nbits = np.zeros(n, dtype=np.int64)
+    payload2 = np.zeros(n, dtype=np.uint64)
+    nbits2 = np.zeros(n, dtype=np.int64)
+    done = dod == 0
+    nbits[done] = 1
+    for pbits, prefix, plen, lim in _DOD_RANGES:
+        sel = (~done) & (np.abs(dod) <= lim)
+        if sel.any():
+            payload[sel] = (np.uint64(prefix) << np.uint64(pbits)) | _bias_encode(
+                dod[sel], pbits
+            )
+            nbits[sel] = plen + pbits
+            done |= sel
+    rest = ~done
+    if rest.any():
+        payload[rest] = (np.uint64(0b11111) << np.uint64(59)) | (
+            dod[rest].view(np.uint64) >> np.uint64(5)
+        )
+        nbits[rest] = 64
+        payload2[rest] = dod[rest].view(np.uint64) & np.uint64(0x1F)
+        nbits2[rest] = 5
+    return payload, nbits, payload2, nbits2
+
+
+def _xor_tokens(xor: np.ndarray):
+    """XOR value tokens (same return shape as _dod_tokens)."""
+    n = xor.shape[0]
+    payload = np.zeros(n, dtype=np.uint64)
+    nbits = np.ones(n, dtype=np.int64)  # '0' for identical
+    payload2 = np.zeros(n, dtype=np.uint64)
+    nbits2 = np.zeros(n, dtype=np.int64)
+    nz = xor != 0
+    if not nz.any():
+        return payload, nbits, payload2, nbits2
+    x = xor[nz]
+    hb = np.zeros(x.shape[0], dtype=np.int64)
+    v = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        msk = v >= (np.uint64(1) << np.uint64(shift))
+        hb[msk] += shift
+        v[msk] >>= np.uint64(shift)
+    lead = np.minimum(63 - hb, 31)
+    low = (x & (~x + np.uint64(1))).astype(np.uint64)
+    tb = np.zeros(x.shape[0], dtype=np.int64)
+    v = low.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        msk = v >= (np.uint64(1) << np.uint64(shift))
+        tb[msk] += shift
+        v[msk] >>= np.uint64(shift)
+    trail = tb
+    mlen = 64 - lead - trail
+    meaningful = x >> trail.astype(np.uint64)
+    head = (
+        (np.uint64(0b11) << np.uint64(11))
+        | (lead.astype(np.uint64) << np.uint64(6))
+        | (mlen - 1).astype(np.uint64)
+    )
+    total_bits = 13 + mlen
+    fits = total_bits <= 64
+    idx = np.flatnonzero(nz)
+    p = np.zeros(x.shape[0], dtype=np.uint64)
+    p[fits] = (head[fits] << mlen[fits].astype(np.uint64)) | meaningful[fits]
+    payload[idx[fits]] = p[fits]
+    nbits[idx] = np.where(fits, total_bits, 13)
+    if (~fits).any():
+        payload[idx[~fits]] = head[~fits]
+        payload2[idx[~fits]] = meaningful[~fits]
+        nbits2[idx[~fits]] = mlen[~fits]
+    return payload, nbits, payload2, nbits2
+
+
+def encode_segments(ts: np.ndarray, values: np.ndarray, starts: np.ndarray):
+    """Encode many contiguous segments at once; byte-identical to calling
+    :func:`encode` per segment, but all token math is one vectorized pass
+    (the rollup hot path calls this once per partition)."""
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    npts = ts.shape[0]
+    nseg = starts.shape[0]
+    if nseg == 0:
+        return []
+    ends = np.r_[starts[1:], npts]
+    counts = ends - starts
+    seg_id = np.repeat(np.arange(nseg), counts)
+
+    # ---- pair-level tokens (position p describes pair (p, p+1)) ----
+    valid = np.zeros(npts, dtype=bool)
+    valid[:-1] = seg_id[1:] == seg_id[:-1] if npts > 1 else False
+    pair_idx = np.flatnonzero(valid)  # positions of valid pairs, seg order
+    deltas = np.zeros(npts, dtype=np.int64)
+    if npts > 1:
+        deltas[:-1] = ts[1:] - ts[:-1]
+    # dod: first pair of each segment is delta vs implicit 0
+    prev_valid = np.zeros(npts, dtype=bool)
+    prev_valid[1:] = valid[:-1]
+    dod_all = np.where(prev_valid, deltas - np.r_[0, deltas[:-1]], deltas)
+    dod = dod_all[pair_idx]
+    bits_v = values.view(np.uint64)
+    xor = np.zeros(npts, dtype=np.uint64)
+    if npts > 1:
+        xor[:-1] = bits_v[1:] ^ bits_v[:-1]
+    xor = xor[pair_idx]
+
+    tp1, tb1, tp2, tb2 = _dod_tokens(dod)
+    vp1, vb1, vp2, vb2 = _xor_tokens(xor)
+    pair_seg = seg_id[pair_idx]
+
+    # ---- assemble tokens in per-segment order:
+    # header(3) + ts tokens (pairs in order, incl. escapes) + value tokens
+    head_payload = np.empty(3 * nseg, dtype=np.uint64)
+    head_bits = np.full(3 * nseg, 64, dtype=np.int64)
+    head_payload[0::3] = counts.astype(np.uint64)
+    head_payload[1::3] = ts[starts].view(np.uint64)
+    head_payload[2::3] = values[starts].view(np.uint64)
+    head_seg = np.repeat(np.arange(nseg), 3)
+
+    def interleave(p1, b1, p2, b2):
+        return (
+            np.column_stack([p1, p2]).reshape(-1),
+            np.column_stack([b1, b2]).reshape(-1),
+        )
+
+    ts_payload, ts_bits = interleave(tp1, tb1, tp2, tb2)
+    v_payload, v_bits = interleave(vp1, vb1, vp2, vb2)
+    pair_seg2 = np.repeat(pair_seg, 2)
+
+    payloads = np.concatenate([head_payload, ts_payload, v_payload])
+    nbits = np.concatenate([head_bits, ts_bits, v_bits])
+    segs = np.concatenate([head_seg, pair_seg2, pair_seg2])
+    stream = np.concatenate(
+        [
+            np.zeros(head_seg.shape[0], dtype=np.int8),
+            np.ones(pair_seg2.shape[0], dtype=np.int8),
+            np.full(pair_seg2.shape[0], 2, dtype=np.int8),
+        ]
+    )
+    pair_pos = np.arange(2 * pair_seg.shape[0])  # global pair-token rank
+    pos = np.concatenate([np.tile(np.arange(3), nseg), pair_pos, pair_pos])
+    keep = nbits > 0
+    order = np.lexsort((pos[keep], stream[keep], segs[keep]))
+    payloads = payloads[keep][order]
+    nbits = nbits[keep][order]
+    segs = segs[keep][order]
+
+    # ---- global bit materialization with per-segment byte alignment ----
+    token_bit_start = np.r_[0, np.cumsum(nbits)[:-1]]
+    seg_token_starts = np.flatnonzero(np.r_[True, segs[1:] != segs[:-1]])
+    seg_bit_start = token_bit_start[seg_token_starts]
+    seg_bits = np.r_[seg_bit_start[1:], int(nbits.sum())] - seg_bit_start
+    seg_nbytes = (seg_bits + 7) // 8
+    seg_byte_start = np.r_[0, np.cumsum(seg_nbytes)[:-1]]
+
+    # padded start bit of every token (segment byte alignment applied)
+    token_padded_start = (
+        seg_byte_start[segs] * 8 + token_bit_start - seg_bit_start[segs]
+    )
+    # word-level materialization: each <=64-bit token lands in 1-2 big-endian
+    # uint64 words; tokens are position-sorted, so contributions per word
+    # combine with one bitwise_or.reduceat (no per-bit arrays)
+    total_words = (int(seg_nbytes.sum()) + 7) // 8 + 1
+    words = np.zeros(total_words, dtype=np.uint64)
+    w = token_padded_start >> 6
+    o = (token_padded_start & 63).astype(np.uint64)
+    end = o + nbits.astype(np.uint64)
+    first_fits = end <= 64
+    sh1 = np.where(first_fits, (64 - end) & np.uint64(63), (end - 64) & np.uint64(63))
+    part1 = np.where(
+        first_fits,
+        payloads << sh1,
+        payloads >> sh1,
+    )
+    # edge: end == 64 exactly -> shift 0 (covered by & 63 since 64-end == 0)
+
+    def or_scatter(dst, idx, vals):
+        # idx is non-decreasing; OR equal-index runs via reduceat
+        runs = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+        combined = np.bitwise_or.reduceat(vals, runs)
+        dst[idx[runs]] |= combined
+
+    or_scatter(words, w, part1)
+    spill = ~first_fits
+    if spill.any():
+        sh2 = (np.uint64(128) - end[spill]) & np.uint64(63)
+        part2 = payloads[spill] << sh2
+        or_scatter(words, w[spill] + 1, part2)
+    out_bytes = words.view(np.uint8).reshape(-1, 8)[:, ::-1].reshape(-1)
+    return [
+        out_bytes[seg_byte_start[i] : seg_byte_start[i] + seg_nbytes[i]].tobytes()
+        for i in range(nseg)
+    ]
+
+
 class _BitReader:
     __slots__ = ("bits", "pos")
 

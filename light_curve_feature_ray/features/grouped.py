@@ -575,6 +575,31 @@ def _chi2_pvar(ctx, f, fv):
     return [out]
 
 
+@fast("periodogram")
+def _periodogram(ctx, f, fv):
+    # batched FFT path: only for the default configuration shape
+    # (peaks-only spectrum extractor, FFT power, average Nyquist)
+    if (
+        not f.fast
+        or f.nyquist.strategy != "average"
+        or len(f.spectrum_extractor.features) != 1
+    ):
+        return _loop_eval(ctx, f, fv)
+    from .periodogram.batched import batched_periodogram_peaks
+
+    arr = batched_periodogram_peaks(
+        ctx.t,
+        ctx.m,
+        ctx.starts,
+        peaks=f.peaks,
+        resolution=f.resolution,
+        max_freq_factor=f.max_freq_factor,
+        normalization=f.normalization,
+        fill_value=fv,
+    )
+    return [arr[:, j] for j in range(2 * f.peaks)]
+
+
 @fast("anderson_darling_normal")
 def _ad_normal(ctx, f, fv):
     sm = ctx.sorted_m()

@@ -159,7 +159,16 @@ class Periodogram(Feature):
         )
 
     def freq_power(self, s: Series) -> tuple[np.ndarray, np.ndarray]:
-        """(freqs, power) with the configured normalization applied."""
+        """(freqs, power) with the configured normalization applied.
+
+        Zero-duration series (all t equal) have no frequency grid — the
+        reference's input contract requires increasing t
+        (/root/reference/src/data/time_series.rs:69); we make it a typed
+        error so eval_or_fill yields NaN."""
+        from ..errors import ZeroDivision
+
+        if s.t[-1] - s.t[0] <= 0.0:
+            raise ZeroDivision("zero time span: no frequency grid")
         params = self._dynamic_params()
         if self.fast:
             grid = ZeroBasedPow2FreqGrid.from_t(s.t, params)

@@ -262,10 +262,7 @@ def _gap_fill(
 def _encode_points(
     ts_us: np.ndarray, m: np.ndarray, starts: np.ndarray
 ) -> pa.Array:
-    ends = np.r_[starts[1:], ts_us.shape[0]]
-    blobs = [
-        gorilla.encode(ts_us[lo:hi], m[lo:hi]) for lo, hi in zip(starts, ends)
-    ]
+    blobs = gorilla.encode_segments(ts_us, m, starts)
     return pa.array(blobs, type=pa.binary())
 
 
