@@ -82,7 +82,9 @@ def events_turns_dataset(sf_dir: str, num_partitions: int = 32):
             ["conv_id", "turn_idx", "role", "text", "tool", "ts", "part"]
         )
 
-    withpart = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    withpart = ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
     return withpart.groupby("part").map_groups(
         number_turns, batch_format="pyarrow"
     )

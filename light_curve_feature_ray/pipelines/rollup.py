@@ -69,6 +69,7 @@ def rollup_dataset(
     config: RollupConfig | None = None,
     *,
     worker_concurrency: int | tuple | None = None,
+    hot_detect_ds=None,
 ):
     """Build the streaming rollup pipeline (lazy Dataset of tier rows).
 
@@ -81,13 +82,16 @@ def rollup_dataset(
     config = config or RollupConfig()
     hot_ref = None
     if config.hot_threshold is not None:
-        hot = detect_hot_convs(ds, config.hot_threshold)
+        # hot_detect_ds lets callers pass a conv_id-only read so the
+        # detection pre-pass doesn't re-decode the text column
+        hot = detect_hot_convs(hot_detect_ds or ds, config.hot_threshold)
         if hot:
             hot_ref = ray.put(hot)
     derived = ds.map_batches(
         _derive_fn(config, hot_ref),
         batch_format="pyarrow",
-        zero_copy_batch=True,
+        batch_size=None,  # whole blocks; the default 1024-row batches add
+        zero_copy_batch=True,  # ~100x task overhead on wide scans
     )
     grouped = derived.groupby("part")
     if worker_concurrency is not None:

@@ -45,7 +45,7 @@ def exact_dedup(docs_ds):
             {"doc_id": batch["doc_id"], "text_md5": _md5_hex(batch["text"])}
         )
 
-    hashed = docs_ds.map_batches(add_hash, batch_format="pandas")
+    hashed = docs_ds.map_batches(add_hash, batch_format="pandas", batch_size=4096)
     return hashed.groupby("text_md5").map_groups(
         lambda g: g.nsmallest(1, "doc_id")[["doc_id", "text_md5"]],
         batch_format="pandas",

@@ -41,6 +41,7 @@ def clean_turns(ds, num_partitions: int = 64):
     withpart = ds.map_batches(
         lambda b: add_partition_column(b, num_partitions),
         batch_format="pyarrow",
+        batch_size=None,
         zero_copy_batch=True,
     )
     return withpart.groupby("part").map_groups(

@@ -123,7 +123,10 @@ def run_rollup_job(
         if hot:
             hot_ref = ray.put(hot)
     derived = ds.map_batches(
-        _derive_fn(config, hot_ref), batch_format="pyarrow", zero_copy_batch=True
+        _derive_fn(config, hot_ref),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
     )
     if done:
         done_arr = list(done)
