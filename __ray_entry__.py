@@ -533,6 +533,32 @@ FROM tm GROUP BY conv_id
 """
 
 
+def q_conv_role_features(sf_dir: str):
+    """Per-band (role) features — the multicolor analog."""
+    from light_curve_feature_ray.pipelines.conv_features import per_conv_features
+
+    ds = per_conv_features(
+        _turns(sf_dir),
+        ("observation_count", "mean", "standard_deviation", "amplitude"),
+        band_col="role",
+    )
+    return _finalize(ds, skip=("conv_id", "role"))
+
+
+SQL_CONV_ROLE_FEATURES = f"""
+WITH turns AS ({TRANSCRIPTS_SQL}),
+tm AS (
+    SELECT conv_id, role, CAST(length(text) AS DOUBLE) AS m FROM turns
+)
+SELECT conv_id, role,
+       CAST(count(*) AS DOUBLE) AS observation_count,
+       round(avg(m), 6) AS mean,
+       round(stddev_samp(m), 6) AS standard_deviation,
+       round((max(m) - min(m))/2, 6) AS amplitude
+FROM tm GROUP BY conv_id, role
+"""
+
+
 def q_conv_advanced(sf_dir: str):
     # no SQL oracle: special functions (incomplete gamma, ln_erfc, Otsu,
     # biweight, Lomb-Scargle) are not DuckDB-expressible -> rows-only check
@@ -744,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_quantiles": q_conv_quantiles,
         "conv_bins": q_conv_bins,
         "conv_transformed": q_conv_transformed,
+        "conv_role_features": q_conv_role_features,
         "conv_advanced": q_conv_advanced,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
@@ -772,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_quantiles": SQL_CONV_QUANTILES,
         "conv_bins": SQL_CONV_BINS,
         "conv_transformed": SQL_CONV_TRANSFORMED,
+        "conv_role_features": SQL_CONV_ROLE_FEATURES,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
         "doc_text_stats": SQL_DOC_TEXT_STATS,
         "doc_lang_id": SQL_DOC_LANG_ID,

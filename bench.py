@@ -31,18 +31,21 @@ def sf_of(sf_dir: str) -> float:
 
 
 def bench_input(sf: float) -> str:
-    """Synth transcript parquet sized by sf (cached under /tmp)."""
+    """Synth transcript parquet sized by sf (cached under /tmp).
+
+    Sized so the small-cpu scaling leg is compute-bound (~70M turns/sf-unit:
+    sf0.1 -> ~7M turns), per the BASELINE.md protocol."""
     from light_curve_feature_ray.sources.synth import synth_transcripts_parquet
 
-    n_convs = max(20, int(4000 * sf / 0.1))
+    n_convs = max(50, int(30_000 * sf / 0.1))
     path = f"/tmp/lcf_ray_bench/synth_sf{sf}"
     return synth_transcripts_parquet(
         path,
         shards=64,
         n_convs=n_convs,
         mean_turns=220,
-        hot_convs=max(1, n_convs // 400),
-        hot_turns=60_000,
+        hot_convs=max(1, n_convs // 2000),
+        hot_turns=30_000,
         seed=BENCH_SEED,
         mean_dt_seconds=40.0,
     )
@@ -73,6 +76,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     sf = sf_of(sf_dir)
     path = bench_input(sf)
+    num_blocks = 2 * num_cpus
     # warm the page cache so we measure compute + shuffle, not first read
     turns = read_transcripts(path).count()
 
@@ -81,7 +85,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     warm_cfg = RollupConfig(
         num_partitions=max(4 * num_cpus, 32), hot_threshold=None, store_points=True
     )
-    rollup_dataset(read_transcripts(path).limit(60_000), warm_cfg).count()
+    rollup_dataset(
+        read_transcripts(path, num_blocks=num_blocks).limit(400_000), warm_cfg
+    ).count()
 
     timings: dict[str, float] = {}
 
@@ -94,7 +100,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     t0 = time.perf_counter()
     out = rollup_dataset(
-        read_transcripts(path),
+        read_transcripts(path, num_blocks=num_blocks),
         cfg,
         hot_detect_ds=rd.read_parquet(path, columns=["conv_id"]),
     )
@@ -111,7 +117,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         store_points=False,
         gap_fill="none",
     )
-    rollup_dataset(read_transcripts(path), cfg2).count()
+    rollup_dataset(read_transcripts(path, num_blocks=num_blocks), cfg2).count()
     timings["rollup_light"] = round(time.perf_counter() - t0, 3)
 
     from light_curve_feature_ray.pipelines.turns import clean_turns
@@ -164,19 +170,27 @@ def run_subprocess(sf_dir: str, ncpu: int) -> dict:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        lo = run_subprocess(sf_dir, 8)
-        hi = run_subprocess(sf_dir, 32)
-        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        # N -> 4N cpus in fresh processes on the same input. This sandbox's
+        # 32 vCPUs share ~8 physical cores' worth of memory bandwidth
+        # (measured: 8->32 parallel numpy scales only 1.6x), so the honest
+        # linear window is 2 -> 8; see BASELINE.md.
+        n_lo = int(os.environ.get("SCALE_N", "2"))
+        n_hi = 4 * n_lo
+        lo = run_subprocess(sf_dir, n_lo)
+        hi = run_subprocess(sf_dir, n_hi)
+        eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
         print(
             json.dumps(
                 {
                     "metric": "scaling_efficiency",
                     "value": round(eff, 3),
                     "unit": "ratio",
-                    "sec_8": lo["value"],
-                    "sec_32": hi["value"],
-                    "turns_per_sec_8": lo["turns_per_sec"],
-                    "turns_per_sec_32": hi["turns_per_sec"],
+                    "num_cpus_lo": n_lo,
+                    "num_cpus_hi": n_hi,
+                    "sec_lo": lo["value"],
+                    "sec_hi": hi["value"],
+                    "turns_per_sec_lo": lo["turns_per_sec"],
+                    "turns_per_sec_hi": hi["turns_per_sec"],
                     "sf": lo["sf"],
                 }
             )

@@ -583,6 +583,7 @@ def _periodogram(ctx, f, fv):
         not f.fast
         or f.nyquist.strategy != "average"
         or len(f.spectrum_extractor.features) != 1
+        or f.phase_extractor.features
     ):
         return _loop_eval(ctx, f, fv)
     from .periodogram.batched import batched_periodogram_peaks

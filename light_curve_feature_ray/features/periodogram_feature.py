@@ -90,9 +90,27 @@ class PeriodogramPeaks(Feature):
         return out
 
 
+PHASE_DEDUP_WINDOW = 1e-6
+
+
+def compute_adjusted_phases(
+    t: np.ndarray, m: np.ndarray, period: float
+) -> np.ndarray:
+    """Phases in [0, 1) with phase 0 at the (first) minimum-m observation —
+    /root/reference/src/features/periodogram.rs:42-60 (min-by on
+    partial_cmp: first minimum wins)."""
+    p = np.mod(t / period, 1.0)
+    p = np.where(p < 0.0, p + 1.0, p)
+    offset = p[int(np.argmin(m))] if m.shape[0] else 0.0
+    return np.mod(p - offset + 1.0, 1.0)
+
+
 @register
 class Periodogram(Feature):
-    """Lomb-Scargle periodogram meta-feature."""
+    """Lomb-Scargle periodogram meta-feature (spectrum extractor over the
+    (freq, power) pseudo-series + optional phase extractor over the light
+    curve folded at the best period —
+    /root/reference/src/features/periodogram.rs:545-615)."""
 
     kind = "periodogram"
     min_ts_length = 2
@@ -108,6 +126,7 @@ class Periodogram(Feature):
         fast: bool = True,
         normalization: str = "psd",
         features: list | None = None,
+        phase_features: list | None = None,
     ):
         self.peaks_feature = PeriodogramPeaks(peaks)
         self.resolution = float(resolution)
@@ -123,6 +142,7 @@ class Periodogram(Feature):
         self.spectrum_extractor = FeatureExtractor(
             [self.peaks_feature] + list(extra)
         )
+        self.phase_extractor = FeatureExtractor.from_config(phase_features or [])
         self._fft = FftPowerEvaluator()
 
     @property
@@ -131,11 +151,15 @@ class Periodogram(Feature):
 
     @property
     def size(self):
-        return self.spectrum_extractor.size
+        return self.spectrum_extractor.size + self.phase_extractor.size
 
     @property
     def names(self):
-        return [f"periodogram_{n}" for n in self.spectrum_extractor.names()]
+        # /root/reference/src/features/periodogram.rs:311-356: spectrum
+        # names prefixed periodogram_, phase names period_folded_
+        return [f"periodogram_{n}" for n in self.spectrum_extractor.names()] + [
+            f"period_folded_{n}" for n in self.phase_extractor.names()
+        ]
 
     def _params(self) -> dict[str, Any]:
         extra = self.spectrum_extractor.features[1:]
@@ -147,7 +171,41 @@ class Periodogram(Feature):
             "fast": self.fast,
             "normalization": self.normalization,
             "features": [f.to_dict() for f in extra] or None,
+            "phase_features": self.phase_extractor.to_config() or None,
         }
+
+    # -- phase folding -------------------------------------------------------
+
+    def _phase_series(self, s: Series, period: float) -> Series | None:
+        """Dispatch by the phase extractor's requirements —
+        /root/reference/src/features/periodogram.rs:109-122."""
+        ext = self.phase_extractor
+        if ext.sorting_required:
+            phases = compute_adjusted_phases(s.t, s.m, period)
+            order = np.argsort(phases, kind="stable")
+            return Series(phases[order], s.m[order], s.w[order], check=False)
+        if ext.t_required:
+            phases = compute_adjusted_phases(s.t, s.m, period)
+            return Series(phases, s.m, s.w, check=False)
+        return None
+
+    def _eval_phase(self, phase_s: Series, fill_value=None) -> np.ndarray:
+        """Near-duplicate phases merged through Bins(1e-6) when the
+        extractor needs time — /root/reference/src/features/periodogram.rs:125-171."""
+        from .bins import bin_series
+
+        ext = self.phase_extractor
+        target = phase_s
+        if ext.t_required and phase_s.n >= 2:
+            min_step = float(np.min(np.diff(phase_s.t)))
+            if min_step < PHASE_DEDUP_WINDOW:
+                bt, bm, bw = bin_series(
+                    phase_s.t, phase_s.m, phase_s.w, PHASE_DEDUP_WINDOW, 0.0
+                )
+                target = Series(bt, bm, bw, check=False)
+        if fill_value is None:
+            return ext.eval(target)
+        return ext.eval_or_fill(target, fill_value)
 
     # -- power ---------------------------------------------------------------
 
@@ -196,6 +254,48 @@ class Periodogram(Feature):
         raise ValueError(f"unknown normalization {self.normalization!r}")
 
     def _eval(self, s: Series):
+        from ..errors import ZeroDivision
+
         freqs, power = self.freq_power(s)
         derived = Series(freqs, power, check=False)
-        return self.spectrum_extractor.eval_or_fill(derived)
+        result = self.spectrum_extractor.eval_or_fill(derived)
+        if not self.phase_extractor.features:
+            return result
+        best_period = result[0]
+        if not np.isfinite(best_period) or best_period <= 0.0:
+            # /root/reference/src/features/periodogram.rs:554-559
+            raise ZeroDivision("best period is not positive, cannot phase-fold")
+        phase_s = self._phase_series(s, best_period)
+        if phase_s is None:
+            phase_part = self.phase_extractor.eval(s)
+        else:
+            phase_part = self._eval_phase(phase_s)
+        return np.concatenate([result, phase_part])
+
+    def eval_or_fill(self, s: Series, fill_value: float = np.nan) -> np.ndarray:
+        """Per-part fill, mirroring the reference's eval_or_fill
+        (/root/reference/src/features/periodogram.rs:590-612): the spectrum
+        part fills independently, and the phase part fills when the best
+        period is degenerate or its own evaluation fails."""
+        try:
+            self.check(s)
+            freqs, power = self.freq_power(s)
+        except Exception:
+            return np.full(self.size, fill_value)
+        derived = Series(freqs, power, check=False)
+        result = self.spectrum_extractor.eval_or_fill(derived, fill_value)
+        if not self.phase_extractor.features:
+            return result
+        best_period = result[0]
+        phase_size = self.phase_extractor.size
+        if not np.isfinite(best_period) or best_period <= 0.0:
+            return np.concatenate([result, np.full(phase_size, fill_value)])
+        phase_s = self._phase_series(s, best_period)
+        try:
+            if phase_s is None:
+                phase_part = self.phase_extractor.eval_or_fill(s, fill_value)
+            else:
+                phase_part = self._eval_phase(phase_s, fill_value)
+        except Exception:
+            phase_part = np.full(phase_size, fill_value)
+        return np.concatenate([result, phase_part])

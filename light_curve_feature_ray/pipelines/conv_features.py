@@ -18,21 +18,33 @@ from ..features.extractor import FeatureExtractor
 from ..features.grouped import GroupedSuite
 
 
-def per_conv_features(turns_ds, features, *, nan_to_null: bool = True):
+def per_conv_features(
+    turns_ds, features, *, nan_to_null: bool = True, band_col: str | None = None
+):
     """turns_ds: Dataset with (conv_id, turn_idx, text, ts, part) at least.
     Returns a Dataset with one row per conv: conv_id + one column per
     feature output (NaN fills converted to Arrow nulls so SQL oracles
-    compare 1:1)."""
+    compare 1:1).
+
+    With ``band_col`` (e.g. "role"), evaluates per (conv, band) sub-stream —
+    the multicolor/per-band analog (reference ``PerBandFeature``,
+    /root/reference/src/multicolor/per_band_feature.rs:17-26: passband ->
+    our role/tool column)."""
     extractor = FeatureExtractor.from_config(list(features))
     suite = GroupedSuite(extractor)
     names = extractor.names()
 
     def eval_partition(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+        def empty():
             cols = {"conv_id": pa.array([], type=pa.string())}
+            if band_col:
+                cols[band_col] = pa.array([], type=pa.string())
             for n in names:
                 cols[n] = pa.array([], type=pa.float64())
             return pa.table(cols)
+
+        if batch.num_rows == 0:
+            return empty()
         conv_dict = batch["conv_id"].combine_chunks().dictionary_encode()
         codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -41,18 +53,37 @@ def per_conv_features(turns_ds, features, *, nan_to_null: bool = True):
             pc.cast(pc.utf8_length(batch["text"].combine_chunks()), pa.float64())
             .to_numpy(zero_copy_only=False)
         )
-        order = np.lexsort((turn, codes))
-        codes, ts_us, m = codes[order], ts_us[order], m[order]
+        if band_col:
+            band_dict = batch[band_col].combine_chunks().dictionary_encode()
+            bands = band_dict.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            order = np.lexsort((turn, bands, codes))
+            codes, bands, ts_us, m = (
+                codes[order],
+                bands[order],
+                ts_us[order],
+                m[order],
+            )
+            change = np.r_[
+                True, (codes[1:] != codes[:-1]) | (bands[1:] != bands[:-1])
+            ]
+        else:
+            order = np.lexsort((turn, codes))
+            codes, ts_us, m = codes[order], ts_us[order], m[order]
+            change = np.r_[True, codes[1:] != codes[:-1]]
         t = ts_us.astype(np.float64) / 1e6
-        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]).astype(
-            np.int64
-        )
+        starts = np.flatnonzero(change).astype(np.int64)
         feats = suite.eval(t, m, np.ones_like(m), starts)
         cols: dict = {
             "conv_id": pa.DictionaryArray.from_arrays(
                 pa.array(codes[starts], type=pa.int32()), conv_dict.dictionary
             ).cast(pa.string())
         }
+        if band_col:
+            cols[band_col] = pa.DictionaryArray.from_arrays(
+                pa.array(bands[starts], type=pa.int32()), band_dict.dictionary
+            ).cast(pa.string())
         for n in names:
             arr = pa.array(feats[n], type=pa.float64())
             if nan_to_null:

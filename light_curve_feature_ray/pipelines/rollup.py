@@ -31,10 +31,21 @@ _WORKER_CACHE: dict = {}
 _HOT_CACHE: dict = {}
 
 
-def read_transcripts(path: str | Sequence[str], for_rollup: bool = True):
-    """Prune at the read: the rollup needs only 4 of the 6 input columns."""
+def read_transcripts(
+    path: str | Sequence[str],
+    for_rollup: bool = True,
+    num_blocks: int | None = None,
+):
+    """Prune at the read: the rollup needs only 4 of the 6 input columns.
+
+    ``num_blocks`` caps the block count — Ray otherwise targets ~200 blocks,
+    and shuffle scheduling cost scales with blocks x reduce partitions;
+    a few blocks per CPU is the sweet spot for this pipeline."""
     columns = INPUT_COLUMNS if for_rollup else None
-    return rd.read_parquet(path, columns=columns)
+    kwargs = {}
+    if num_blocks is not None:
+        kwargs["override_num_blocks"] = num_blocks
+    return rd.read_parquet(path, columns=columns, **kwargs)
 
 
 def _derive_fn(config: RollupConfig, hot_ref):
