@@ -62,7 +62,8 @@ def test_duplicate_phases_merged():
     # two full periods sampled at identical phases -> duplicate phases get
     # merged through Bins(1e-6); eta over the fold sees each phase once
     period = 0.25
-    t1 = np.linspace(0.0, period, 50, endpoint=False)
+    # dyadic timestamps => bit-identical duplicate phases across periods
+    t1 = np.arange(64) * (period / 64)
     t = np.concatenate([t1, t1 + period])
     m = np.sin(2 * np.pi / period * t)
     s = Series(t, m)
@@ -70,8 +71,8 @@ def test_duplicate_phases_merged():
     # phase extractor; observation_count then sees the merged series
     f = Periodogram(phase_features=["eta_e", "observation_count"])
     out = f.eval_or_fill(s)
-    # 100 points fold onto 50 distinct phases
-    assert out[3] == 50.0
+    # 128 points fold onto 64 distinct phases
+    assert out[3] == 64.0
     assert np.isfinite(out[2])
 
 
