@@ -68,12 +68,15 @@ def test_duplicate_phases_merged():
     m = np.sin(2 * np.pi / period * t)
     s = Series(t, m)
     # eta_e requires t => the Bins(1e-6) merge kicks in for the whole
-    # phase extractor; observation_count then sees the merged series
+    # phase extractor; observation_count then sees the merged series.
+    # Fold at the exact period (the grid-recovered one is inexact, so the
+    # duplicate phases would not collide bit-for-bit).
     f = Periodogram(phase_features=["eta_e", "observation_count"])
-    out = f.eval_or_fill(s)
+    phase_s = f._phase_series(s, period)
+    out = f._eval_phase(phase_s)
     # 128 points fold onto 64 distinct phases
-    assert out[3] == 64.0
-    assert np.isfinite(out[2])
+    assert out[1] == 64.0
+    assert np.isfinite(out[0])
 
 
 def test_plateau_phase_part_filled():
