@@ -454,6 +454,7 @@ def q_conv_quantiles(sf_dir: str):
                 "name": "percent_difference_magnitude_percentile",
                 "quantile": 0.05,
             },
+            {"name": "median_buffer_range_percentage", "quantile": 0.10},
             "roms",
         ),
     )
@@ -469,6 +470,7 @@ g AS (
 r AS (
     SELECT conv_id,
            sum(abs(tm.m - g.med)) AS sad,
+           count(*) FILTER (abs(tm.m - g.med) < 0.1*(g.mx - g.mn)/2) AS n_buf,
            any_value(g.n) AS n,
            any_value(g.mx) AS mx, any_value(g.mn) AS mn
     FROM tm JOIN g USING (conv_id) GROUP BY conv_id
@@ -482,6 +484,7 @@ SELECT g.conv_id,
            / nullif({_r5('0.95', 'g.lm', 'g.n')} - {_r5('0.05', 'g.lm', 'g.n')}, 0), 6) AS magnitude_percentage_ratio_40_5,
        round(({_r5('0.95', 'g.lm', 'g.n')} - {_r5('0.05', 'g.lm', 'g.n')}) / nullif(g.med, 0), 6)
            AS percent_difference_magnitude_percentile_5,
+       round(CAST(r.n_buf AS DOUBLE)/g.n, 6) AS median_buffer_range_percentage_10,
        CASE WHEN g.mx = g.mn OR g.n < 2 THEN NULL
             ELSE round(r.sad/(g.n - 1), 6) END AS roms
 FROM g JOIN r ON g.conv_id = r.conv_id
