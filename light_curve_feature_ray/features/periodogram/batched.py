@@ -149,35 +149,57 @@ def _power_class(
     f_h = np.fft.rfft(a_h, axis=1)  # (nrows, nw)
     f_2 = np.fft.rfft(a_2, axis=1)
 
-    sum_cos_h = f_h.real
-    sum_sin_h = -f_h.imag
-    sum_cos_2 = f_2.real
-    sum_sin_2 = -f_2.imag
-    both_zero = (sum_cos_2 == 0.0) & (sum_sin_2 == 0.0)
+    # fused tau/power recovery: minimize temporaries (this inner loop is
+    # memory-bandwidth bound; every avoided pass matters)
+    sum_cos_h = np.ascontiguousarray(f_h.real)
+    sum_sin_h = np.negative(f_h.imag)
+    sum_cos_2 = np.ascontiguousarray(f_2.real)
+    sum_sin_2 = np.negative(f_2.imag)
+    del f_h, f_2
+    hyp = np.hypot(sum_cos_2, sum_sin_2)
+    both_zero = hyp == 0.0
     with np.errstate(divide="ignore", invalid="ignore"):
-        cos_2wtau = np.where(
-            both_zero, 1.0, sum_cos_2 / np.hypot(sum_cos_2, sum_sin_2)
-        )
-    cos_wtau = np.sqrt(0.5 * (1.0 + cos_2wtau))
-    sin_wtau = np.copysign(1.0, sum_sin_2) * np.sqrt(0.5 * (1.0 - cos_2wtau))
-    sum_h_cos = sum_cos_h * cos_wtau + sum_sin_h * sin_wtau
-    sum_h_sin = sum_sin_h * cos_wtau - sum_cos_h * sin_wtau
+        cos_2wtau = np.divide(sum_cos_2, hyp, out=hyp)
+    np.copyto(cos_2wtau, 1.0, where=both_zero)
+    # cos_wtau = sqrt((1+c)/2) computed in place on a reused buffer
+    cos_wtau = cos_2wtau + 1.0
+    cos_wtau *= 0.5
+    np.sqrt(cos_wtau, out=cos_wtau)
+    sin_wtau = np.subtract(1.0, cos_2wtau, out=cos_2wtau)
+    sin_wtau *= 0.5
+    np.sqrt(sin_wtau, out=sin_wtau)
+    neg = sum_sin_2 < 0.0
+    np.negative(sin_wtau, out=sin_wtau, where=neg)
+    sum_h_cos = sum_cos_h * cos_wtau
+    sum_h_cos += sum_sin_h * sin_wtau
+    sum_h_sin = np.multiply(sum_sin_h, cos_wtau, out=sum_sin_h)
+    sum_h_sin -= np.multiply(sum_cos_h, sin_wtau, out=sum_cos_h)
     ncol = n_r[:, None]
-    sum_cos2_wt_tau = 0.5 * (ncol + sum_cos_2 * cos_wtau + sum_sin_2 * sin_wtau)
-    sum_sin2_wt_tau = ncol - sum_cos2_wt_tau
+    sum_cos2_wt_tau = np.multiply(sum_cos_2, cos_wtau, out=sum_cos_2)
+    sum_cos2_wt_tau += np.multiply(sum_sin_2, sin_wtau, out=sum_sin_2)
+    sum_cos2_wt_tau += ncol
+    sum_cos2_wt_tau *= 0.5
+    sum_sin2_wt_tau = np.subtract(ncol, sum_cos2_wt_tau, out=cos_wtau)
     with np.errstate(divide="ignore", invalid="ignore"):
-        frac_cos = np.where(
-            sum_cos2_wt_tau == 0.0, 0.0, sum_h_cos**2 / sum_cos2_wt_tau
+        frac_cos = np.divide(
+            np.multiply(sum_h_cos, sum_h_cos, out=sum_h_cos),
+            sum_cos2_wt_tau,
+            out=sum_h_cos,
         )
-        frac_sin = np.where(
-            sum_sin2_wt_tau == 0.0, 0.0, sum_h_sin**2 / sum_sin2_wt_tau
+        np.copyto(frac_cos, 0.0, where=sum_cos2_wt_tau == 0.0)
+        frac_sin = np.divide(
+            np.multiply(sum_h_sin, sum_h_sin, out=sum_h_sin),
+            sum_sin2_wt_tau,
+            out=sum_h_sin,
         )
+        np.copyto(frac_sin, 0.0, where=sum_sin2_wt_tau == 0.0)
     sum_frac = np.where(
         frac_cos == 0.0,
         2.0 * frac_sin,
         np.where(frac_sin == 0.0, 2.0 * frac_cos, frac_sin + frac_cos),
     )
-    power = 0.5 / std2[rows][:, None] * sum_frac
+    power = sum_frac
+    power *= (0.5 / std2[rows])[:, None]
 
     if normalization != "psd":
         factor = (2.0 / (n_r - 1.0))[:, None]
