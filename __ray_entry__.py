@@ -577,6 +577,11 @@ def q_conv_advanced(sf_dir: str):
     )
 
 
+def q_conv_bazin_fit(sf_dir: str):
+    # non-linear MCMC fit: no SQL analog -> rows-only check
+    return _conv_features(sf_dir, ({"name": "bazin_fit", "niterations": 32},))
+
+
 def q_rollup_full_tiers(sf_dir: str):
     """Flagship: all three tiers with the headline suite incl. periodogram +
     Gorilla-compressed points (rows-only: binary column + Lomb-Scargle)."""
@@ -775,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_transformed": q_conv_transformed,
         "conv_role_features": q_conv_role_features,
         "conv_advanced": q_conv_advanced,
+        "conv_bazin_fit": q_conv_bazin_fit,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
