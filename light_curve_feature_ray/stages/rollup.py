@@ -173,11 +173,17 @@ def detect_hot_convs(ds, threshold: int):
             }
         )
 
+    # one partial row per (block, conv): batch_size=None is essential —
+    # default 1024-row batches would emit millions of partial rows
     counts = ds.select_columns(["conv_id"]).map_batches(
-        partial_counts, batch_format="pyarrow"
+        partial_counts, batch_format="pyarrow", batch_size=None
     )
     total = counts.groupby("conv_id").sum("cnt")
-    hot = total.filter(lambda row: row["sum(cnt)"] >= threshold)
+    hot = total.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["sum(cnt)"], threshold)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
     return [r["conv_id"] for r in hot.take_all()]
 
 
