@@ -182,8 +182,16 @@ def main():
         # linear window is 2 -> 8; see BASELINE.md.
         n_lo = int(os.environ.get("SCALE_N", "2"))
         n_hi = 4 * n_lo
-        lo = run_subprocess(sf_dir, n_lo)
-        hi = run_subprocess(sf_dir, n_hi)
+        repeats = int(os.environ.get("SCALE_REPEATS", "2"))
+        # alternate legs and take per-leg minima: this sandbox VM drifts
+        # 2-4x BETWEEN processes (page-cache / plasma / reclaim state), so
+        # a single pair of runs measures machine state, not scaling
+        lo_runs, hi_runs = [], []
+        for _ in range(repeats):
+            lo_runs.append(run_subprocess(sf_dir, n_lo))
+            hi_runs.append(run_subprocess(sf_dir, n_hi))
+        lo = min(lo_runs, key=lambda r: r["value"])
+        hi = min(hi_runs, key=lambda r: r["value"])
         eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
         print(
             json.dumps(
