@@ -81,6 +81,7 @@ def rollup_dataset(
     *,
     worker_concurrency: int | tuple | None = None,
     hot_detect_ds=None,
+    hot_list=None,
 ):
     """Build the streaming rollup pipeline (lazy Dataset of tier rows).
 
@@ -92,7 +93,13 @@ def rollup_dataset(
     """
     config = config or RollupConfig()
     hot_ref = None
-    if config.hot_threshold is not None:
+    if hot_list is not None:
+        # precomputed hot-conversation set (a slowly-changing property of
+        # the data distribution; production jobs refresh it periodically
+        # rather than per run)
+        if hot_list:
+            hot_ref = ray.put(list(hot_list))
+    elif config.hot_threshold is not None:
         # hot_detect_ds lets callers pass a conv_id-only read so the
         # detection pre-pass doesn't re-decode the text column
         hot = detect_hot_convs(hot_detect_ds or ds, config.hot_threshold)
