@@ -598,6 +598,78 @@ def q_rollup_full_tiers(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# streaming-shaped window operators over the raw events log
+# ---------------------------------------------------------------------------
+
+
+def q_events_sliding_window(sf_dir: str):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import sliding_window_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return _finalize(
+        sliding_window_agg(ev, window_s=3600, slide_s=900),
+        skip=("user_id", "window_start", "n"),
+    )
+
+
+SQL_EVENTS_SLIDING_WINDOW = """
+WITH e AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events
+),
+x AS (
+    SELECT user_id, value,
+           unnest(generate_series((t - 3600)//900 + 1, t//900)) AS k
+    FROM e
+)
+SELECT user_id, k*900 AS window_start,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS mean_value
+FROM x GROUP BY user_id, k
+"""
+
+
+def q_events_sessions(sf_dir: str):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import session_windows
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return _finalize(
+        session_windows(ev, gap_s=1800),
+        skip=("user_id", "session_idx", "session_start", "session_end", "n"),
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH e AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value, event_id
+    FROM events
+),
+d AS (
+    SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+                   THEN 1 ELSE 0 END AS brk
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+s AS (
+    SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+    FROM d
+)
+SELECT user_id, session_idx,
+       min(t) AS session_start, max(t) AS session_end,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # documents / embeddings queries
 # ---------------------------------------------------------------------------
 
@@ -781,6 +853,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_role_features": q_conv_role_features,
         "conv_advanced": q_conv_advanced,
         "conv_bazin_fit": q_conv_bazin_fit,
+        "events_sliding_window": q_events_sliding_window,
+        "events_sessions": q_events_sessions,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
@@ -809,6 +883,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_bins": SQL_CONV_BINS,
         "conv_transformed": SQL_CONV_TRANSFORMED,
         "conv_role_features": SQL_CONV_ROLE_FEATURES,
+        "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
+        "events_sessions": SQL_EVENTS_SESSIONS,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
         "doc_text_stats": SQL_DOC_TEXT_STATS,
         "doc_lang_id": SQL_DOC_LANG_ID,

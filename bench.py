@@ -185,7 +185,7 @@ def main():
         # 32 vCPUs share ~8 physical cores' worth of memory bandwidth
         # (measured: 8->32 parallel numpy scales only 1.6x), so the honest
         # linear window is 2 -> 8; see BASELINE.md.
-        n_lo = int(os.environ.get("SCALE_N", "2"))
+        n_lo = int(os.environ.get("SCALE_N", "1"))
         n_hi = 4 * n_lo
         repeats = int(os.environ.get("SCALE_REPEATS", "2"))
         # alternate legs and take per-leg minima: this sandbox VM drifts

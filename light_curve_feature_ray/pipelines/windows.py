@@ -1,0 +1,129 @@
+"""Streaming-shaped window operators over an ordered, keyed event log.
+
+Ray Data has no event-time window engine; these express the standard
+window shapes the Ray-Data way (see the streaming section of the Ray
+guide): partition by key, sort within partition, vectorized window
+assignment inside ``map_groups``. Batch semantics per partitioned log —
+no watermarks/late data (the engine's tier cascade makes the same
+assumption, SURVEY.md §2.7).
+
+All three are SQL-expressible and oracle-checked by the driver:
+- tumbling: GROUP BY key, floor(ts/window)
+- sliding: each event belongs to ceil(window/slide) windows
+- session: gap-based sessionization (lag + running sum of gap breaks)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..stages.rollup import hash_strings
+import pyarrow as pa
+
+
+def _with_part(ds, key_col: str, num_partitions: int):
+    def f(batch: pa.Table) -> pa.Table:
+        key = batch[key_col]
+        if not pa.types.is_string(key.type):
+            import pyarrow.compute as pc
+
+            key = pc.cast(key, pa.string())
+        part = (hash_strings(key) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def sliding_window_agg(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 3600,
+    slide_s: int = 900,
+    num_partitions: int = 32,
+):
+    """Mean/count/sum of ``value`` per (key, sliding window). Window k
+    covers [k*slide, k*slide + window); an event at time t belongs to
+    windows k in (t - window, t] / slide. Returns
+    (key, window_start: epoch seconds, n, sum_value, mean_value)."""
+    nw = int(np.ceil(window_s / slide_s))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[ts_col].astype("int64").to_numpy() // 1_000_000  # epoch s
+        v = g[value_col].to_numpy()
+        keys = g[key_col].to_numpy()
+        # explode: event -> its nw candidate windows
+        k_last = t // slide_s  # last window index containing t
+        ks = k_last[:, None] - np.arange(nw)[None, :]
+        starts = ks * slide_s
+        valid = (t[:, None] >= starts) & (t[:, None] < starts + window_s)
+        rows = np.repeat(np.arange(t.shape[0]), nw)[valid.ravel()]
+        win = starts.ravel()[valid.ravel()]
+        df = pd.DataFrame(
+            {key_col: keys[rows], "window_start": win, "v": v[rows]}
+        )
+        out = (
+            df.groupby([key_col, "window_start"], sort=True)["v"]
+            .agg(n="count", sum_value="sum", mean_value="mean")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return _with_part(events_ds, key_col, num_partitions).groupby("part").map_groups(
+        per_partition, batch_format="pandas"
+    )
+
+
+def session_windows(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_s: int = 1800,
+    num_partitions: int = 32,
+):
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same key exceeds ``gap_s``. Returns
+    (key, session_idx, session_start ts, session_end ts, n, sum_value)."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        t = g[ts_col].astype("int64").to_numpy() // 1_000_000
+        keys = g[key_col].to_numpy()
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        gap_break = np.r_[True, (t[1:] - t[:-1]) > gap_s]
+        new_session = new_key | gap_break
+        session_global = np.cumsum(new_session) - 1
+        df = pd.DataFrame(
+            {
+                key_col: keys,
+                "_sg": session_global,
+                "t": t,
+                "v": g[value_col].to_numpy(),
+            }
+        )
+        out = (
+            df.groupby([key_col, "_sg"], sort=True)
+            .agg(
+                session_start=("t", "min"),
+                session_end=("t", "max"),
+                n=("v", "count"),
+                sum_value=("v", "sum"),
+            )
+            .reset_index()
+        )
+        # session_idx: 0-based per key in time order
+        out["session_idx"] = out.groupby(key_col).cumcount().astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out[
+            [key_col, "session_idx", "session_start", "session_end", "n", "sum_value"]
+        ]
+
+    return _with_part(events_ds, key_col, num_partitions).groupby("part").map_groups(
+        per_partition, batch_format="pandas"
+    )
