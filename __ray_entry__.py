@@ -658,8 +658,9 @@ d AS (
     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 ),
 s AS (
-    SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+    SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+              AS session_idx
     FROM d
 )
 SELECT user_id, session_idx,

@@ -35,7 +35,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    # sort by non-float key columns first: float values can differ by one
+    # ulp between engines, which must not reorder rows (floats still break
+    # residual ties, harmless because such rows are then near-identical)
+    keys = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c])]
+    keys += [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    return df.sort_values(keys, kind="mergesort").reset_index(drop=True)
 
 
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
