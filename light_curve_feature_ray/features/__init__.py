@@ -10,4 +10,4 @@ from .extractor import FeatureExtractor  # noqa: F401
 from .transformers import Transformed, TRANSFORMERS  # noqa: F401
 from .bins import Bins  # noqa: F401
 from .periodogram_feature import Periodogram  # noqa: F401
-from .nl_fit import BazinFit, LinexpFit  # noqa: F401
+from .nl_fit import BazinFit, LinexpFit, VillarFit  # noqa: F401

@@ -158,7 +158,16 @@ class _FitFeatureBase(Feature):
             ln_prob, init, lower, upper, 4 * self.NPARAMS, self.niterations, rng
         )
         if self.polish:
-            best, _ = _nelder_mead(chi2, best, lower, upper)
+            # multi-start polish: the sampler's best + the data-driven init
+            # (the chi2 surface of these models has deceptive local basins)
+            candidates = [best, init]
+            best_c, best_v = None, np.inf
+            for c in candidates:
+                x, v = _nelder_mead(chi2, np.asarray(c, dtype=np.float64), lower, upper)
+                x, v = _nelder_mead(chi2, x, lower, upper, scale=1e-3)
+                if v < best_v:
+                    best_c, best_v = x, v
+            best = best_c
         rchi2 = chi2(best) / (s.n - self.NPARAMS)
         return np.r_[best, rchi2]
 
@@ -207,6 +216,78 @@ class BazinFit(_FitFeatureBase):
                 m_max + 100.0 * m_amp,
                 t_max + 10.0 * t_amp,
                 10.0 * t_amp,
+                10.0 * t_amp,
+            ]
+        )
+        return init, lower, upper
+
+
+@register
+class VillarFit(_FitFeatureBase):
+    """Villar et al. 2019 supernova model (nu-parametrized) —
+    /root/reference/src/features/villar_fit.rs:12-36, :440-467:
+
+        f(t) = c + A * logistic(dt/tau_rise)
+                     * (1 - nu*min(dt/gamma, 1))
+                     * (1 if t <= t0+gamma else exp(-(t-t0-gamma)/tau_fall))
+
+    Params: [A, c, t0, tau_rise, tau_fall, nu, gamma], nu in [0, 1)."""
+
+    kind = "villar_fit"
+    NPARAMS = 7
+    size = 8
+    min_ts_length = 8
+
+    @property
+    def names(self):
+        return [
+            "villar_fit_amplitude",
+            "villar_fit_baseline",
+            "villar_fit_reference_time",
+            "villar_fit_rise_time",
+            "villar_fit_fall_time",
+            "villar_fit_plateau_rel_amplitude",
+            "villar_fit_plateau_duration",
+            "villar_fit_reduced_chi2",
+        ]
+
+    def model(self, t, p):
+        a, c, t0, rise, fall, nu, gamma = p
+        dt = t - t0
+        with np.errstate(over="ignore"):
+            rise_f = 1.0 / (1.0 + np.exp(-dt / rise))
+            plateau = 1.0 - nu * np.minimum(dt / gamma, 1.0)
+            fall_f = np.where(dt <= gamma, 1.0, np.exp(-(dt - gamma) / fall))
+        return c + a * rise_f * plateau * fall_f
+
+    def init_and_bounds(self, s: Series):
+        t_min, t_max = s.minimum("t"), s.maximum("t")
+        t_amp = t_max - t_min
+        m_min, m_max = s.minimum(), s.maximum()
+        m_amp = m_max - m_min
+        t_peak = s.t_max_m()
+        init = np.array(
+            [m_amp, m_min, t_peak, 0.3 * t_amp, 0.3 * t_amp, 0.3, 0.1 * t_amp]
+        )
+        lower = np.array(
+            [
+                0.0,
+                m_min - 100.0 * m_amp,
+                t_min - 10.0 * t_amp,
+                1e-4 * t_amp,
+                1e-4 * t_amp,
+                0.0,
+                1e-4 * t_amp,
+            ]
+        )
+        upper = np.array(
+            [
+                100.0 * m_amp,
+                m_max + 100.0 * m_amp,
+                t_max + 10.0 * t_amp,
+                10.0 * t_amp,
+                10.0 * t_amp,
+                0.99,
                 10.0 * t_amp,
             ]
         )

@@ -104,8 +104,58 @@ class ClippedLg(Transformer):
         return {"name": self.kind, "min_value": self.min_value}
 
 
+class Composed(Transformer):
+    """Transformers stacked over consecutive chunks of the input vector —
+    /root/reference/src/transformers/composed.rs:22-66: a list of
+    (transformer, input_size) pairs consuming the feature vector in order."""
+
+    kind = "composed"
+
+    def __init__(self, transformers):
+        self.parts: list[tuple[Transformer, int]] = []
+        for item in transformers:
+            if isinstance(item, (list, tuple)):
+                spec, size = item
+            else:
+                spec, size = item, 1
+            tr = (
+                spec
+                if isinstance(spec, Transformer)
+                else transformer_from_config(spec)
+            )
+            self.parts.append((tr, int(size)))
+
+    @property
+    def input_size(self) -> int:
+        return sum(size for _, size in self.parts)
+
+    def size_of(self, input_size: int) -> int:
+        assert input_size == self.input_size, "composed size mismatch"
+        return sum(tr.size_of(size) for tr, size in self.parts)
+
+    def transform(self, v):
+        out, pos = [], 0
+        for tr, size in self.parts:
+            out.append(np.asarray(tr.transform(v[pos : pos + size])))
+            pos += size
+        return np.concatenate(out) if out else np.empty(0)
+
+    def names(self, names):
+        out, pos = [], 0
+        for tr, size in self.parts:
+            out.extend(tr.names(list(names[pos : pos + size])))
+            pos += size
+        return out
+
+    def to_dict(self):
+        return {
+            "name": self.kind,
+            "transformers": [[tr.to_dict(), size] for tr, size in self.parts],
+        }
+
+
 TRANSFORMERS: dict[str, type] = {
-    c.kind: c for c in (Identity, Arcsinh, Ln1p, Lg, Sqrt, ClippedLg)
+    c.kind: c for c in (Identity, Arcsinh, Ln1p, Lg, Sqrt, ClippedLg, Composed)
 }
 
 

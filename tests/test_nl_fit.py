@@ -39,6 +39,31 @@ def test_linexp_recovery():
     assert 0.5 < rchi2 < 2.0
 
 
+def test_villar_recovery():
+    from light_curve_feature_ray.features.nl_fit import VillarFit
+
+    rng = np.random.default_rng(4)
+    t = np.sort(rng.uniform(0, 200, 150))
+    a, c, t0, rise, fall, nu, gamma = 40.0, 5.0, 50.0, 4.0, 25.0, 0.4, 30.0
+    dt = t - t0
+    m = (
+        c
+        + a
+        * (1 / (1 + np.exp(-dt / rise)))
+        * (1 - nu * np.minimum(dt / gamma, 1))
+        * np.where(dt <= gamma, 1, np.exp(-(dt - gamma) / fall))
+        + rng.normal(0, 0.4, 150)
+    )
+    s = Series(t, m, np.full_like(t, 1 / 0.16))
+    f = VillarFit(niterations=256)
+    out = f.eval(s)
+    assert f.names[5] == "villar_fit_plateau_rel_amplitude"
+    np.testing.assert_allclose(
+        out[:7], [a, c, t0, rise, fall, nu, gamma], rtol=0.15, atol=1.0
+    )
+    assert 0.5 < out[7] < 2.0
+
+
 def test_deterministic_and_roundtrip():
     import json
 
