@@ -577,6 +577,43 @@ def q_conv_advanced(sf_dir: str):
     )
 
 
+def q_conv_colors(sf_dir: str):
+    """Cross-band color features (multicolor analog): bands = event types."""
+    from light_curve_feature_ray.pipelines.multicolor import conv_color_features
+
+    ds = conv_color_features(_turns(sf_dir), "click", "view")
+    return _finalize(ds, skip=("conv_id",))
+
+
+SQL_CONV_COLORS = f"""
+WITH turns AS ({TRANSCRIPTS_SQL}),
+tm AS (SELECT conv_id, role, CAST(length(text) AS DOUBLE) AS m FROM turns),
+b AS (
+    SELECT conv_id, role, median(m) AS med, max(m) AS mx, min(m) AS mn,
+           avg(m) AS mu
+    FROM tm GROUP BY conv_id, role
+),
+p AS (
+    SELECT conv_id,
+           max(CASE WHEN role = 'click' THEN med END) AS med_a,
+           max(CASE WHEN role = 'view' THEN med END) AS med_b,
+           max(CASE WHEN role = 'click' THEN mx END) AS mx_a,
+           max(CASE WHEN role = 'view' THEN mx END) AS mx_b,
+           max(CASE WHEN role = 'click' THEN mn END) AS mn_a,
+           max(CASE WHEN role = 'view' THEN mn END) AS mn_b,
+           max(CASE WHEN role = 'click' THEN mu END) AS mu_a,
+           max(CASE WHEN role = 'view' THEN mu END) AS mu_b
+    FROM b GROUP BY conv_id
+)
+SELECT conv_id,
+       round(med_a - med_b, 6) AS color_median_click_view,
+       round(mx_a - mx_b, 6) AS color_max_click_view,
+       round(mn_a - mn_b, 6) AS color_min_click_view,
+       round(abs(mu_a - mu_b)/2, 6) AS color_spread
+FROM p
+"""
+
+
 def q_conv_bazin_fit(sf_dir: str):
     # non-linear MCMC fit: no SQL analog -> rows-only check
     return _conv_features(sf_dir, ({"name": "bazin_fit", "niterations": 32},))
@@ -854,6 +891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_role_features": q_conv_role_features,
         "conv_advanced": q_conv_advanced,
         "conv_bazin_fit": q_conv_bazin_fit,
+        "conv_colors": q_conv_colors,
         "events_sliding_window": q_events_sliding_window,
         "events_sessions": q_events_sessions,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -884,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_bins": SQL_CONV_BINS,
         "conv_transformed": SQL_CONV_TRANSFORMED,
         "conv_role_features": SQL_CONV_ROLE_FEATURES,
+        "conv_colors": SQL_CONV_COLORS,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
