@@ -112,7 +112,7 @@ def _rollup(sf_dir: str, **cfg_kwargs):
                 "conv_id": batch["conv_id"],
                 "turn_idx": batch["turn_idx"],
                 "ts_us": batch["ts"].cast(pa.int64()),
-                "m": pc.cast(pc.utf8_length(batch["text"]), pa.float64()),
+                "m": pc.cast(pc.fill_null(pc.utf8_length(batch["text"]), 0), pa.float64()),
                 "part": batch["part"],
             }
         )

@@ -50,8 +50,12 @@ def per_conv_features(
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         m = (
-            pc.cast(pc.utf8_length(batch["text"].combine_chunks()), pa.float64())
-            .to_numpy(zero_copy_only=False)
+            pc.cast(
+                pc.fill_null(
+                    pc.utf8_length(batch["text"].combine_chunks()), 0
+                ),
+                pa.float64(),
+            ).to_numpy(zero_copy_only=False)
         )
         if band_col:
             band_dict = batch[band_col].combine_chunks().dictionary_encode()

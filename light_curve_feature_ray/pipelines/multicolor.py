@@ -34,8 +34,12 @@ def conv_color_features(turns_ds, band_a: str, band_b: str, band_set=None):
         band_dict = batch["role"].combine_chunks().dictionary_encode()
         bands = band_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         m = (
-            pc.cast(pc.utf8_length(batch["text"].combine_chunks()), pa.float64())
-            .to_numpy(zero_copy_only=False)
+            pc.cast(
+                pc.fill_null(
+                    pc.utf8_length(batch["text"].combine_chunks()), 0
+                ),
+                pa.float64(),
+            ).to_numpy(zero_copy_only=False)
         )
         order = np.lexsort((m, bands, codes))
         c, b, mm = codes[order], bands[order], m[order]

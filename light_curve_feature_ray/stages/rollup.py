@@ -131,7 +131,10 @@ class DeriveAssign:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
         ts_us = batch["ts"].cast(pa.int64())
-        m = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
+        # null text counts as zero-length (deterministic total rule)
+        m = pc.cast(
+            pc.fill_null(pc.utf8_length(batch["text"]), 0), pa.float64()
+        )
         h = hash_strings(batch["conv_id"])
         part = (h % np.uint64(cfg.num_partitions)).astype(np.int32)
         if self.hot:
