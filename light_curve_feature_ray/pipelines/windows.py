@@ -22,6 +22,13 @@ from ..stages.rollup import hash_strings
 import pyarrow as pa
 
 
+def _epoch_seconds(col: pd.Series) -> np.ndarray:
+    """Floor epoch seconds regardless of the stored timestamp precision."""
+    return (
+        col.astype("datetime64[us]").astype("int64").to_numpy() // 1_000_000
+    )
+
+
 def _with_part(ds, key_col: str, num_partitions: int):
     def f(batch: pa.Table) -> pa.Table:
         key = batch[key_col]
@@ -52,7 +59,7 @@ def sliding_window_agg(
     nw = int(np.ceil(window_s / slide_s))
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        t = g[ts_col].astype("int64").to_numpy() // 1_000_000  # epoch s
+        t = _epoch_seconds(g[ts_col])
         v = g[value_col].to_numpy()
         keys = g[key_col].to_numpy()
         # explode: event -> its nw candidate windows
@@ -93,7 +100,7 @@ def session_windows(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, ts_col], kind="mergesort")
-        t = g[ts_col].astype("int64").to_numpy() // 1_000_000
+        t = _epoch_seconds(g[ts_col])
         keys = g[key_col].to_numpy()
         new_key = np.r_[True, keys[1:] != keys[:-1]]
         gap_break = np.r_[True, (t[1:] - t[:-1]) > gap_s]
