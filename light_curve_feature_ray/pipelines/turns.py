@@ -37,9 +37,18 @@ def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
 
 def clean_turns(ds, num_partitions: int = 64):
     """Dedup (conv_id, turn_idx) first-wins; turns ordered by turn_idx
-    within each conversation. All six input columns pass through untouched."""
+    within each conversation. All six input columns pass through untouched.
+
+    A block-local pre-dedup runs before the shuffle (a combiner): re-ingest
+    duplicates — the common case — are dropped before their bytes move
+    through the exchange; the per-partition pass settles cross-block
+    duplicates."""
+
+    def local_then_part(b: pa.Table) -> pa.Table:
+        return add_partition_column(_dedup_sort_partition(b), num_partitions)
+
     withpart = ds.map_batches(
-        lambda b: add_partition_column(b, num_partitions),
+        local_then_part,
         batch_format="pyarrow",
         batch_size=None,
         zero_copy_batch=True,
