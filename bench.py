@@ -119,7 +119,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         headline = min(headline, time.perf_counter() - t0)
     timings["rollup_full"] = round(headline, 3)
 
-    # ---- secondary queries (same input scale) ----
+    # ---- secondary queries (same input scale); skipped in scaling legs
+    # (the scaling metric is the headline pipeline only) ----
+    skip_secondary = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
+    if skip_secondary:
+        result = {
+            "metric": "rollup_throughput",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "turns": turns,
+            "tier_rows": rows,
+            "turns_per_sec": round(turns / headline, 1),
+        }
+        ray.shutdown()
+        return result
+
     t0 = time.perf_counter()
     cfg2 = RollupConfig(
         features=("observation_count", "mean", "standard_deviation", "amplitude"),
@@ -166,7 +183,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_subprocess(sf_dir: str, ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
