@@ -36,7 +36,7 @@ _TM = f"""
 turns AS ({TRANSCRIPTS_SQL}),
 tm AS (
     SELECT conv_id, turn_idx, epoch(ts) AS t,
-           CAST(length(text) AS DOUBLE) AS m,
+           CAST(coalesce(length(text), 0) AS DOUBLE) AS m,
            CAST(floor(epoch(ts)/60) AS BIGINT) AS j
     FROM turns
 )
@@ -296,10 +296,12 @@ FROM filled GROUP BY conv_id, h//24
 # ---------------------------------------------------------------------------
 
 
-def _conv_features(sf_dir: str, features):
+def _conv_features(sf_dir: str, features, **kwargs):
     from light_curve_feature_ray.pipelines.conv_features import per_conv_features
 
-    return _finalize(per_conv_features(_turns(sf_dir), features), skip=("conv_id",))
+    return _finalize(
+        per_conv_features(_turns(sf_dir), features, **kwargs), skip=("conv_id",)
+    )
 
 
 def q_conv_moments(sf_dir: str):
@@ -353,16 +355,25 @@ def q_conv_time(sf_dir: str):
             "minimum_time_interval",
             "maximum_slope",
         ),
+        # epoch-scale t makes round-6 collide with float64 ulp (~2e-7 at
+        # 1.7e9); evaluate on t - min(t) per conv (exact subtraction) and
+        # mirror the shift in the oracle below.
+        shift_t=True,
     )
 
 
 SQL_CONV_TIME = f"""
 WITH {_TM},
+s AS (
+    SELECT conv_id, turn_idx, m,
+           t - min(t) OVER (PARTITION BY conv_id) AS t
+    FROM tm
+),
 d AS (
     SELECT conv_id, t, m,
            t - lag(t) OVER w AS dt,
            m - lag(m) OVER w AS dm
-    FROM tm WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    FROM s WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 )
 SELECT conv_id,
        CAST(count(*) AS DOUBLE) AS observation_count,
@@ -551,7 +562,7 @@ def q_conv_role_features(sf_dir: str):
 SQL_CONV_ROLE_FEATURES = f"""
 WITH turns AS ({TRANSCRIPTS_SQL}),
 tm AS (
-    SELECT conv_id, role, CAST(length(text) AS DOUBLE) AS m FROM turns
+    SELECT conv_id, role, CAST(coalesce(length(text), 0) AS DOUBLE) AS m FROM turns
 )
 SELECT conv_id, role,
        CAST(count(*) AS DOUBLE) AS observation_count,
@@ -587,7 +598,7 @@ def q_conv_colors(sf_dir: str):
 
 SQL_CONV_COLORS = f"""
 WITH turns AS ({TRANSCRIPTS_SQL}),
-tm AS (SELECT conv_id, role, CAST(length(text) AS DOUBLE) AS m FROM turns),
+tm AS (SELECT conv_id, role, CAST(coalesce(length(text), 0) AS DOUBLE) AS m FROM turns),
 b AS (
     SELECT conv_id, role, median(m) AS med, max(m) AS mx, min(m) AS mn,
            avg(m) AS mu

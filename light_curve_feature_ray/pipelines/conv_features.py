@@ -19,7 +19,12 @@ from ..features.grouped import GroupedSuite
 
 
 def per_conv_features(
-    turns_ds, features, *, nan_to_null: bool = True, band_col: str | None = None
+    turns_ds,
+    features,
+    *,
+    nan_to_null: bool = True,
+    band_col: str | None = None,
+    shift_t: bool = False,
 ):
     """turns_ds: Dataset with (conv_id, turn_idx, text, ts, part) at least.
     Returns a Dataset with one row per conv: conv_id + one column per
@@ -29,7 +34,16 @@ def per_conv_features(
     With ``band_col`` (e.g. "role"), evaluates per (conv, band) sub-stream —
     the multicolor/per-band analog (reference ``PerBandFeature``,
     /root/reference/src/multicolor/per_band_feature.rs:17-26: passband ->
-    our role/tool column)."""
+    our role/tool column).
+
+    With ``shift_t``, each group's times are re-expressed relative to the
+    group's min(t) before evaluation. Epoch-second t (~1.7e9) has a float64
+    ulp of ~2e-7 — the same order as a 6-decimal rounding contract — so
+    time-domain features on absolute epochs are numerically ill-conditioned
+    against any independent implementation. t - min(t) is an EXACT float64
+    subtraction here (Sterbenz: all t within 2x of t_min), so both this
+    engine and a SQL oracle computing t - min(t) see bit-identical shifted
+    times."""
     extractor = FeatureExtractor.from_config(list(features))
     suite = GroupedSuite(extractor)
     names = extractor.names()
@@ -78,6 +92,9 @@ def per_conv_features(
             change = np.r_[True, codes[1:] != codes[:-1]]
         t = ts_us.astype(np.float64) / 1e6
         starts = np.flatnonzero(change).astype(np.int64)
+        if shift_t:
+            tmin = np.minimum.reduceat(t, starts)
+            t = t - np.repeat(tmin, np.diff(np.r_[starts, t.size]))
         feats = suite.eval(t, m, np.ones_like(m), starts)
         cols: dict = {
             "conv_id": pa.DictionaryArray.from_arrays(
