@@ -62,13 +62,21 @@ def _derive_fn(config: RollupConfig, hot_ref):
     return fn
 
 
-def _worker_fn(config: RollupConfig):
+def _worker_fn(config: RollupConfig, hot_ref=None):
     cfg_key = json.dumps(config.to_dict(), sort_keys=True)
+    if hot_ref is not None:
+        cfg_key += ":" + hot_ref.hex()
 
     def fn(batch: pa.Table) -> pa.Table:
         worker = _WORKER_CACHE.get(cfg_key)
         if worker is None:
-            worker = RollupWorker(config)
+            hot = None
+            if hot_ref is not None:
+                key = hot_ref.hex()
+                if key not in _HOT_CACHE:
+                    _HOT_CACHE[key] = ray.get(hot_ref)
+                hot = _HOT_CACHE[key]
+            worker = RollupWorker(config, hot_list=hot)
             _WORKER_CACHE[cfg_key] = worker
         return worker(batch)
 
@@ -113,13 +121,15 @@ def rollup_dataset(
     )
     grouped = derived.groupby("part")
     if worker_concurrency is not None:
+        hot_items = ray.get(hot_ref) if hot_ref is not None else None
         return grouped.map_groups(
             RollupWorker,
             fn_constructor_args=(config,),
+            fn_constructor_kwargs={"hot_list": hot_items},
             batch_format="pyarrow",
             concurrency=worker_concurrency,
         )
-    return grouped.map_groups(_worker_fn(config), batch_format="pyarrow")
+    return grouped.map_groups(_worker_fn(config, hot_ref), batch_format="pyarrow")
 
 
 def rollup_table(table: pa.Table, config: RollupConfig | None = None) -> pa.Table:

@@ -86,6 +86,11 @@ class RollupConfig:
         return FeatureExtractor.from_config(list(self.features))
 
     def to_dict(self) -> dict[str, Any]:
+        # fill_value must be part of the identity: worker caches and
+        # checkpoint lineage key on this dict (NaN isn't portable JSON,
+        # so serialize it as a string token)
+        fv = self.fill_value
+        fv_ser = "nan" if isinstance(fv, float) and np.isnan(fv) else fv
         return {
             "features": list(self.features),
             "tiers": list(self.tiers),
@@ -96,6 +101,7 @@ class RollupConfig:
             "hot_threshold": self.hot_threshold,
             "salt_window_days": self.salt_window_days,
             "store_points": self.store_points,
+            "fill_value": fv_ser,
         }
 
 
@@ -230,16 +236,25 @@ def _gap_fill(
     w: np.ndarray,
     mode: str,
     max_gap: int | None,
+    seg: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Fill missing integer slots between consecutive bins of each conv.
 
     mode 'prev': copy previous bin's (m, w); 'linear': linear interpolation
     of both towards the next bin. Gaps longer than ``max_gap`` slots are
     left unfilled. Input sorted by (codes, slot); output likewise.
+
+    ``seg`` (same length as codes) is an extra segmentation key: fills never
+    cross a seg boundary. Used to truncate gap-fill at salt-window edges for
+    hot conversations, so a hot conv's output is identical whether or not
+    two of its salt windows happen to hash into the same partition (output
+    must be independent of num_partitions).
     """
     if mode == "none" or codes.shape[0] == 0:
         return codes, slot, m, w
     same = codes[1:] == codes[:-1]
+    if seg is not None:
+        same = same & (seg[1:] == seg[:-1])
     gap = np.where(same, slot[1:] - slot[:-1] - 1, 0)
     if max_gap is not None:
         gap = np.where(gap > max_gap, 0, gap)
@@ -276,12 +291,30 @@ def _encode_points(
 
 
 class RollupWorker:
-    """Actor-pool callable: processes one partition table into tier rows."""
+    """Actor-pool callable: processes one partition table into tier rows.
 
-    def __init__(self, config: RollupConfig):
+    ``hot_list`` must be the same hot-conversation set given to
+    :class:`DeriveAssign`: gap-fill for those convs is truncated at
+    salt-window boundaries (see ``_gap_fill``) so results do not depend on
+    which salt windows co-hash into this partition.
+    """
+
+    def __init__(self, config: RollupConfig, hot_list: Iterable[str] | None = None):
         self.config = config
         self.suite = GroupedSuite(config.extractor(), config.fill_value)
         self.feature_names = self.suite.names
+        self.hot = frozenset(hot_list) if hot_list else frozenset()
+
+    def _hot_codes(self, dictionary: pa.Array) -> np.ndarray | None:
+        """Boolean mask over dictionary codes: which convs are hot."""
+        if not self.hot:
+            return None
+        mask = np.fromiter(
+            (v in self.hot for v in dictionary.to_pylist()),
+            dtype=bool,
+            count=len(dictionary),
+        )
+        return mask if mask.any() else None
 
     def _tier_table(
         self,
@@ -322,11 +355,20 @@ class RollupWorker:
 
         order = np.lexsort((turn, codes))
         codes, turn, ts_us, m = codes[order], turn[order], ts_us[order], m[order]
-        # first-wins dedup on (conv, turn_idx); lexsort is stable so the
-        # first occurrence in input order survives
         keep = np.ones(codes.shape[0], dtype=bool)
         keep[1:] = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
         if not keep.all():
+            # duplicates present: arrival order is not deterministic across
+            # Ray retries/runs, so break ties on (min ts_us, then min m) —
+            # resume/retry must produce identical bytes (state/checkpoint.py)
+            order = np.lexsort((m, ts_us, turn, codes))
+            codes, turn, ts_us, m = (
+                codes[order],
+                turn[order],
+                ts_us[order],
+                m[order],
+            )
+            keep[1:] = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
             codes, turn, ts_us, m = codes[keep], turn[keep], ts_us[keep], m[keep]
         w = np.ones_like(m)
 
@@ -362,8 +404,13 @@ class RollupWorker:
         # ---- 1m bin series -> gap-fill -> 1h ----------------------------
         codes_b, slot_b, m_b, w_b = _bin_series(codes, slot, m, w, starts)
         mode_1m = cfg.gap_fill if "1m" in cfg.fill_levels else "none"
+        hot_codes = self._hot_codes(dictionary)
+        seg_b = None
+        if hot_codes is not None:
+            sw = slot_b // (1440 * cfg.salt_window_days)
+            seg_b = np.where(hot_codes[codes_b], sw, 0)
         codes_f, slot_f, m_f, w_f = _gap_fill(
-            codes_b, slot_b, m_b, w_b, mode_1m, cfg.max_fill_gap
+            codes_b, slot_b, m_b, w_b, mode_1m, cfg.max_fill_gap, seg_b
         )
         if "1h" in cfg.tiers or "1d" in cfg.tiers:
             hour = slot_f // 60
@@ -402,8 +449,12 @@ class RollupWorker:
                     else max(cfg.max_fill_gap // 60, 1)
                 )
                 mode_1h = cfg.gap_fill if "1h" in cfg.fill_levels else "none"
+                seg_hb = None
+                if hot_codes is not None:
+                    sw_h = hour_hb // (24 * cfg.salt_window_days)
+                    seg_hb = np.where(hot_codes[codes_hb], sw_h, 0)
                 codes_g, hour_g, m_g, w_g = _gap_fill(
-                    codes_hb, hour_hb, m_hb, w_hb, mode_1h, max_gap_h
+                    codes_hb, hour_hb, m_hb, w_hb, mode_1h, max_gap_h, seg_hb
                 )
                 day = hour_g // 24
                 t_g = (hour_g * 3600 + 1800).astype(np.float64)

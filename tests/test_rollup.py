@@ -175,30 +175,37 @@ def test_cascade_matches_naive(gap_fill):
     compare_frames(out, want, names)
 
 
-def test_dedup_first_wins():
+def test_dedup_deterministic_min_key():
+    """Duplicate (conv_id, turn_idx) rows resolve by (min ts, then min m),
+    NOT by arrival order — Ray does not guarantee block arrival order across
+    retries, and checkpoint resume promises identical bytes."""
     tbl = synth_transcripts_table(n_convs=5, mean_turns=30, hot_convs=0, seed=9)
-    # duplicate some rows with altered text — the FIRST occurrence must win
+    # duplicates with a longer text (larger m, same ts) must LOSE the tie
     dup = tbl.slice(3, 10)
     dup = dup.set_column(
         dup.schema.get_field_index("text"),
         "text",
-        pa.array(["ALTERED" for _ in range(dup.num_rows)]),
+        pa.array(["Z" * 600 for _ in range(dup.num_rows)]),
     )
-    tbl_dup = pa.concat_tables([tbl, dup])
     cfg = RollupConfig(
         features=("observation_count", "mean"),
         store_points=False,
         hot_threshold=None,
     )
-    a = rollup_table(tbl, cfg).to_pandas().sort_values(
-        ["conv_id", "tier", "bucket_ts"]
-    )
-    b = rollup_table(tbl_dup, cfg).to_pandas().sort_values(
-        ["conv_id", "tier", "bucket_ts"]
-    )
-    pd.testing.assert_frame_equal(
-        a.reset_index(drop=True), b.reset_index(drop=True)
-    )
+
+    def run(t):
+        return (
+            rollup_table(t, cfg)
+            .to_pandas()
+            .sort_values(["conv_id", "tier", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+
+    a = run(tbl)
+    b = run(pa.concat_tables([tbl, dup]))  # dup arrives after
+    c = run(pa.concat_tables([dup, tbl]))  # dup arrives first
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
 
 
 def test_points_roundtrip_1m():
