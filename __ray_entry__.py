@@ -625,6 +625,84 @@ FROM p
 """
 
 
+_MCB_PREFIX = "bins_window3600.0_offset0.0"
+
+
+def q_conv_multicolor_bins(sf_dir: str):
+    """MultiColorBins: 1h-binned per-band series -> cross-band features
+    (reference multicolor_bins.rs semantics; bands = event types)."""
+    from light_curve_feature_ray.features.multicolor import (
+        ColorOfMaximum,
+        ColorOfMedian,
+        ColorSpread,
+        MultiColorBins,
+    )
+    from light_curve_feature_ray.pipelines.multicolor import (
+        conv_multicolor_features,
+    )
+
+    mcb = MultiColorBins(
+        [
+            ColorOfMedian(["click", "view"]),
+            ColorOfMaximum(["click", "view"]),
+            ColorSpread(["click", "view"]),
+        ],
+        window=3600.0,
+        offset=0.0,
+    )
+    ds = conv_multicolor_features(_turns(sf_dir), [mcb])
+    return _finalize(ds, skip=("conv_id",))
+
+
+SQL_CONV_MULTICOLOR_BINS = f"""
+WITH turns AS ({TRANSCRIPTS_SQL}),
+tm AS (
+    SELECT conv_id, role, epoch(ts) AS t,
+           CAST(coalesce(length(text), 0) AS DOUBLE) AS m
+    FROM turns
+),
+b AS (
+    SELECT conv_id, role, CAST(floor(t/3600) AS BIGINT) AS j, avg(m) AS bm
+    FROM tm GROUP BY conv_id, role, j
+),
+agg AS (
+    SELECT conv_id, role, median(bm) AS med, max(bm) AS mx, avg(bm) AS mu
+    FROM b GROUP BY conv_id, role
+),
+p AS (
+    SELECT conv_id,
+           max(CASE WHEN role = 'click' THEN med END) AS med_c,
+           max(CASE WHEN role = 'view' THEN med END) AS med_v,
+           max(CASE WHEN role = 'click' THEN mx END) AS mx_c,
+           max(CASE WHEN role = 'view' THEN mx END) AS mx_v,
+           max(CASE WHEN role = 'click' THEN mu END) AS mu_c,
+           max(CASE WHEN role = 'view' THEN mu END) AS mu_v
+    FROM agg GROUP BY conv_id
+)
+SELECT conv_id,
+       round(med_c - med_v, 6) AS "{_MCB_PREFIX}_color_median_click_view",
+       round(mx_c - mx_v, 6) AS "{_MCB_PREFIX}_color_max_click_view",
+       round(CASE WHEN mu_c IS NOT NULL AND mu_v IS NOT NULL
+             THEN abs(mu_c - mu_v)/2 END, 6) AS "{_MCB_PREFIX}_color_spread"
+FROM p
+"""
+
+
+def q_conv_multicolor_periodogram(sf_dir: str):
+    """Combined two-band Lomb-Scargle periodogram (count-weighted band sum
+    on the union-time frequency grid) — not SQL-expressible, rows-only."""
+    from light_curve_feature_ray.features.multicolor import (
+        MultiColorPeriodogram,
+    )
+    from light_curve_feature_ray.pipelines.multicolor import (
+        conv_multicolor_features,
+    )
+
+    mcp = MultiColorPeriodogram(["click", "view"], peaks=1)
+    ds = conv_multicolor_features(_turns(sf_dir), [mcp])
+    return _finalize(ds, skip=("conv_id",))
+
+
 def q_conv_bazin_fit(sf_dir: str):
     # non-linear MCMC fit: no SQL analog -> rows-only check
     return _conv_features(sf_dir, ({"name": "bazin_fit", "niterations": 32},))
@@ -903,6 +981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_advanced": q_conv_advanced,
         "conv_bazin_fit": q_conv_bazin_fit,
         "conv_colors": q_conv_colors,
+        "conv_multicolor_bins": q_conv_multicolor_bins,
+        "conv_multicolor_periodogram": q_conv_multicolor_periodogram,
         "events_sliding_window": q_events_sliding_window,
         "events_sessions": q_events_sessions,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -933,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_bins": SQL_CONV_BINS,
         "conv_transformed": SQL_CONV_TRANSFORMED,
         "conv_role_features": SQL_CONV_ROLE_FEATURES,
+        "conv_multicolor_bins": SQL_CONV_MULTICOLOR_BINS,
         "conv_colors": SQL_CONV_COLORS,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "events_sessions": SQL_EVENTS_SESSIONS,

@@ -101,8 +101,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings: dict[str, float] = {}
 
     # ---- headline: full three-tier rollup, headline features + gorilla ----
+    # P=96 at every leg: measured faster at BOTH 2 and 8 cpus than
+    # max(4*cpus, 32) (smaller reduce tasks balance better and fit cache),
+    # and a fixed P keeps the scaling legs' work byte-identical
     cfg = RollupConfig(
-        num_partitions=max(4 * num_cpus, 32),
+        num_partitions=96,
         hot_threshold=20_000,
         gap_fill="linear",
         store_points=True,

@@ -271,17 +271,29 @@ def _xor_tokens(xor: np.ndarray):
     return payload, nbits, payload2, nbits2
 
 
-def encode_segments(ts: np.ndarray, values: np.ndarray, starts: np.ndarray):
-    """Encode many contiguous segments at once; byte-identical to calling
-    :func:`encode` per segment, but all token math is one vectorized pass
-    (the rollup hot path calls this once per partition)."""
+def _encode_segments_raw(ts: np.ndarray, values: np.ndarray, starts: np.ndarray):
+    """Vectorized multi-segment encode core.
+
+    Returns ``(data, seg_byte_start, seg_nbytes)`` where segment i's bytes
+    are ``data[seg_byte_start[i] : seg_byte_start[i] + seg_nbytes[i]]`` and
+    segments are contiguous (``data`` holds exactly ``sum(seg_nbytes)``
+    bytes). Byte-identical to calling :func:`encode` per segment.
+
+    Token destinations are computed arithmetically (header(3) + 2 tokens
+    per ts pair + 2 per value pair, zero-length tokens are bit-layout
+    no-ops), so there is no sort and no per-segment Python anywhere.
+    """
     ts = np.ascontiguousarray(ts, dtype=np.int64)
     values = np.ascontiguousarray(values, dtype=np.float64)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     npts = ts.shape[0]
     nseg = starts.shape[0]
     if nseg == 0:
-        return []
+        return (
+            np.zeros(0, dtype=np.uint8),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+        )
     ends = np.r_[starts[1:], npts]
     counts = ends - starts
     seg_id = np.repeat(np.arange(nseg), counts)
@@ -307,51 +319,48 @@ def encode_segments(ts: np.ndarray, values: np.ndarray, starts: np.ndarray):
     tp1, tb1, tp2, tb2 = _dod_tokens(dod)
     vp1, vb1, vp2, vb2 = _xor_tokens(xor)
     pair_seg = seg_id[pair_idx]
+    npairs = pair_seg.shape[0]
 
-    # ---- assemble tokens in per-segment order:
-    # header(3) + ts tokens (pairs in order, incl. escapes) + value tokens
-    head_payload = np.empty(3 * nseg, dtype=np.uint64)
-    head_bits = np.full(3 * nseg, 64, dtype=np.int64)
-    head_payload[0::3] = counts.astype(np.uint64)
-    head_payload[1::3] = ts[starts].view(np.uint64)
-    head_payload[2::3] = values[starts].view(np.uint64)
-    head_seg = np.repeat(np.arange(nseg), 3)
+    # ---- token layout per segment:
+    # [count, first_ts, first_val] + [tsA, tsB]*pairs + [valA, valB]*pairs
+    # (B tokens are the 64-bit escape continuations; nbits=0 when unused —
+    # a zero-length token occupies no bits and needs no filtering)
+    pairs_per_seg = np.bincount(pair_seg, minlength=nseg)
+    tok_per_seg = 3 + 4 * pairs_per_seg
+    seg_tok_start = np.r_[0, np.cumsum(tok_per_seg)[:-1]]
+    total_tokens = int(tok_per_seg.sum())
 
-    def interleave(p1, b1, p2, b2):
-        return (
-            np.column_stack([p1, p2]).reshape(-1),
-            np.column_stack([b1, b2]).reshape(-1),
-        )
-
-    ts_payload, ts_bits = interleave(tp1, tb1, tp2, tb2)
-    v_payload, v_bits = interleave(vp1, vb1, vp2, vb2)
-    pair_seg2 = np.repeat(pair_seg, 2)
-
-    payloads = np.concatenate([head_payload, ts_payload, v_payload])
-    nbits = np.concatenate([head_bits, ts_bits, v_bits])
-    segs = np.concatenate([head_seg, pair_seg2, pair_seg2])
-    stream = np.concatenate(
-        [
-            np.zeros(head_seg.shape[0], dtype=np.int8),
-            np.ones(pair_seg2.shape[0], dtype=np.int8),
-            np.full(pair_seg2.shape[0], 2, dtype=np.int8),
-        ]
-    )
-    pair_pos = np.arange(2 * pair_seg.shape[0])  # global pair-token rank
-    pos = np.concatenate([np.tile(np.arange(3), nseg), pair_pos, pair_pos])
-    keep = nbits > 0
-    order = np.lexsort((pos[keep], stream[keep], segs[keep]))
-    payloads = payloads[keep][order]
-    nbits = nbits[keep][order]
-    segs = segs[keep][order]
+    payloads = np.zeros(total_tokens, dtype=np.uint64)
+    nbits = np.zeros(total_tokens, dtype=np.int64)
+    hdr = (seg_tok_start[:, None] + np.arange(3)[None, :]).reshape(-1)
+    hdr_payload = np.empty(3 * nseg, dtype=np.uint64)
+    hdr_payload[0::3] = counts.astype(np.uint64)
+    hdr_payload[1::3] = ts[starts].view(np.uint64)
+    hdr_payload[2::3] = values[starts].view(np.uint64)
+    payloads[hdr] = hdr_payload
+    nbits[hdr] = 64
+    if npairs:
+        pair_seg_start = np.r_[0, np.cumsum(pairs_per_seg)[:-1]]
+        local = np.arange(npairs) - pair_seg_start[pair_seg]
+        base = seg_tok_start[pair_seg]
+        ts_dest = base + 3 + 2 * local
+        payloads[ts_dest] = tp1
+        nbits[ts_dest] = tb1
+        payloads[ts_dest + 1] = tp2
+        nbits[ts_dest + 1] = tb2
+        v_dest = base + 3 + 2 * pairs_per_seg[pair_seg] + 2 * local
+        payloads[v_dest] = vp1
+        nbits[v_dest] = vb1
+        payloads[v_dest + 1] = vp2
+        nbits[v_dest + 1] = vb2
 
     # ---- global bit materialization with per-segment byte alignment ----
     token_bit_start = np.r_[0, np.cumsum(nbits)[:-1]]
-    seg_token_starts = np.flatnonzero(np.r_[True, segs[1:] != segs[:-1]])
-    seg_bit_start = token_bit_start[seg_token_starts]
+    seg_bit_start = token_bit_start[seg_tok_start]
     seg_bits = np.r_[seg_bit_start[1:], int(nbits.sum())] - seg_bit_start
     seg_nbytes = (seg_bits + 7) // 8
     seg_byte_start = np.r_[0, np.cumsum(seg_nbytes)[:-1]]
+    segs = np.repeat(np.arange(nseg), tok_per_seg)
 
     # padded start bit of every token (segment byte alignment applied)
     token_padded_start = (
@@ -387,10 +396,39 @@ def encode_segments(ts: np.ndarray, values: np.ndarray, starts: np.ndarray):
         part2 = payloads[spill] << sh2
         or_scatter(words, w[spill] + 1, part2)
     out_bytes = words.view(np.uint8).reshape(-1, 8)[:, ::-1].reshape(-1)
+    total = int(seg_nbytes.sum())
+    return out_bytes[:total], seg_byte_start, seg_nbytes
+
+
+def encode_segments(ts: np.ndarray, values: np.ndarray, starts: np.ndarray):
+    """Encode many contiguous segments at once; byte-identical to calling
+    :func:`encode` per segment (list-of-bytes convenience wrapper around
+    :func:`_encode_segments_raw`)."""
+    data, seg_byte_start, seg_nbytes = _encode_segments_raw(ts, values, starts)
     return [
-        out_bytes[seg_byte_start[i] : seg_byte_start[i] + seg_nbytes[i]].tobytes()
-        for i in range(nseg)
+        data[seg_byte_start[i] : seg_byte_start[i] + seg_nbytes[i]].tobytes()
+        for i in range(seg_byte_start.shape[0])
     ]
+
+
+def encode_segments_arrow(ts: np.ndarray, values: np.ndarray, starts: np.ndarray):
+    """Arrow-native variant: returns a ``pyarrow.BinaryArray`` built
+    zero-copy from the packed buffer + offsets (no per-segment Python).
+    This is the rollup hot path."""
+    import pyarrow as pa
+
+    data, seg_byte_start, seg_nbytes = _encode_segments_raw(ts, values, starts)
+    nseg = seg_byte_start.shape[0]
+    total = int(data.shape[0])
+    assert total < (1 << 31), "partition points payload exceeds binary offsets"
+    offsets = np.empty(nseg + 1, dtype=np.int32)
+    offsets[:nseg] = seg_byte_start
+    offsets[nseg] = total
+    return pa.BinaryArray.from_buffers(
+        pa.binary(),
+        nseg,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
 
 
 class _BitReader:

@@ -14,11 +14,13 @@ a deterministic, dependency-free fitting stack —
   the reference's optional LMSDER/Ceres fine-tuning, which are
   feature-gated native optimizers there).
 
-Implemented models: BazinFit (/root/reference/src/features/bazin_fit.rs)
-and LinexpFit (/root/reference/src/features/linexp_fit.rs); VillarFit is
-future work. Output = parameters in original units + reduced chi2
-(chi2 / (N - NPARAMS)). Inside the Ray rollup these run as actor-pool
-stages (state: RNG + scratch), like every heavy feature.
+Implemented models: BazinFit (/root/reference/src/features/bazin_fit.rs),
+VillarFit (villar_fit.rs) and LinexpFit (linexp_fit.rs). Output =
+parameters in original units + reduced chi2 (chi2 / (N - NPARAMS)).
+Optional ln-priors over external parameters (prior/ln_prior_1d.rs
+families) and a CurveFitAlgorithm-style config surface. Inside the Ray
+rollup these run as actor-pool stages (state: RNG + scratch), like every
+heavy feature.
 """
 
 from __future__ import annotations
@@ -27,6 +29,90 @@ import numpy as np
 
 from .base import Feature, register
 from .kernel import Series
+
+_LN_TAU = float(np.log(2.0 * np.pi))
+
+
+def ln_prior_1d_fn(spec):
+    """Build a 1-D ln-prior callable from a JSON-able spec — the families of
+    /root/reference/src/nl_fit/prior/ln_prior_1d.rs:25-60:
+
+    ``none`` | ``normal(mu, std)`` | ``log_normal(mu, std)`` |
+    ``uniform(left, right)`` | ``log_uniform(left, right)`` |
+    ``mix([[weight, spec], ...])`` (weights normalized by their sum).
+    """
+    if isinstance(spec, str):
+        spec = {"name": spec}
+    name = spec["name"]
+    if name == "none":
+        return lambda x: 0.0
+    if name == "normal":
+        mu, std = float(spec["mu"]), float(spec["std"])
+        coeff = -np.log(std) - 0.5 * _LN_TAU
+        inv2 = std**-2
+        return lambda x: coeff - 0.5 * (x - mu) ** 2 * inv2
+    if name == "log_normal":
+        # ln_prob_coeff - (mu - ln x)^2/(2 std^2) - ln x  (ln_prior_1d.rs:116-134)
+        mu, std = float(spec["mu"]), float(spec["std"])
+        coeff = -np.log(std) - 0.5 * _LN_TAU
+        inv2 = std**-2
+
+        def f(x):
+            if x <= 0.0:
+                return -np.inf
+            lnx = np.log(x)
+            return coeff - 0.5 * (mu - lnx) ** 2 * inv2 - lnx
+
+        return f
+    if name == "uniform":
+        left, right = float(spec["left"]), float(spec["right"])
+        coeff = -np.log(right - left)
+        return lambda x: coeff if left <= x <= right else -np.inf
+    if name == "log_uniform":
+        # p(x) = 1/(x * ln(right/left)) inside [left, right] (ln_prior_1d.rs:185-215)
+        left, right = float(spec["left"]), float(spec["right"])
+        ln_l, ln_r = np.log(left), np.log(right)
+        coeff = -np.log(ln_r - ln_l)
+
+        def f(x):
+            if x <= 0.0:
+                return -np.inf
+            lnx = np.log(x)
+            return coeff - lnx if ln_l <= lnx <= ln_r else -np.inf
+
+        return f
+    if name == "mix":
+        pairs = [(float(w), ln_prior_1d_fn(sub)) for w, sub in spec["pairs"]]
+        total = sum(w for w, _ in pairs)
+        pairs = [(w / total, f) for w, f in pairs]
+
+        def f(x):
+            p = sum(w * np.exp(g(x)) for w, g in pairs)
+            return float(np.log(p)) if p > 0.0 else -np.inf
+
+        return f
+    raise ValueError(f"unknown ln_prior family {name!r}")
+
+
+def ln_prior_fn(spec, nparams: int):
+    """N-dim prior over EXTERNAL parameters — ``none`` or
+    ``ind_components`` (one 1-D prior per parameter,
+    /root/reference/src/nl_fit/prior/ln_prior.rs:40-63)."""
+    if spec is None or spec == "none":
+        return None
+    if isinstance(spec, (list, tuple)):
+        spec = {"name": "ind_components", "components": list(spec)}
+    if spec["name"] == "none":
+        return None
+    if spec["name"] == "ind_components":
+        comps = [ln_prior_1d_fn(c) for c in spec["components"]]
+        assert len(comps) == nparams, (len(comps), nparams)
+
+        def f(x):
+            return sum(g(v) for g, v in zip(comps, x))
+
+        return f
+    raise ValueError(f"unknown ln_prior {spec!r}")
 
 
 def _stretch_move_sample(
@@ -113,25 +199,72 @@ def _nelder_mead(f, x0, lower, upper, maxiter=300, scale=1e-2):
 
 
 class _FitFeatureBase(Feature):
-    """Shared machinery: normalize, sample, polish, denormalize."""
+    """Shared machinery: normalize, sample, polish, denormalize.
+
+    Data is normalized to zero-mean/unit-std t and m before fitting
+    (reference ``NormalizedData``, /root/reference/src/nl_fit/data.rs:16-76;
+    weights scale by m_std^2 since w = 1/sigma_m^2), the sampler and polish
+    run in normalized space, and parameters are mapped back to original
+    units via each model's parameter kinds (``PARAM_KINDS``) — the analog
+    of the reference's internal/dimensionless/external spaces
+    (/root/reference/src/nl_fit/mod.rs:9-67).
+
+    The algorithm surface mirrors ``CurveFitAlgorithm``
+    (/root/reference/src/nl_fit/curve_fit.rs:41-52): config
+    ``{"name": "mcmc", "niterations": N, "fine_tuning": bool}`` — 'mcmc' is
+    the seeded stretch-move ensemble; fine_tuning runs the deterministic
+    Nelder-Mead polish (the stand-in for the reference's feature-gated
+    LMSDER/Ceres fine-tuners). 'nuts' / 'lmsder' / 'ceres' parse but raise
+    NotImplementedError at construction (honest gate).
+
+    ``ln_prior`` is an optional prior over EXTERNAL parameters
+    (reference priors apply to external params via transformation,
+    /root/reference/src/nl_fit/prior/ln_prior.rs:67-110).
+    """
 
     NPARAMS: int = 0
+    #: per-parameter unit kind: 'm' (scales with m_std), 'm+mean',
+    #: 't' (scales with t_std), 't+mean', 'u' (unitless)
+    PARAM_KINDS: tuple = ()
     t_required = True
     m_required = True
     w_required = True
     sorting_required = True
     variability_required = True
 
-    def __init__(self, niterations: int = 128, seed: int = 0, polish: bool = True):
+    def __init__(
+        self,
+        niterations: int = 128,
+        seed: int = 0,
+        polish: bool = True,
+        algorithm: dict | None = None,
+        ln_prior=None,
+    ):
+        if algorithm is not None:
+            name = algorithm.get("name", "mcmc")
+            if name != "mcmc":
+                raise NotImplementedError(
+                    f"curve-fit algorithm {name!r} is not available in this "
+                    "build (reference feature-gates LMSDER/Ceres; NUTS "
+                    "needs a gradient backend) — use 'mcmc'"
+                )
+            niterations = int(algorithm.get("niterations", niterations))
+            polish = bool(algorithm.get("fine_tuning", polish))
         self.niterations = int(niterations)
         self.seed = int(seed)
         self.polish = bool(polish)
+        self.ln_prior_spec = ln_prior
+        self._ln_prior = ln_prior_fn(ln_prior, self.NPARAMS)
 
     def _params(self):
         return {
-            "niterations": self.niterations,
+            "algorithm": {
+                "name": "mcmc",
+                "niterations": self.niterations,
+                "fine_tuning": self.polish,
+            },
             "seed": self.seed,
-            "polish": self.polish,
+            "ln_prior": self.ln_prior_spec,
         }
 
     # subclasses: model(t, params) vectorized over t; init/bounds from data
@@ -141,17 +274,48 @@ class _FitFeatureBase(Feature):
     def init_and_bounds(self, s: Series):
         raise NotImplementedError
 
+    def _denorm(self, p: np.ndarray, t_mean, t_std, m_mean, m_std) -> np.ndarray:
+        out = np.asarray(p, dtype=np.float64).copy()
+        for i, kind in enumerate(self.PARAM_KINDS):
+            if kind == "m":
+                out[i] *= m_std
+            elif kind == "m+mean":
+                out[i] = m_mean + out[i] * m_std
+            elif kind == "t":
+                out[i] *= t_std
+            elif kind == "t+mean":
+                out[i] = t_mean + out[i] * t_std
+        return out
+
     def _eval(self, s: Series):
-        t, m, w = s.t, s.m, s.w
-        init, lower, upper = self.init_and_bounds(s)
+        assert len(self.PARAM_KINDS) == self.NPARAMS
+        t_mean, m_mean = s.mean("t"), s.mean("m")
+        t_std = s.std("t") or 1.0
+        m_std = s.std("m") or 1.0
+        tn = (s.t - t_mean) / t_std
+        mn = (s.m - m_mean) / m_std
+        wn = s.w * (m_std * m_std)
+        sn = Series(tn, mn, wn, check=False)
+        init, lower, upper = self.init_and_bounds(sn)
 
         def chi2(p):
-            r = self.model(t, p) - m
-            return float(np.sum(w * r * r))
+            r = self.model(tn, p) - mn
+            return float(np.sum(wn * r * r))
+
+        prior = self._ln_prior
+        norms = (t_mean, t_std, m_mean, m_std)
 
         def ln_prob(p):
             c = chi2(p)
-            return -0.5 * c if np.isfinite(c) else -np.inf
+            if not np.isfinite(c):
+                return -np.inf
+            lp = -0.5 * c
+            if prior is not None:
+                lp += prior(self._denorm(p, *norms))
+            return lp
+
+        def neg_ln_prob(p):
+            return -ln_prob(p)
 
         rng = np.random.default_rng(self.seed)
         best, _ = _stretch_move_sample(
@@ -159,17 +323,25 @@ class _FitFeatureBase(Feature):
         )
         if self.polish:
             # multi-start polish: the sampler's best + the data-driven init
-            # (the chi2 surface of these models has deceptive local basins)
+            # (the chi2 surface of these models has deceptive local basins);
+            # minimizes the negative ln posterior so priors keep their pull
+            objective = chi2 if prior is None else neg_ln_prob
             candidates = [best, init]
             best_c, best_v = None, np.inf
             for c in candidates:
-                x, v = _nelder_mead(chi2, np.asarray(c, dtype=np.float64), lower, upper)
-                x, v = _nelder_mead(chi2, x, lower, upper, scale=1e-3)
+                x, v = _nelder_mead(
+                    objective, np.asarray(c, dtype=np.float64), lower, upper
+                )
+                x, v = _nelder_mead(objective, x, lower, upper, scale=1e-3)
                 if v < best_v:
                     best_c, best_v = x, v
             best = best_c
-        rchi2 = chi2(best) / (s.n - self.NPARAMS)
-        return np.r_[best, rchi2]
+        # reduced chi2 is reported in ORIGINAL units (identical by
+        # construction: wn * rn^2 == w * r^2), recomputed for exactness
+        ext = self._denorm(best, *norms)
+        r = self.model(s.t, ext) - s.m
+        rchi2 = float(np.sum(s.w * r * r)) / (s.n - self.NPARAMS)
+        return np.r_[ext, rchi2]
 
 
 @register
@@ -180,6 +352,7 @@ class BazinFit(_FitFeatureBase):
 
     kind = "bazin_fit"
     NPARAMS = 5
+    PARAM_KINDS = ("m", "m+mean", "t+mean", "t", "t")
     size = 6
     min_ts_length = 6
 
@@ -235,6 +408,7 @@ class VillarFit(_FitFeatureBase):
 
     kind = "villar_fit"
     NPARAMS = 7
+    PARAM_KINDS = ("m", "m+mean", "t+mean", "t", "t", "u", "t")
     size = 8
     min_ts_length = 8
 
@@ -302,6 +476,7 @@ class LinexpFit(_FitFeatureBase):
 
     kind = "linexp_fit"
     NPARAMS = 4
+    PARAM_KINDS = ("m", "t+mean", "t", "m+mean")
     size = 5
     min_ts_length = 5
 

@@ -154,8 +154,148 @@ class Composed(Transformer):
         }
 
 
+class _FitTransformer(Transformer):
+    """Shared shape of the fit-output reshapers
+    (/root/reference/src/transformers/transformer.rs:37-48): consume a fit
+    feature's full output vector, emit magnitude-space summaries —
+    mag full amplitude = zp - 2.5*log10(2A), baseline/amplitude ratio,
+    the kept time-scale params, and ln1p(reduced_chi2)."""
+
+    #: expected input size; output names (fixed, independent of input names)
+    INPUT_SIZE: int = 0
+    OUT_NAMES: tuple = ()
+
+    def __init__(self, mag_zp: float = 8.9):
+        # ZP for AB magnitudes with fluxes in janskys
+        # (/root/reference/src/transformers/bazin_fit.rs:40-42)
+        self.mag_zp = float(mag_zp)
+
+    def size_of(self, input_size: int) -> int:
+        assert input_size == self.INPUT_SIZE, (
+            f"{self.kind}: expected {self.INPUT_SIZE} features, got {input_size}"
+        )
+        return len(self.OUT_NAMES)
+
+    def names(self, names):
+        assert len(names) == self.INPUT_SIZE, (self.kind, names)
+        return list(self.OUT_NAMES)
+
+    def to_dict(self):
+        return {"name": self.kind, "mag_zp": self.mag_zp}
+
+    def _mag_amplitude(self, amplitude):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return self.mag_zp - 2.5 * np.log10(2.0 * amplitude)
+
+
+class BazinFitTransformer(_FitTransformer):
+    """6 -> 5 reshape of BazinFit output —
+    /root/reference/src/transformers/bazin_fit.rs:97-126."""
+
+    kind = "bazin_fit"
+    INPUT_SIZE = 6
+    OUT_NAMES = (
+        "bazin_fit_mag_full_amplitude",
+        "bazin_fit_baseline_amplitude_ratio",
+        "bazin_fit_rise_time",
+        "bazin_fit_fall_time",
+        "ln1p_bazin_fit_reduced_chi2",
+    )
+
+    def transform(self, v):
+        amplitude, baseline, _t0, rise, fall, rchi2 = np.asarray(v, dtype=np.float64)
+        return np.array(
+            [
+                self._mag_amplitude(amplitude),
+                baseline / amplitude,
+                rise,
+                fall,
+                np.log1p(rchi2),
+            ]
+        )
+
+
+class VillarFitTransformer(_FitTransformer):
+    """8 -> 7 reshape of VillarFit output —
+    /root/reference/src/transformers/villar_fit.rs:102-137."""
+
+    kind = "villar_fit"
+    INPUT_SIZE = 8
+    OUT_NAMES = (
+        "villar_fit_mag_full_amplitude",
+        "villar_fit_baseline_amplitude_ratio",
+        "villar_fit_rise_time",
+        "villar_fit_fall_time",
+        "villar_fit_plateau_rel_amplitude",
+        "villar_fit_plateau_duration",
+        "ln1p_villar_fit_reduced_chi2",
+    )
+
+    def transform(self, v):
+        (
+            amplitude,
+            baseline,
+            _t0,
+            rise,
+            fall,
+            nu,
+            gamma,
+            rchi2,
+        ) = np.asarray(v, dtype=np.float64)
+        return np.array(
+            [
+                self._mag_amplitude(amplitude),
+                baseline / amplitude,
+                rise,
+                fall,
+                nu,
+                gamma,
+                np.log1p(rchi2),
+            ]
+        )
+
+
+class LinexpFitTransformer(_FitTransformer):
+    """5 -> 4 reshape of LinexpFit output —
+    /root/reference/src/transformers/linexp_fit.rs:93-122 (note the
+    reference's output order: amplitude, fall_time, baseline_ratio,
+    ln1p_chi2 — replicated)."""
+
+    kind = "linexp_fit"
+    INPUT_SIZE = 5
+    OUT_NAMES = (
+        "linexp_fit_amplitude",
+        "linexp_fit_fall_time",
+        "linexp_fit_baseline",
+        "ln1p_linexp_fit_reduced_chi2",
+    )
+
+    def transform(self, v):
+        amplitude, _t0, fall, baseline, rchi2 = np.asarray(v, dtype=np.float64)
+        return np.array(
+            [
+                self._mag_amplitude(amplitude),
+                fall,
+                baseline / amplitude,
+                np.log1p(rchi2),
+            ]
+        )
+
+
 TRANSFORMERS: dict[str, type] = {
-    c.kind: c for c in (Identity, Arcsinh, Ln1p, Lg, Sqrt, ClippedLg, Composed)
+    c.kind: c
+    for c in (
+        Identity,
+        Arcsinh,
+        Ln1p,
+        Lg,
+        Sqrt,
+        ClippedLg,
+        Composed,
+        BazinFitTransformer,
+        VillarFitTransformer,
+        LinexpFitTransformer,
+    )
 }
 
 

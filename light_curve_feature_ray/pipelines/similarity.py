@@ -118,11 +118,16 @@ class _LshBucketer:
 
 
 def lsh_knn_cosine(emb_ds, n_queries: int = 5, k: int = 10, n_planes: int = 6):
-    """Approximate top-k: score only vectors in the query's LSH bucket."""
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    Scale shape: the query buckets are computed FIRST and broadcast; the
+    bucket+filter stage drops every non-candidate vector before the
+    ``groupby`` — the exchange moves only vectors sharing a bucket with
+    some query (for Q queries, an expected Q/2^n_planes fraction of the
+    table), not the whole embedding table. ``n_planes`` should grow with
+    the corpus (bucket occupancy ~ N/2^n_planes); for recall at high
+    n_planes, union several hash tables (different seeds)."""
     bucketer = _LshBucketer.for_dataset(emb_ds, n_planes)
-    bucketed = emb_ds.map_batches(
-        lambda b: bucketer(b), batch_format="pandas"
-    )
     q_rows = emb_ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
     q_rows = q_rows.sort_values("vec_id")
     q_mat = _normalize(_to_matrix(q_rows["embedding"]))
@@ -132,6 +137,17 @@ def lsh_knn_cosine(emb_ds, n_queries: int = 5, k: int = 10, n_planes: int = 6):
         q_by_bucket.setdefault(int(b), []).append(qi)
     q_ids = q_rows["vec_id"].to_numpy()
     ref = ray.put((q_by_bucket, q_ids, q_mat))
+    wanted_arr = np.unique(q_buckets).astype(np.int64)
+    wanted_ref = ray.put(wanted_arr)
+
+    def bucket_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        out = bucketer(batch)
+        wanted = ray.get(wanted_ref)
+        return out[np.isin(out["bucket"].to_numpy(), wanted)]
+
+    bucketed = emb_ds.map_batches(
+        bucket_and_filter, batch_format="pandas", batch_size=None
+    )
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         q_by_bucket, q_ids, q_mat = ray.get(ref)

@@ -4,17 +4,35 @@ pipelines (no reference counterpart; patterns follow the Ray Data guide:
 vectorized map_batches + pre-aggregated groupbys; MinHash/LSH per Broder
 1997 / Leskovec et al., "Mining of Massive Datasets" ch.3).
 
-All deterministic: fixed hash seeds, no RNG at eval time.
+All deterministic: fixed hash seeds, no RNG at eval time. Hot paths are
+vectorized end to end: tokenization + word hashing via polars (ahash),
+shingle hashes via a polynomial combine of word hashes (numpy uint64
+wraparound), minhash via per-permutation ``minimum.reduceat`` over the
+flat shingle array — no per-row Python in any per-document loop.
+
+Scale notes (100-TB posture):
+- exact dedup is a pure ``groupby().min()`` aggregate (partial per-block
+  combine, one shuffle of (hash, id) pairs only);
+- MinHash-LSH candidate generation caps band-bucket membership
+  (``max_bucket``) so one degenerate band hash cannot go quadratic; drops
+  are logged;
+- candidate *verification* stays distributed: only candidate doc ids are
+  broadcast (``ray.put``); texts ship through a keyed shuffle of candidate
+  docs only, never via a driver-side corpus scan.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
 
 _WORD_RE = re.compile(r"\S+")
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.ASCII)
@@ -25,9 +43,92 @@ EN_STOPWORDS = (
 )
 _EN_STOP = frozenset(EN_STOPWORDS)
 
+_HASH_SEED = 7  # polars ahash seed for word hashing (fixed => deterministic)
+_POLY = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for combines
+_EMPTY_SHINGLE = np.uint64(0x9E3779B97F4A7C15)  # hash of the empty doc
+
 
 def _md5_hex(texts: pd.Series) -> pd.Series:
     return texts.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+
+
+# ---------------------------------------------------------------------------
+# vectorized tokenization / shingling (shared by minhash, simhash, stats)
+# ---------------------------------------------------------------------------
+
+
+def _word_hashes_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Lowercased whitespace tokens of each text, hashed. Returns
+    (flat uint64 word hashes, per-doc word counts)."""
+    import polars as pl
+
+    s = pl.Series("t", texts, dtype=pl.String).fill_null("")
+    words = s.str.to_lowercase().str.extract_all(r"\S+")
+    lens = words.list.len().to_numpy().astype(np.int64)
+    flat = words.explode().drop_nulls()  # empty lists explode to one null
+    h = flat.hash(seed=_HASH_SEED).to_numpy().astype(np.uint64)
+    return h, lens
+
+
+def _shingle_hashes_flat(
+    h: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes of word k-gram shingles per document, from the flat word-hash
+    array. Docs with 0 < n < k words get ONE shingle combining all their
+    words; empty docs get the constant empty-shingle hash (mirrors the
+    one-shingle semantics of joining the words of a short doc).
+    Returns (flat shingle hashes, per-doc shingle counts)."""
+    n = h.shape[0]
+    ndocs = lens.shape[0]
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    counts = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
+    total = int(counts.sum())
+    doc_of = np.repeat(np.arange(ndocs), counts)
+    run_starts = np.r_[0, np.cumsum(counts)[:-1]]
+    offset = np.arange(total) - run_starts[doc_of]
+    pos = starts[doc_of] + offset
+
+    # polynomial rolling hash over every stride-1 window of the flat array
+    if n >= k:
+        r = h[: n - k + 1].copy()
+        for i in range(1, k):
+            r = r * _POLY + h[i : n - k + 1 + i]
+    else:
+        r = np.empty(0, dtype=np.uint64)
+    sh = np.empty(total, dtype=np.uint64)
+    full = lens[doc_of] >= k
+    if full.any():
+        sh[full] = r[np.minimum(pos[full], max(n - k, 0))]
+    short = ~full
+    if short.any():
+        # docs with < k words: one shingle = polynomial over all their words
+        # (numpy warns on *scalar* uint64 wraparound; wraparound is the mod)
+        with np.errstate(over="ignore"):
+            for j in np.flatnonzero(short):
+                d = doc_of[j]
+                if lens[d] == 0:
+                    sh[j] = _EMPTY_SHINGLE
+                else:
+                    acc = np.uint64(0)
+                    for v in h[starts[d] : starts[d] + lens[d]]:
+                        acc = acc * _POLY + v
+                    sh[j] = acc
+    return sh, counts
+
+
+def _shingle_set(text: str, k: int = 3) -> np.ndarray:
+    """Shingle hashes of one text (same definition as the batched path)."""
+    h, lens = _word_hashes_flat([text])
+    sh, _ = _shingle_hashes_flat(h, lens, k)
+    return np.unique(sh)
+
+
+def jaccard_words(a: str, b: str, k: int = 3) -> float:
+    sa, sb = _shingle_set(a, k), _shingle_set(b, k)
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (sa.size + sb.size - inter)
 
 
 # ---------------------------------------------------------------------------
@@ -36,19 +137,25 @@ def _md5_hex(texts: pd.Series) -> pd.Series:
 
 
 def exact_dedup(docs_ds):
-    """Hash-partition + per-group first: one row per distinct text, keeping
+    """Hash-partition + min aggregate: one row per distinct text, keeping
     the smallest doc_id (deterministic across any shuffle order).
-    Returns (doc_id, text_md5)."""
+    A pure ``groupby().min()`` — Ray Data pre-combines per block, so only
+    (text_md5, doc_id) partials cross the exchange. Returns
+    (doc_id, text_md5)."""
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"doc_id": batch["doc_id"], "text_md5": _md5_hex(batch["text"])}
         )
 
-    hashed = docs_ds.map_batches(add_hash, batch_format="pandas", batch_size=4096)
-    return hashed.groupby("text_md5").map_groups(
-        lambda g: g.nsmallest(1, "doc_id")[["doc_id", "text_md5"]],
-        batch_format="pandas",
+    hashed = docs_ds.map_batches(add_hash, batch_format="pandas", batch_size=None)
+    agg = hashed.groupby("text_md5").min("doc_id")
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["min(doc_id)"], "text_md5": b["text_md5"]}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -59,6 +166,7 @@ def fingerprint(docs_ds):
             {"doc_id": b["doc_id"], "fp": _md5_hex(b["text"])}
         ),
         batch_format="pandas",
+        batch_size=None,
     )
 
 
@@ -68,12 +176,21 @@ def fingerprint(docs_ds):
 
 
 def _stats_frame(batch: pd.DataFrame) -> pd.DataFrame:
+    import polars as pl
+
     text = batch["text"]
-    n_chars = text.str.len().astype("int64")
-    n_words = text.str.count(_WORD_RE).astype("int64")
-    non_space = text.str.count(r"\S").astype("int64")
-    words = text.str.findall(_WORD_RE)
-    stop_hits = words.map(lambda ws: sum(1 for w in ws if w.lower() in _EN_STOP))
+    s = pl.Series("t", text.to_numpy(), dtype=pl.String).fill_null("")
+    n_chars = s.str.len_chars().to_numpy().astype("int64")
+    non_space = s.str.replace_all(r"\s", "").str.len_chars().to_numpy().astype("int64")
+    words = s.str.to_lowercase().str.extract_all(r"\S+")
+    n_words = words.list.len().to_numpy().astype("int64")
+    stop_hits = (
+        words.list.eval(pl.element().is_in(list(_EN_STOP)))
+        .list.sum()
+        .fill_null(0)
+        .to_numpy()
+        .astype("int64")
+    )
     with np.errstate(invalid="ignore"):
         avg_word_len = np.where(n_words > 0, non_space / n_words, np.nan)
         stop_ratio = np.where(n_words > 0, stop_hits / n_words, np.nan)
@@ -90,7 +207,9 @@ def _stats_frame(batch: pd.DataFrame) -> pd.DataFrame:
 
 def text_stats(docs_ds):
     """Per-document length / word-count / quality-signal columns."""
-    return docs_ds.map_batches(_stats_frame, batch_format="pandas")
+    return docs_ds.map_batches(
+        _stats_frame, batch_format="pandas", batch_size=None
+    )
 
 
 def lang_id(docs_ds, threshold: float = 0.08):
@@ -106,7 +225,7 @@ def lang_id(docs_ds, threshold: float = 0.08):
         )
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": pred})
 
-    return docs_ds.map_batches(f, batch_format="pandas")
+    return docs_ds.map_batches(f, batch_format="pandas", batch_size=None)
 
 
 def token_count(docs_ds):
@@ -123,7 +242,7 @@ def token_count(docs_ds):
             }
         )
 
-    return docs_ds.map_batches(f, batch_format="pandas")
+    return docs_ds.map_batches(f, batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -133,24 +252,11 @@ def token_count(docs_ds):
 _MERSENNE = (1 << 61) - 1
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-gram shingles (md5-based, deterministic)."""
-    words = _WORD_RE.findall(text.lower())
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
-        )
-    return out
-
-
 class MinHasher:
     """num_perms universal-hash minhash signatures over shingle hashes.
-    Stateful (permutation coefficients) => actor-pool stage."""
+    Stateful (permutation coefficients) => actor-pool stage. Fully
+    vectorized: one ``minimum.reduceat`` pass per permutation chunk over
+    the batch's flat shingle array."""
 
     def __init__(self, num_perms: int = 64, seed: int = 1234, shingle_k: int = 3):
         rng = np.random.default_rng(seed)
@@ -159,17 +265,26 @@ class MinHasher:
         self.num_perms = num_perms
         self.shingle_k = shingle_k
 
-    def signature(self, text: str) -> np.ndarray:
-        x = _shingle_hashes(text, self.shingle_k)
-        # multiply-shift universal hash family mod 2^64 (inputs are already
-        # uniform md5-derived 64-bit values; uint64 wraparound is the mod)
-        h = x[None, :] * self.a[:, None] + self.b[:, None]
-        return h.min(axis=1)
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perms) uint64 signature matrix."""
+        h, lens = _word_hashes_flat(texts)
+        sh, counts = _shingle_hashes_flat(h, lens, self.shingle_k)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        ndocs = lens.shape[0]
+        out = np.empty((ndocs, self.num_perms), dtype=np.uint64)
+        # chunk permutations to bound the (chunk, n_shingles) temp matrix
+        chunk = max(1, min(self.num_perms, (1 << 22) // max(sh.size, 1)))
+        for p0 in range(0, self.num_perms, chunk):
+            a = self.a[p0 : p0 + chunk, None]
+            b = self.b[p0 : p0 + chunk, None]
+            vals = sh[None, :] * a + b  # uint64 wraparound is the mod
+            out[:, p0 : p0 + chunk] = np.minimum.reduceat(
+                vals, starts, axis=1
+            ).T
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack(
-            [self.signature(t) for t in batch["text"]]
-        )  # (n, num_perms)
+        sigs = self.signatures(batch["text"].to_numpy())
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(),
@@ -178,12 +293,15 @@ class MinHasher:
         )
 
 
-def jaccard_words(a: str, b: str, k: int = 3) -> float:
-    sa = set(_shingle_hashes(a, k).tolist())
-    sb = set(_shingle_hashes(b, k).tolist())
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / len(sa | sb)
+def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64: polynomial combine of each band's rows."""
+    n, num_perms = sigs.shape
+    rows = num_perms // bands
+    banded = sigs[:, : bands * rows].reshape(n, bands, rows)
+    bh = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows):
+        bh = bh * _POLY + banded[:, :, r]
+    return bh
 
 
 def minhash_lsh_dups(
@@ -192,102 +310,189 @@ def minhash_lsh_dups(
     bands: int = 16,
     threshold: float = 0.6,
     shingle_k: int = 3,
+    max_bucket: int = 64,
+    id_col: str = "doc_id",
 ):
-    """MinHash + LSH near-duplicate pairs.
+    """MinHash + LSH near-duplicate pairs, fully distributed.
 
-    shingle → minhash (actor pool) → explode to (band, band_hash, doc)
-    rows → groupby band bucket → candidate pairs → exact shingle-Jaccard
-    verification (a second small join against the text by doc_id, broadcast
-    because candidates are few). Returns (doc_a, doc_b, jaccard) with
-    doc_a < doc_b, jaccard >= threshold.
+    shingle → minhash (actor pool) → (band, band_hash, doc) rows →
+    groupby band bucket → candidate pairs (bucket capped at ``max_bucket``
+    smallest ids; overflow logged) → pair dedup (groupby) → verification:
+    candidate ids broadcast via ``ray.put``, candidate docs' texts shipped
+    through a keyed shuffle, exact shingle-Jaccard computed in a
+    distributed ``map_groups``. No driver-side corpus scan at any point.
+
+    Returns a Dataset of (doc_a, doc_b, jaccard), doc_a < doc_b,
+    jaccard >= threshold.
     """
-    rows_per_band = num_perms // bands
+    import ray
 
-    sigs = docs_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perms": num_perms, "shingle_k": shingle_k},
-        batch_format="pandas",
-        concurrency=(1, 8),
-    )
+    rows_per_band = num_perms // bands
+    assert rows_per_band * bands == num_perms
+
+    hasher_kwargs = {"num_perms": num_perms, "shingle_k": shingle_k}
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_hash, out_doc = [], [], []
-        for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
-            sig = np.asarray(sig, dtype=np.uint64)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                out_band.append(b)
-                out_hash.append(h)
-                out_doc.append(doc_id)
+        mh = MinHasher(**hasher_kwargs)
+        sigs = mh.signatures(batch["text"].to_numpy())
+        bh = _band_hashes(sigs, bands)  # (n, bands)
+        n = bh.shape[0]
         return pd.DataFrame(
-            {"band": out_band, "band_hash": out_hash, "doc_id": out_doc}
+            {
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "band_hash": bh.reshape(-1).view(np.int64),
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+            }
         )
 
-    buckets = sigs.map_batches(explode_bands, batch_format="pandas")
+    buckets = docs_ds.map_batches(
+        explode_bands, batch_format="pandas", batch_size=None
+    )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=ids.dtype),
+                 "doc_b": pd.Series([], dtype=ids.dtype)}
+            )
+        if len(ids) > max_bucket:
+            logger.warning(
+                "minhash_lsh: band bucket of size %d capped to %d "
+                "(band=%s) — near-dups among the dropped tail of this "
+                "bucket are not candidates this run",
+                len(ids), max_bucket, g["band"].iloc[0],
+            )
+            ids = ids[:max_bucket]
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
 
     pairs = buckets.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    pair_df = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    if pair_df.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    # verify: fetch texts of candidate docs (small set) and compute exact
-    # shingle Jaccard
-    cand_ids = set(pair_df["doc_a"]).union(pair_df["doc_b"])
-    texts = {}
-    for batch in docs_ds.iter_batches(batch_size=4096, batch_format="pandas"):
-        sel = batch[batch["doc_id"].isin(cand_ids)]
-        texts.update(zip(sel["doc_id"], sel["text"]))
-    jac = [
-        jaccard_words(texts[a], texts[b], shingle_k)
-        for a, b in zip(pair_df["doc_a"], pair_df["doc_b"])
-    ]
-    pair_df = pair_df.assign(jaccard=jac)
-    out = pair_df[pair_df["jaccard"] >= threshold].reset_index(drop=True)
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    # a pair surfacing in several bands is still one candidate
+    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    # consumed twice below (id broadcast + side explosion); the pair set is
+    # small (bucket-capped) so pin it rather than re-running the LSH stages
+    pairs = pairs.materialize()
+
+    # ---- distributed verification ------------------------------------
+    # candidate ids (bounded: <= 2 * max_bucket^2/2 * n_buckets pairs,
+    # already capped) are the ONLY thing materialized on the driver
+    cand_ids = set()
+    for b in pairs.iter_batches(batch_size=None, batch_format="pandas"):
+        cand_ids.update(b["doc_a"])
+        cand_ids.update(b["doc_b"])
+    if not cand_ids:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        )
+    ids_ref = ray.put(frozenset(cand_ids))
+
+    def filter_cands(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ids_ref)
+        sel = batch[batch[id_col].isin(ids)]
+        return pd.DataFrame(
+            {
+                "doc_id": sel[id_col].to_numpy(),
+                "doc_a": np.zeros(len(sel), dtype=np.int64),
+                "doc_b": np.zeros(len(sel), dtype=np.int64),
+                "is_text": np.ones(len(sel), dtype=np.int8),
+                "text": sel["text"].to_numpy(),
+            }
+        )
+
+    cand_texts = docs_ds.map_batches(
+        filter_cands, batch_format="pandas", batch_size=None
+    )
+
+    def pair_sides(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([a, b]),
+                "doc_a": np.concatenate([a, a]),
+                "doc_b": np.concatenate([b, b]),
+                "is_text": np.zeros(2 * n, dtype=np.int8),
+                "text": np.full(2 * n, "", dtype=object),
+            }
+        )
+
+    sides = pairs.map_batches(pair_sides, batch_format="pandas", batch_size=None)
+
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        txt = g[g["is_text"] == 1]
+        if txt.empty:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "side_id": [], "text": []}
+            )
+        text = txt["text"].iloc[0]
+        asn = g[g["is_text"] == 0]
+        return pd.DataFrame(
+            {
+                "doc_a": asn["doc_a"].to_numpy(),
+                "doc_b": asn["doc_b"].to_numpy(),
+                "side_id": asn["doc_id"].to_numpy(),
+                "text": np.full(len(asn), text, dtype=object),
+            }
+        )
+
+    attached = cand_texts.union(sides).groupby("doc_id").map_groups(
+        attach_text, batch_format="pandas"
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        g = g.sort_values("side_id")
+        j = jaccard_words(g["text"].iloc[0], g["text"].iloc[1], shingle_k)
+        if j < threshold:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        return pd.DataFrame(
+            {
+                "doc_a": [g["doc_a"].iloc[0]],
+                "doc_b": [g["doc_b"].iloc[0]],
+                "jaccard": [j],
+            }
+        )
+
+    return attached.groupby(["doc_a", "doc_b"]).map_groups(
+        verify, batch_format="pandas"
+    )
 
 
 class SimHasher:
-    """64-bit SimHash over word unigrams (deterministic md5 word hashes)."""
-
-    def __init__(self):
-        self._cache: dict[str, int] = {}
-
-    def _word_hash(self, w: str) -> int:
-        h = self._cache.get(w)
-        if h is None:
-            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
-            self._cache[w] = h
-        return h
-
-    def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for w in _WORD_RE.findall(text.lower()):
-            h = self._word_hash(w)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
+    """64-bit SimHash over word unigrams, vectorized: explode + hash words
+    once per batch, unpack bits to a (n_words, 64) sign matrix, per-doc
+    ``add.reduceat``, re-pack the positive-sum bits."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        h, lens = _word_hashes_flat(batch["text"].to_numpy())
+        ndocs = lens.shape[0]
+        out = np.zeros(ndocs, dtype=np.uint64)
+        nz = np.flatnonzero(lens > 0)
+        if nz.size:
+            starts_all = np.r_[0, np.cumsum(lens)[:-1]]
+            starts = starts_all[nz]
+            bits = np.unpackbits(
+                h[:, None].view(np.uint8), axis=1, bitorder="little"
+            ).astype(np.int32)  # (n_words, 64), bit i of each word hash
+            signs = 2 * bits - 1
+            acc = np.add.reduceat(signs, starts, axis=0)  # (n_nz, 64)
+            packed = np.packbits(
+                (acc > 0).astype(np.uint8), axis=1, bitorder="little"
+            )
+            out[nz] = packed.view(np.uint64).ravel()
         return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "simhash": [self.simhash(t) for t in batch["text"]],
-            }
+            {"doc_id": batch["doc_id"].to_numpy(), "simhash": out}
         )
 
 
 def simhash_signatures(docs_ds):
-    return docs_ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
+    return docs_ds.map_batches(
+        SimHasher, batch_format="pandas", concurrency=(1, 8), batch_size=None
+    )

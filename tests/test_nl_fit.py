@@ -90,3 +90,141 @@ def test_short_and_flat_error():
         f.eval(s2)
     out = f.eval_or_fill(s2)
     assert np.isnan(out).all()
+
+
+# ---------------------------------------------------------------------------
+# priors + algorithm config + fit-output transformers (round 2)
+# ---------------------------------------------------------------------------
+
+
+def test_ln_prior_1d_values():
+    from light_curve_feature_ray.features.nl_fit import ln_prior_1d_fn
+
+    # normal: standard normal at 0 -> -0.5*ln(2pi)
+    f = ln_prior_1d_fn({"name": "normal", "mu": 0.0, "std": 1.0})
+    assert abs(f(0.0) - (-0.5 * np.log(2 * np.pi))) < 1e-12
+    # uniform on [0, 2] -> ln(1/2) inside, -inf outside
+    f = ln_prior_1d_fn({"name": "uniform", "left": 0.0, "right": 2.0})
+    assert abs(f(1.0) - np.log(0.5)) < 1e-12 and f(3.0) == -np.inf
+    # log_uniform: p(x) = 1/(x ln(r/l)) (ln_prior_1d.rs:185-215)
+    f = ln_prior_1d_fn({"name": "log_uniform", "left": 1.0, "right": np.e})
+    assert abs(f(1.0) - 0.0) < 1e-12  # 1/(1*ln e) = 1
+    assert f(0.5) == -np.inf
+    # log_normal at x=1 (ln x = 0), mu=0, std=1 -> -0.5 ln(2pi)
+    f = ln_prior_1d_fn({"name": "log_normal", "mu": 0.0, "std": 1.0})
+    assert abs(f(1.0) - (-0.5 * np.log(2 * np.pi))) < 1e-12
+    assert f(-1.0) == -np.inf
+    # mix of two uniforms, weights normalized
+    f = ln_prior_1d_fn(
+        {
+            "name": "mix",
+            "pairs": [
+                [1.0, {"name": "uniform", "left": 0.0, "right": 1.0}],
+                [3.0, {"name": "uniform", "left": 0.0, "right": 2.0}],
+            ],
+        }
+    )
+    # at x=0.5: 0.25*1 + 0.75*0.5 = 0.625
+    assert abs(f(0.5) - np.log(0.625)) < 1e-12
+
+
+def test_prior_pulls_fit():
+    """A tight normal prior on the baseline must move the point estimate
+    toward the prior mean (posterior = likelihood * prior)."""
+    from light_curve_feature_ray.features.nl_fit import BazinFit
+
+    rng = np.random.default_rng(8)
+    t = np.sort(rng.uniform(0, 100, 60))
+    true = np.array([10.0, 3.0, 40.0, 5.0, 20.0])
+    base = BazinFit(niterations=64)
+    m = base.model(t, true) + 0.05 * rng.normal(size=60)
+    s = Series(t, m)
+    free = base.eval(s)
+    prior = [
+        "none",
+        {"name": "normal", "mu": 30.0, "std": 0.01},  # baseline pulled to 30
+        "none",
+        "none",
+        "none",
+    ]
+    pulled = BazinFit(niterations=64, ln_prior=prior).eval(s)
+    assert abs(free[1] - 3.0) < 1.0  # free fit near the true baseline
+    assert abs(pulled[1] - 30.0) < 1.0  # prior dominates
+
+
+def test_algorithm_config_roundtrip():
+    from light_curve_feature_ray.features.base import feature_from_config
+    from light_curve_feature_ray.features.nl_fit import BazinFit
+
+    f = BazinFit(algorithm={"name": "mcmc", "niterations": 37, "fine_tuning": False})
+    assert f.niterations == 37 and f.polish is False
+    d = f.to_dict()
+    f2 = feature_from_config(d)
+    assert f2.to_dict() == d
+    with pytest.raises(NotImplementedError):
+        BazinFit(algorithm={"name": "lmsder"})
+
+
+def test_fit_output_transformers():
+    from light_curve_feature_ray.features.transformers import (
+        BazinFitTransformer,
+        LinexpFitTransformer,
+        VillarFitTransformer,
+        transformer_from_config,
+    )
+
+    tr = BazinFitTransformer()  # default zp = 8.9 (bazin_fit.rs:40-42)
+    v = np.array([2.0, 1.0, 5.0, 3.0, 7.0, 0.5])
+    out = tr.transform(v)
+    assert abs(out[0] - (8.9 - 2.5 * np.log10(4.0))) < 1e-12
+    np.testing.assert_allclose(out[1:], [0.5, 3.0, 7.0, np.log1p(0.5)])
+    assert tr.names(["a"] * 6) == [
+        "bazin_fit_mag_full_amplitude",
+        "bazin_fit_baseline_amplitude_ratio",
+        "bazin_fit_rise_time",
+        "bazin_fit_fall_time",
+        "ln1p_bazin_fit_reduced_chi2",
+    ]
+    assert tr.size_of(6) == 5
+
+    vtr = VillarFitTransformer(mag_zp=10.0)
+    v8 = np.array([4.0, 2.0, 1.0, 3.0, 6.0, 0.25, 12.0, 1.5])
+    out = vtr.transform(v8)
+    assert abs(out[0] - (10.0 - 2.5 * np.log10(8.0))) < 1e-12
+    np.testing.assert_allclose(out[1:], [0.5, 3.0, 6.0, 0.25, 12.0, np.log1p(1.5)])
+
+    ltr = LinexpFitTransformer()
+    v5 = np.array([2.0, 1.0, 4.0, 3.0, 0.1])
+    out = ltr.transform(v5)
+    np.testing.assert_allclose(
+        out, [8.9 - 2.5 * np.log10(4.0), 4.0, 1.5, np.log1p(0.1)]
+    )
+
+    # config round-trip through the registry
+    d = vtr.to_dict()
+    vtr2 = transformer_from_config(d)
+    np.testing.assert_allclose(vtr2.transform(v8), vtr.transform(v8))
+
+
+def test_transformed_wraps_fit():
+    """Transformed(BazinFit, BazinFitTransformer) — the reference's main
+    use of the fit transformers (transformer.rs:37-48)."""
+    from light_curve_feature_ray.features.base import feature_from_config
+
+    feat = feature_from_config(
+        {
+            "name": "transformed",
+            "feature": {"name": "bazin_fit", "niterations": 32},
+            "transformer": {"name": "bazin_fit", "mag_zp": 8.9},
+        }
+    )
+    assert feat.size == 5
+    assert feat.names[0] == "bazin_fit_mag_full_amplitude"
+    rng = np.random.default_rng(3)
+    t = np.sort(rng.uniform(0, 100, 60))
+    from light_curve_feature_ray.features.nl_fit import BazinFit
+
+    m = BazinFit().model(t, np.array([10.0, 3.0, 40.0, 5.0, 20.0]))
+    out = feat.eval(Series(t, m + 0.05 * rng.normal(size=60)))
+    assert np.isfinite(out).all()
+    assert abs(out[1] - 0.3) < 0.2  # baseline/amplitude ~ 3/10

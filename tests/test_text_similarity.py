@@ -45,7 +45,12 @@ def test_minhash_finds_planted_dups(docs_ds):
         minhash_lsh_dups,
     )
 
-    out = minhash_lsh_dups(docs_ds, threshold=0.5)
+    out = (
+        minhash_lsh_dups(docs_ds, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
     pairs = set(zip(out["doc_a"], out["doc_b"]))
     assert (0, 80) in pairs  # copy with appended word
     assert (1, 81) in pairs  # one-word substitution
