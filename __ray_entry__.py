@@ -574,18 +574,75 @@ FROM tm GROUP BY conv_id, role
 
 
 def q_conv_advanced(sf_dir: str):
-    # no SQL oracle: special functions (incomplete gamma, ln_erfc, Otsu,
+    # no SQL oracle: special functions (incomplete gamma, ln_erfc,
     # biweight, Lomb-Scargle) are not DuckDB-expressible -> rows-only check
+    # (OtsuSplit lives in conv_otsu below, where it IS oracle-checked)
     return _conv_features(
         sf_dir,
         (
             "anderson_darling_normal",
             "chi2_pvar",
             {"name": "biweight_scale", "c": 9.0},
-            "otsu_split",
             {"name": "periodogram", "peaks": 1},
         ),
     )
+
+
+def q_conv_otsu(sf_dir: str):
+    return _conv_features(sf_dir, ("otsu_split",))
+
+
+# Otsu via sorted-list cumulative sums: split k maximizes
+# w0*(1-w0)*(mean_upper - mean_lower)^2, FIRST max wins (reference
+# otsu_split.rs:51-104 / features/basic.py); subset std is sample std,
+# 0 for singletons; flat series -> NULL (FlatTimeSeries fill)
+SQL_CONV_OTSU = f"""
+WITH {_TM},
+g AS (
+    SELECT conv_id, list_sort(list(m)) AS lm, count(*) AS n
+    FROM tm GROUP BY conv_id
+),
+k AS (
+    SELECT conv_id, lm, n,
+           list_transform(range(1, n), kk ->
+               (CAST(kk AS DOUBLE)/n) * (1 - CAST(kk AS DOUBLE)/n)
+               * pow(
+                   (list_sum(lm) - list_sum(lm[1:kk]))/(n - kk)
+                   - list_sum(lm[1:kk])/kk, 2)
+           ) AS icv
+    FROM g WHERE n >= 2 AND lm[1] <> lm[n]
+),
+s AS (
+    SELECT conv_id, lm, n,
+           list_position(icv, list_max(icv)) AS split
+    FROM k
+),
+parts AS (
+    SELECT conv_id, n, split,
+           lm[1:split] AS lower_l, lm[split+1:n] AS upper_l
+    FROM s
+),
+m2 AS (
+    SELECT conv_id, n, split,
+           list_sum(lower_l)/split AS mu_l,
+           list_sum(upper_l)/(n - split) AS mu_u,
+           CASE WHEN split = 1 THEN 0.0 ELSE sqrt(
+               list_sum(list_transform(lower_l,
+                   x -> pow(x - list_sum(lower_l)/split, 2))) / (split - 1)
+           ) END AS std_l,
+           CASE WHEN n - split = 1 THEN 0.0 ELSE sqrt(
+               list_sum(list_transform(upper_l,
+                   x -> pow(x - list_sum(upper_l)/(n - split), 2))) / (n - split - 1)
+           ) END AS std_u
+    FROM parts
+)
+SELECT g.conv_id,
+       round(m2.mu_u - m2.mu_l, 6) AS otsu_mean_diff,
+       round(m2.std_l, 6) AS otsu_std_lower,
+       round(m2.std_u, 6) AS otsu_std_upper,
+       round(CAST(m2.split AS DOUBLE)/m2.n, 6) AS otsu_lower_to_all_ratio
+FROM g LEFT JOIN m2 ON g.conv_id = m2.conv_id
+"""
 
 
 def q_conv_colors(sf_dir: str):
@@ -951,6 +1008,62 @@ def q_multimodal_decode(sf_dir: str):
     return decode_images(attach_fake_payloads(_docs(sf_dir)))
 
 
+def q_multimodal_meta(sf_dir: str):
+    """Oracle-checked scalar projection of the deterministic decode stub:
+    the stub is sha256-derived, which DuckDB can replicate exactly."""
+    from light_curve_feature_ray.pipelines.multimodal import (
+        attach_fake_payloads,
+        decode_images,
+    )
+
+    ds = decode_images(attach_fake_payloads(_docs(sf_dir)))
+
+    def project(b: pa.Table) -> pa.Table:
+        emb0 = pc.list_element(b["embedding"], 0)
+        return pa.table(
+            {
+                "item_id": b["item_id"],
+                "width": b["width"].cast(pa.int64()),
+                "height": b["height"].cast(pa.int64()),
+                "emb_0": emb0,
+            }
+        )
+
+    return _finalize(
+        ds.map_batches(project, batch_format="pyarrow"),
+        skip=("item_id", "width", "height"),
+    )
+
+
+# stub decode: digest = sha256(payload); width = 1 + digest[0] % 64,
+# height = 1 + digest[1] % 64, embedding = unit-normed first 8 digest
+# bytes (pipelines/multimodal.py:73-83). Hex digits -> byte values via
+# strpos arithmetic.
+SQL_MULTIMODAL_META = """
+WITH h AS (
+    SELECT doc_id AS item_id, sha256(text) AS hx FROM documents
+),
+d AS (
+    SELECT item_id,
+           list_transform(range(8), i ->
+               CAST((strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1)
+               AS DOUBLE)) AS bs
+    FROM h
+),
+n AS (
+    SELECT item_id, bs,
+           sqrt(list_sum(list_transform(bs, b -> b*b))) AS nrm
+    FROM d
+)
+SELECT item_id,
+       CAST(1 + CAST(bs[1] AS BIGINT) % 64 AS BIGINT) AS width,
+       CAST(1 + CAST(bs[2] AS BIGINT) % 64 AS BIGINT) AS height,
+       round(CASE WHEN nrm = 0 THEN bs[1] ELSE bs[1]/nrm END, 6) AS emb_0
+FROM n
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
@@ -979,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_transformed": q_conv_transformed,
         "conv_role_features": q_conv_role_features,
         "conv_advanced": q_conv_advanced,
+        "conv_otsu": q_conv_otsu,
         "conv_bazin_fit": q_conv_bazin_fit,
         "conv_colors": q_conv_colors,
         "conv_multicolor_bins": q_conv_multicolor_bins,
@@ -995,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -1014,6 +1129,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_transformed": SQL_CONV_TRANSFORMED,
         "conv_role_features": SQL_CONV_ROLE_FEATURES,
         "conv_multicolor_bins": SQL_CONV_MULTICOLOR_BINS,
+        "conv_otsu": SQL_CONV_OTSU,
+        "multimodal_meta": SQL_MULTIMODAL_META,
         "conv_colors": SQL_CONV_COLORS,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "events_sessions": SQL_EVENTS_SESSIONS,

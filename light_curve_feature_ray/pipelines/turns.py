@@ -6,6 +6,15 @@ passes through any float path — this pipeline carries the raw columns
 untouched, deduplicates (conv_id, turn_idx) first-wins, and orders turns
 within each conversation by turn_idx. One hash shuffle (same partitioner as
 the rollup).
+
+Exchange shape: this stage is byte-bandwidth-bound (it must move every
+text byte through the shuffle), so the map side packs each block's
+per-partition slice into ONE zstd-compressed Arrow-IPC parcel row
+(``part``, ``payload``). The all-to-all then moves a few thousand
+compressed parcels instead of millions of raw rows (~3x fewer exchanged
+bytes on natural-language text); the reduce side unpacks, settles
+cross-block duplicates and orders turns. Output is byte-identical to the
+uncompressed path.
 """
 
 from __future__ import annotations
@@ -15,12 +24,14 @@ import pyarrow as pa
 
 from ..stages.rollup import hash_strings
 
+_IPC_OPTS = pa.ipc.IpcWriteOptions(compression="zstd")
+
 
 def _dedup_sort_partition(batch: pa.Table) -> pa.Table:
     conv_dict = batch["conv_id"].combine_chunks().dictionary_encode()
     codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((turn, codes))
+    order = np.argsort((codes << np.int64(32)) | turn, kind="stable")
     keep = np.ones(order.shape[0], dtype=bool)
     c, t = codes[order], turn[order]
     keep[1:] = (c[1:] != c[:-1]) | (t[1:] != t[:-1])
@@ -35,24 +46,90 @@ def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
     return batch.append_column("part", pa.array(part, type=pa.int32()))
 
 
+def _pack_parcels(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Map side: block-local dedup (combiner), group rows by destination
+    partition, emit one compressed IPC parcel per (block, part)."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "part": pa.array([], type=pa.int32()),
+                "payload": pa.array([], type=pa.large_binary()),
+            }
+        )
+    conv_dict = batch["conv_id"].combine_chunks().dictionary_encode()
+    codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # local first-wins dedup WITHOUT reordering the block (boolean filter
+    # only when duplicates exist, so the common no-dup case copies nothing)
+    order = np.argsort((codes << np.int64(32)) | turn, kind="stable")
+    c, t = codes[order], turn[order]
+    dup_sorted = np.zeros(order.shape[0], dtype=bool)
+    dup_sorted[1:] = (c[1:] == c[:-1]) & (t[1:] == t[:-1])
+    if dup_sorted.any():
+        keep = np.ones(order.shape[0], dtype=bool)
+        keep[order[dup_sorted]] = False
+        batch = batch.filter(pa.array(keep))
+        conv_dict = batch["conv_id"].combine_chunks().dictionary_encode()
+        codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    part = (
+        hash_strings(batch["conv_id"]) % np.uint64(num_partitions)
+    ).astype(np.int64)
+    by_part = np.argsort(part, kind="stable")
+    sorted_part = part[by_part]
+    starts = np.flatnonzero(np.r_[True, sorted_part[1:] != sorted_part[:-1]])
+    ends = np.r_[starts[1:], sorted_part.shape[0]]
+    gathered = batch.take(pa.array(by_part))
+
+    parts_out, payloads = [], []
+    for s, e in zip(starts, ends):
+        sub = gathered.slice(s, e - s)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, sub.schema, options=_IPC_OPTS) as w:
+            w.write_table(sub)
+        parts_out.append(int(sorted_part[s]))
+        payloads.append(sink.getvalue().to_pybytes())
+    return pa.table(
+        {
+            "part": pa.array(parts_out, type=pa.int32()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+        }
+    )
+
+
+def _unpack_settle(batch: pa.Table) -> pa.Table:
+    """Reduce side: decompress this partition's parcels, settle cross-block
+    duplicates, order turns within each conversation."""
+    tables = [
+        pa.ipc.open_stream(payload.as_py()).read_all()
+        for payload in batch["payload"]
+    ]
+    merged = pa.concat_tables(tables) if tables else None
+    if merged is None or merged.num_rows == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], type=pa.string()),
+                "turn_idx": pa.array([], type=pa.int32()),
+                "role": pa.array([], type=pa.string()),
+                "text": pa.array([], type=pa.string()),
+                "tool": pa.array([], type=pa.string()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+            }
+        )
+    return _dedup_sort_partition(merged)
+
+
 def clean_turns(ds, num_partitions: int = 64):
     """Dedup (conv_id, turn_idx) first-wins; turns ordered by turn_idx
-    within each conversation. All six input columns pass through untouched.
+    within each conversation. All six input columns pass through untouched
+    (byte equality verified by tests and the driver oracle)."""
 
-    A block-local pre-dedup runs before the shuffle (a combiner): re-ingest
-    duplicates — the common case — are dropped before their bytes move
-    through the exchange; the per-partition pass settles cross-block
-    duplicates."""
-
-    def local_then_part(b: pa.Table) -> pa.Table:
-        return add_partition_column(_dedup_sort_partition(b), num_partitions)
-
-    withpart = ds.map_batches(
-        local_then_part,
+    parcels = ds.map_batches(
+        lambda b: _pack_parcels(b, num_partitions),
         batch_format="pyarrow",
         batch_size=None,
         zero_copy_batch=True,
     )
-    return withpart.groupby("part").map_groups(
-        _dedup_sort_partition, batch_format="pyarrow"
+    return parcels.groupby("part").map_groups(
+        _unpack_settle, batch_format="pyarrow"
     )
