@@ -944,6 +944,140 @@ def q_doc_fingerprint(sf_dir: str):
 SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+def q_doc_ngram_jaccard(sf_dir: str):
+    """EXACT word-5-gram Jaccard near-dup pairs (inverted pair counting;
+    deterministic complement of the approximate minhash path)."""
+    from light_curve_feature_ray.pipelines.text import ngram_jaccard_dups
+
+    return _finalize(
+        ngram_jaccard_dups(_docs(sf_dir), k=5, threshold=0.3, max_df=100),
+        skip=("doc_a", "doc_b"),
+    )
+
+
+SQL_DOC_NGRAM_JACCARD = r"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+    FROM documents
+),
+g0 AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 5 THEN
+               list_distinct([array_to_string(ws[i:i+4], ' ')
+                              for i in range(1, len(ws) - 3)])
+           WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+           ELSE [''] END AS grams
+    FROM w
+),
+g AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams FROM g0),
+df AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 100),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_grams AS na, b.n_grams AS nb
+    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    JOIN df ON df.gram = a.gram
+),
+c AS (
+    SELECT doc_a, doc_b, any_value(na) AS na, any_value(nb) AS nb,
+           count(*) AS co
+    FROM p GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(co AS DOUBLE)/(na + nb - co), 6) AS jaccard
+FROM c WHERE CAST(co AS DOUBLE)/(na + nb - co) >= 0.3
+"""
+
+
+def q_doc_winnow(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003), k=5 char grams,
+    window 4; rolling hash uses exact sub-2^53 integer arithmetic so the
+    SQL oracle reproduces it bit-for-bit."""
+    from light_curve_feature_ray.pipelines.text import winnow_fingerprints
+
+    return _finalize(
+        winnow_fingerprints(_docs(sf_dir), k=5, w=4),
+        skip=("doc_id", "n_fp"),
+    )
+
+
+SQL_DOC_WINNOW = """
+WITH c AS (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(text, '(?s).'),
+                          ch -> unicode(ch)) AS cps
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           CASE
+               WHEN len(cps) = 0 THEN CAST([] AS BIGINT[])
+               WHEN len(cps) < 5 THEN
+                   [list_reduce(list_prepend(CAST(0 AS BIGINT), cps),
+                                (a, x) -> (a*31 + x) % 281474976710597)]
+               ELSE
+                   [list_reduce(list_prepend(CAST(0 AS BIGINT), cps[i:i+4]),
+                                (a, x) -> (a*31 + x) % 281474976710597)
+                    for i in range(1, len(cps) - 3)]
+           END AS hs
+    FROM c
+),
+m AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                WHEN len(hs) <= 4 THEN [list_min(hs)]
+                ELSE list_distinct([list_min(hs[i:i+3])
+                                    for i in range(1, len(hs) - 2)])
+           END AS fps
+    FROM h
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fp,
+       round(CAST(list_min(fps) AS DOUBLE), 6) AS min_fp,
+       round(CAST(list_max(fps) AS DOUBLE), 6) AS max_fp
+FROM m
+"""
+
+
+def q_emb_cosine_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs (brute-force exact baseline;
+    LSH-bucketed candidates are the scale path)."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.similarity import (
+        embedding_cosine_dups,
+    )
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return _finalize(
+        embedding_cosine_dups(emb, threshold=0.45), skip=("vec_a", "vec_b")
+    )
+
+
+SQL_EMB_COSINE_DUPS = """
+WITH n AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+nn AS (
+    SELECT vec_id, v,
+           sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+    FROM n
+),
+p AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_sum(list_transform(range(len(a.v)),
+                    i -> a.v[i+1]*b.v[i+1]))/(a.nrm*b.nrm) AS cos
+    FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine
+FROM p WHERE cos >= 0.45
+"""
+
+
 def q_doc_minhash_dups(sf_dir: str):
     from light_curve_feature_ray.pipelines.text import minhash_lsh_dups
 
@@ -1104,6 +1238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_token_count": q_doc_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_winnow": q_doc_winnow,
+        "emb_cosine_dups": q_emb_cosine_dups,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash": q_doc_simhash,
         "knn_cosine": q_knn_cosine,
@@ -1139,5 +1276,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": SQL_DOC_LANG_ID,
         "doc_token_count": SQL_DOC_TOKEN_COUNT,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+        "doc_winnow": SQL_DOC_WINNOW,
+        "emb_cosine_dups": SQL_EMB_COSINE_DUPS,
         "knn_cosine": SQL_KNN_COSINE,
     }

@@ -177,3 +177,38 @@ def lsh_knn_cosine(emb_ds, n_queries: int = 5, k: int = 10, n_planes: int = 6):
     return bucketed.groupby("bucket").map_groups(
         score_bucket, batch_format="pandas"
     )
+
+
+def embedding_cosine_dups(emb_ds, threshold: float = 0.9):
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cosine) for
+    all pairs with cosine >= threshold, vec_a < vec_b.
+
+    Baseline exact path: the normalized matrix is broadcast once via
+    ``ray.put`` and every batch computes one matmul block-row against it —
+    the brute-force tier of the task's dedup family. The scale path for a
+    corpus that can't broadcast is the LSH-bucketed candidate generation of
+    :func:`lsh_knn_cosine` followed by the same per-batch verification.
+    """
+    rows = emb_ds.to_pandas()
+    rows = rows.sort_values("vec_id")
+    ids = rows["vec_id"].to_numpy()
+    mat = _normalize(_to_matrix(rows["embedding"]))
+    ref = ray.put((ids, mat))
+
+    def block(batch: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_mat = ray.get(ref)
+        bmat = _normalize(_to_matrix(batch["embedding"]))
+        bids = batch["vec_id"].to_numpy()
+        cos = bmat @ all_mat.T  # (n_batch, N)
+        # upper triangle only: partner id must be > this row's id
+        mask = (cos >= threshold) & (bids[:, None] < all_ids[None, :])
+        r, c = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "vec_a": bids[r],
+                "vec_b": all_ids[c],
+                "cosine": cos[r, c],
+            }
+        )
+
+    return emb_ds.map_batches(block, batch_format="pandas", batch_size=None)

@@ -496,3 +496,156 @@ def simhash_signatures(docs_ds):
     return docs_ds.map_batches(
         SimHasher, batch_format="pandas", concurrency=(1, 8), batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup (rare-shingle inverted pair counting)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_dups(
+    docs_ds,
+    k: int = 5,
+    threshold: float = 0.4,
+    max_df: int = 100,
+):
+    """EXACT word-k-gram Jaccard near-duplicate pairs via inverted pair
+    counting — the deterministic complement to the approximate MinHash
+    path. Word k-grams (k>=5) are rare by construction (df ~ 1-2 for
+    non-duplicated text), so the pair explosion Sum(df^2) stays linear in
+    the corpus; grams with df > ``max_df`` (boilerplate) are dropped on
+    both sides of the driver oracle, bounding the worst case.
+
+    Pipeline: distinct shingle hashes per doc (vectorized, with the
+    per-doc gram count carried on every row) -> groupby(gram) -> pairs
+    (doc_a, doc_b, na, nb) -> groupby(pair) -> co-occurrence count ->
+    jaccard = co / (na + nb - co) >= threshold. Every stage is a
+    pre-aggregated groupby; nothing materializes on the driver.
+    """
+    import pyarrow as pa
+
+    def explode_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        h, lens = _word_hashes_flat(batch["text"].to_numpy())
+        sh, counts = _shingle_hashes_flat(h, lens, k)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        doc_ids = batch["doc_id"].to_numpy()
+        # distinct grams per doc: sort within doc segments and dedup
+        doc_of = np.repeat(np.arange(len(batch)), counts)
+        order = np.lexsort((sh, doc_of))
+        d, g = doc_of[order], sh[order]
+        keep = np.r_[True, (d[1:] != d[:-1]) | (g[1:] != g[:-1])]
+        d, g = d[keep], g[keep]
+        n_grams = np.bincount(d, minlength=len(batch)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "gram": g.view(np.int64),
+                "doc_id": doc_ids[d],
+                "n_grams": n_grams[d],
+            }
+        )
+
+    grams = docs_ds.map_batches(
+        explode_grams, batch_format="pandas", batch_size=None
+    )
+
+    def gram_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        if len(grp) < 2 or len(grp) > max_df:
+            if len(grp) > max_df:
+                logger.warning(
+                    "ngram_jaccard: gram with df=%d > max_df=%d dropped",
+                    len(grp), max_df,
+                )
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "na": [], "nb": []}
+            )
+        grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = grp["doc_id"].to_numpy()
+        ns = grp["n_grams"].to_numpy()
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"doc_a": ids[a], "doc_b": ids[b], "na": ns[a], "nb": ns[b]}
+        )
+
+    pairs = grams.groupby("gram").map_groups(gram_pairs, batch_format="pandas")
+
+    def settle(grp: pd.DataFrame) -> pd.DataFrame:
+        co = len(grp)
+        na = int(grp["na"].iloc[0])
+        nb = int(grp["nb"].iloc[0])
+        j = co / (na + nb - co)
+        if j < threshold:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        return pd.DataFrame(
+            {
+                "doc_a": [grp["doc_a"].iloc[0]],
+                "doc_b": [grp["doc_b"].iloc[0]],
+                "jaccard": [j],
+            }
+        )
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        settle, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al., SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+_WINNOW_MOD = 281474976710597  # < 2^48: (acc*31 + c) stays < 2^53 — exact
+# in BOTH int64 numpy and DuckDB BIGINT arithmetic, so the SQL oracle
+# reproduces the hashes bit-for-bit
+
+
+def _winnow_doc(text: str, k: int, w: int):
+    """Selected fingerprints of one document: polynomial rolling hashes of
+    char k-grams (mod 2^48-ish), minimum of each w-window."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    n = cps.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n < k:
+        h = 0
+        for c in cps:
+            h = (h * 31 + int(c)) % _WINNOW_MOD
+        return np.array([h], dtype=np.int64)
+    # rolling polynomial over all k-windows (vectorized across positions)
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.int64)
+    for j in range(k):
+        acc = (acc * 31 + cps[j : j + m]) % _WINNOW_MOD
+    if m <= w:
+        mins = np.array([acc.min()])
+    else:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        mins = sliding_window_view(acc, w).min(axis=1)
+    return np.unique(mins)
+
+
+def winnow_fingerprints(docs_ds, k: int = 5, w: int = 4):
+    """Per-document winnowing fingerprint summary:
+    (doc_id, n_fp, min_fp, max_fp). Deterministic and SQL-reproducible
+    (the rolling hash uses exact sub-2^53 integer arithmetic)."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        out_n = np.empty(len(batch), dtype=np.int64)
+        out_min = np.empty(len(batch), dtype=np.float64)
+        out_max = np.empty(len(batch), dtype=np.float64)
+        for i, text in enumerate(batch["text"]):
+            fps = _winnow_doc(text or "", k, w)
+            out_n[i] = fps.shape[0]
+            out_min[i] = fps[0] if fps.size else np.nan
+            out_max[i] = fps[-1] if fps.size else np.nan
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_fp": out_n,
+                "min_fp": out_min,
+                "max_fp": out_max,
+            }
+        )
+
+    return docs_ds.map_batches(f, batch_format="pandas", batch_size=None)

@@ -173,3 +173,88 @@ def test_multimodal_decode_stub(ray_session):
     assert d.decode(b"xyz")[0] == d.decode(b"xyz")[0]
     with pytest.raises(NotImplementedError):
         DecodeImage(decoder="pil")
+
+
+def test_ngram_jaccard_exact(docs_ds):
+    from light_curve_feature_ray.pipelines.text import (
+        _shingle_hashes_flat,
+        _word_hashes_flat,
+        ngram_jaccard_dups,
+    )
+
+    out = (
+        ngram_jaccard_dups(docs_ds, k=5, threshold=0.3)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 80) in pairs and (2, 82) in pairs
+    row = out[(out["doc_a"] == 2) & (out["doc_b"] == 82)].iloc[0]
+    assert row["jaccard"] == 1.0
+    # exactness: recompute jaccard from the distinct 5-gram sets
+    docs = docs_ds.to_pandas().set_index("doc_id")["text"]
+    for _, r in out.iterrows():
+        sets = []
+        for d in (r["doc_a"], r["doc_b"]):
+            h, lens = _word_hashes_flat([docs[d]])
+            sh, _ = _shingle_hashes_flat(h, lens, 5)
+            sets.append(set(sh.tolist()))
+        expect = len(sets[0] & sets[1]) / len(sets[0] | sets[1])
+        assert abs(r["jaccard"] - expect) < 1e-12
+
+
+def test_winnow_properties(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import (
+        _winnow_doc,
+        winnow_fingerprints,
+    )
+
+    # identical docs -> identical summaries; appended tail shares most
+    # selected fingerprints (winnowing locality)
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a + "extra tail words here"
+    fa, fb = set(_winnow_doc(a, 5, 4)), set(_winnow_doc(b, 5, 4))
+    assert fa and len(fa & fb) / len(fa) > 0.9
+    # short/empty edges
+    assert _winnow_doc("", 5, 4).size == 0
+    assert _winnow_doc("ab", 5, 4).size == 1
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": [a, a, ""]})
+    out = (
+        winnow_fingerprints(rd.from_pandas(df))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_fp"] == out.loc[1, "n_fp"]
+    assert out.loc[0, "min_fp"] == out.loc[1, "min_fp"]
+    assert out.loc[2, "n_fp"] == 0 and np.isnan(out.loc[2, "min_fp"])
+
+
+def test_embedding_cosine_dups_exact(emb_ds):
+    from light_curve_feature_ray.pipelines.similarity import (
+        embedding_cosine_dups,
+    )
+
+    ds, vecs = emb_ds
+    thr = 0.3
+    out = (
+        embedding_cosine_dups(ds, threshold=thr)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    v = vecs.astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos = v @ v.T
+    iu = np.triu_indices(len(v), k=1)
+    want = {
+        (int(a), int(b)): cos[a, b]
+        for a, b in zip(*iu)
+        if cos[a, b] >= thr
+    }
+    got = {(int(r["vec_a"]), int(r["vec_b"])): r["cosine"] for _, r in out.iterrows()}
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key] - want[key]) < 1e-9
