@@ -185,6 +185,81 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
+def _ceiling_worker(args):
+    """One partition through the exact RollupWorker kernel (no Ray)."""
+    import time as _t
+
+    import pyarrow as pa
+
+    cfg_dict, blob = args
+    from light_curve_feature_ray.stages.rollup import (
+        RollupConfig,
+        RollupWorker,
+    )
+
+    cfg = RollupConfig(**cfg_dict)
+    table = pa.ipc.open_stream(blob).read_all()
+    t0 = _t.perf_counter()
+    RollupWorker(cfg)(table)
+    return _t.perf_counter() - t0
+
+
+def kernel_ceiling(sf: float, n_lo: int, n_hi: int) -> dict:
+    """Hardware-ceiling probe: the exact worker kernel via plain
+    multiprocessing (no Ray, no shuffle) at both parallelism levels on
+    pre-partitioned data. This bounds what ANY pipeline built on this
+    kernel can achieve on this machine; the scaling JSON reports the
+    pipeline's efficiency alongside it so the number is interpretable."""
+    import multiprocessing as mp
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from light_curve_feature_ray.sources.synth import synth_transcripts_table
+    from light_curve_feature_ray.stages.rollup import (
+        DeriveAssign,
+        RollupConfig,
+    )
+
+    n_convs = max(50, int(4_000 * sf / 0.1))
+    tbl = synth_transcripts_table(
+        n_convs=n_convs, mean_turns=220, hot_convs=max(1, n_convs // 2000),
+        hot_turns=30_000, seed=BENCH_SEED,
+    )
+    nparts = 4 * n_hi
+    cfg = RollupConfig(
+        num_partitions=nparts, hot_threshold=None, gap_fill="linear",
+        store_points=True,
+    )
+    derived = DeriveAssign(cfg)(tbl)
+    blobs = []
+    for p in range(nparts):
+        sub = derived.filter(pc.equal(derived["part"], p))
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, sub.schema) as w:
+            w.write_table(sub)
+        blobs.append(sink.getvalue().to_pybytes())
+    cfg_dict = dict(
+        features=cfg.features, num_partitions=nparts, hot_threshold=None,
+        gap_fill="linear", store_points=True,
+    )
+    jobs = [(cfg_dict, b) for b in blobs]
+    out = {}
+    for k in (n_lo, n_hi):
+        with mp.Pool(k) as pool:
+            pool.map(_ceiling_worker, jobs)  # warm (page faults, imports)
+            t0 = time.perf_counter()
+            pool.map(_ceiling_worker, jobs)
+            out[k] = time.perf_counter() - t0
+    return {
+        "kernel_sec_lo": round(out[n_lo], 3),
+        "kernel_sec_hi": round(out[n_hi], 3),
+        "kernel_ceiling_eff": round(
+            (out[n_lo] / out[n_hi]) / (n_hi / n_lo), 3
+        ),
+    }
+
+
 def run_subprocess(sf_dir: str, ncpu: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
     out = subprocess.run(
@@ -218,22 +293,28 @@ def main():
         lo = min(lo_runs, key=lambda r: r["value"])
         hi = min(hi_runs, key=lambda r: r["value"])
         eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling_efficiency",
-                    "value": round(eff, 3),
-                    "unit": "ratio",
-                    "num_cpus_lo": n_lo,
-                    "num_cpus_hi": n_hi,
-                    "sec_lo": lo["value"],
-                    "sec_hi": hi["value"],
-                    "turns_per_sec_lo": lo["turns_per_sec"],
-                    "turns_per_sec_hi": hi["turns_per_sec"],
-                    "sf": lo["sf"],
-                }
+        # hardware-ceiling probe: what the kernel alone scales to on this
+        # machine (documents the VM's shared-memory-bandwidth wall; see
+        # BASELINE.md "Scaling-measurement caveat")
+        ceiling = kernel_ceiling(lo["sf"], n_lo, n_hi)
+        rec = {
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "num_cpus_lo": n_lo,
+            "num_cpus_hi": n_hi,
+            "sec_lo": lo["value"],
+            "sec_hi": hi["value"],
+            "turns_per_sec_lo": lo["turns_per_sec"],
+            "turns_per_sec_hi": hi["turns_per_sec"],
+            "sf": lo["sf"],
+            **ceiling,
+        }
+        if ceiling["kernel_ceiling_eff"] > 0:
+            rec["pipeline_vs_ceiling"] = round(
+                eff / ceiling["kernel_ceiling_eff"], 3
             )
-        )
+        print(json.dumps(rec))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     print(json.dumps(run_bench(sf_dir, num_cpus)))

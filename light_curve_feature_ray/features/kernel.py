@@ -39,15 +39,18 @@ class Series:
         "_plateau",
     )
 
-    def __init__(self, t, m, w=None, *, check: bool = True):
-        self.t = np.ascontiguousarray(t, dtype=np.float64)
-        self.m = np.ascontiguousarray(m, dtype=np.float64)
+    def __init__(self, t, m, w=None, *, check: bool = True, dtype=np.float64):
+        # dtype mirrors the reference's Float trait (f32 | f64,
+        # /root/reference/src/float_trait.rs:30-76): evaluators are
+        # dtype-generic numpy, so an f32 Series computes in f32 throughout
+        self.t = np.ascontiguousarray(t, dtype=dtype)
+        self.m = np.ascontiguousarray(m, dtype=dtype)
         if w is None:
             # unit weights, reference `new_without_weight`
             # (/root/reference/src/data/time_series.rs:110-136)
             self.w = np.ones_like(self.m)
         else:
-            self.w = np.ascontiguousarray(w, dtype=np.float64)
+            self.w = np.ascontiguousarray(w, dtype=dtype)
         if check:
             if not (self.t.shape == self.m.shape == self.w.shape):
                 raise ValueError("t, m, w must have equal lengths")

@@ -80,8 +80,12 @@ class CheckpointedRollupWorker:
     """map_groups callable: rollup one partition, write it, emit the
     manifest row (the Dataset output is the tiny manifest table)."""
 
-    def __init__(self, config: RollupConfig, out_dir: str, lineage: dict):
-        self.worker = RollupWorker(config)
+    def __init__(
+        self, config: RollupConfig, out_dir: str, lineage: dict, hot_list=None
+    ):
+        # hot_list must match DeriveAssign's so salted gap-fill truncates
+        # at salt-window boundaries (partition-count independence)
+        self.worker = RollupWorker(config, hot_list=hot_list)
         self.out_dir = out_dir
         self.lineage = lineage
 
@@ -117,7 +121,7 @@ def run_rollup_job(
         json.dump(lineage, f)
 
     ds = read_transcripts(input_path)
-    hot_ref = None
+    hot_ref, hot = None, None
     if config.hot_threshold is not None:
         hot = detect_hot_convs(ds, config.hot_threshold)
         if hot:
@@ -138,7 +142,7 @@ def run_rollup_job(
 
         derived = derived.map_batches(drop_done, batch_format="pyarrow")
 
-    worker = CheckpointedRollupWorker(config, out_dir, lineage)
+    worker = CheckpointedRollupWorker(config, out_dir, lineage, hot_list=hot)
 
     def checkpointed_rollup(batch: pa.Table) -> pa.Table:
         return worker(batch)

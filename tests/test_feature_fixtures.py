@@ -264,3 +264,30 @@ def test_short_series_errors_and_fill():
         f.eval(s)
     out = f.eval_or_fill(s, fill_value=-1.0)
     np.testing.assert_array_equal(out, [-1.0])
+
+
+def test_f32_kernel_variant():
+    """f32 Series (reference Float trait f32 path, float_trait.rs:30-76):
+    every stateless evaluator computes in float32 and lands within f32
+    tolerance of the f64 result."""
+    import numpy as np
+
+    from light_curve_feature_ray.features.base import REGISTRY
+    from light_curve_feature_ray.features.kernel import Series
+
+    rng = np.random.default_rng(12)
+    t = np.sort(rng.uniform(0, 100, 128))
+    m = 10.0 + rng.normal(size=128)
+    w = rng.uniform(0.5, 2.0, 128)
+    s64 = Series(t, m, w)
+    s32 = Series(t, m, w, dtype=np.float32)
+    assert s32.m.dtype == np.float32
+    skip = {"periodogram", "_periodogram_peaks", "bins", "transformed",
+            "bazin_fit", "villar_fit", "linexp_fit"}
+    for kind, cls in sorted(REGISTRY.items()):
+        if kind in skip:
+            continue
+        f = cls()
+        a = f.eval(s64)
+        b = f.eval(s32)
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=1e-4, err_msg=kind)
