@@ -291,6 +291,68 @@ FROM filled GROUP BY conv_id, h//24
 """
 
 
+def q_rollup_1d_gapfill_linear(sf_dir: str):
+    # amplitude (order statistic) rather than mean: linear interpolation
+    # creates dyadic-rational fill values whose day MEAN can land exactly
+    # on a round-6 halfway point (measured: 8.2921875), where the two
+    # engines' summation orders disagree by an ulp. min/max of the filled
+    # series are summation-free, so they verify the interpolation itself
+    # bit-for-bit.
+    ds = _rollup(
+        sf_dir,
+        features=("observation_count", "amplitude"),
+        tiers=("1d",),
+        gap_fill="linear",
+        fill_levels=("1h",),
+        max_fill_gap=None,
+    )
+    return _finalize(
+        ds.map_batches(
+            lambda b: b.drop_columns(["tier"]), batch_format="pyarrow"
+        )
+    )
+
+
+SQL_ROLLUP_1D_GAPFILL_LINEAR = f"""
+WITH {_TM},
+bins AS (SELECT conv_id, j, avg(m) AS bm FROM tm GROUP BY conv_id, j),
+hb AS (SELECT conv_id, j//60 AS h, avg(bm) AS hm FROM bins GROUP BY conv_id, j//60),
+rng AS (SELECT conv_id, min(h) AS hmin, max(h) AS hmax FROM hb GROUP BY conv_id),
+slots AS (SELECT conv_id, unnest(generate_series(hmin, hmax)) AS h FROM rng),
+ctx AS (
+    SELECT s.conv_id, s.h, hb.hm,
+           last_value(hb.hm IGNORE NULLS) OVER w AS pv,
+           last_value(CASE WHEN hb.hm IS NOT NULL THEN s.h END IGNORE NULLS)
+               OVER w AS ph,
+           first_value(hb.hm IGNORE NULLS) OVER wf AS nv,
+           first_value(CASE WHEN hb.hm IS NOT NULL THEN s.h END IGNORE NULLS)
+               OVER wf AS nh
+    FROM slots s LEFT JOIN hb ON hb.conv_id = s.conv_id AND hb.h = s.h
+    WINDOW w AS (PARTITION BY s.conv_id ORDER BY s.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY s.conv_id ORDER BY s.h
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+filled AS (
+    SELECT conv_id, h,
+           CASE WHEN hm IS NOT NULL THEN hm
+                -- mirror the engine exactly: m0 + frac * (m1 - m0) with
+                -- frac = offset/denom computed first (stages/rollup.py
+                -- _gap_fill 'linear')
+                ELSE pv + (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+                     * (nv - pv)
+           END AS hm
+    FROM ctx
+)
+SELECT conv_id,
+       make_timestamp((h//24)*86400*1000000) AS bucket_ts,
+       count(*) AS n_points,
+       CAST(count(*) AS DOUBLE) AS observation_count,
+       round((max(hm) - min(hm))/2, 6) AS amplitude
+FROM filled GROUP BY conv_id, h//24
+"""
+
+
 # ---------------------------------------------------------------------------
 # per-conversation feature queries
 # ---------------------------------------------------------------------------
@@ -583,7 +645,13 @@ def q_conv_advanced(sf_dir: str):
             "anderson_darling_normal",
             "chi2_pvar",
             {"name": "biweight_scale", "c": 9.0},
-            {"name": "periodogram", "peaks": 1},
+            {
+                # phase extractor exercises the fold + Bins(1e-6) dedup
+                # path end to end (periodogram.rs:545-575)
+                "name": "periodogram",
+                "peaks": 1,
+                "phase_features": ["mean", "eta"],
+            },
         ),
     )
 
@@ -755,14 +823,32 @@ def q_conv_multicolor_periodogram(sf_dir: str):
         conv_multicolor_features,
     )
 
-    mcp = MultiColorPeriodogram(["click", "view"], peaks=1)
+    mcp = MultiColorPeriodogram(
+        ["click", "view"],
+        peaks=1,
+        phase_bands=["click", "view"],
+        phase_features=["mean", "eta"],
+    )
     ds = conv_multicolor_features(_turns(sf_dir), [mcp])
     return _finalize(ds, skip=("conv_id",))
 
 
 def q_conv_bazin_fit(sf_dir: str):
-    # non-linear MCMC fit: no SQL analog -> rows-only check
-    return _conv_features(sf_dir, ({"name": "bazin_fit", "niterations": 32},))
+    # non-linear MCMC fit: no SQL analog -> rows-only check. Includes the
+    # raw fit output AND the magnitude-space reshape via
+    # Transformed(BazinFit, BazinFitTransformer)
+    # (/root/reference/src/transformers/bazin_fit.rs:97-126)
+    return _conv_features(
+        sf_dir,
+        (
+            {"name": "bazin_fit", "niterations": 32},
+            {
+                "name": "transformed",
+                "feature": {"name": "bazin_fit", "niterations": 32},
+                "transformer": {"name": "bazin_fit", "mag_zp": 8.9},
+            },
+        ),
+    )
 
 
 def q_rollup_full_tiers(sf_dir: str):
@@ -813,6 +899,35 @@ SELECT user_id, k*900 AS window_start,
        round(sum(value), 6) AS sum_value,
        round(avg(value), 6) AS mean_value
 FROM x GROUP BY user_id, k
+"""
+
+
+def q_events_tumbling_window(sf_dir: str):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import tumbling_window_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return _finalize(
+        tumbling_window_agg(ev, window_s=3600),
+        skip=("user_id", "window_start", "n"),
+    )
+
+
+SQL_EVENTS_TUMBLING_WINDOW = """
+WITH e AS (
+    SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT)//3600)*3600 AS w, value
+    FROM events
+)
+SELECT user_id, w AS window_start,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(avg(value), 6) AS mean_value
+FROM e GROUP BY user_id, w
 """
 
 
@@ -1217,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "rollup_1d_gapfill_prev": q_rollup_1d_gapfill_prev,
+        "rollup_1d_gapfill_linear": q_rollup_1d_gapfill_linear,
         "rollup_full_tiers": q_rollup_full_tiers,
         "conv_moments": q_conv_moments,
         "conv_time": q_conv_time,
@@ -1232,6 +1348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_multicolor_bins": q_conv_multicolor_bins,
         "conv_multicolor_periodogram": q_conv_multicolor_periodogram,
         "events_sliding_window": q_events_sliding_window,
+        "events_tumbling_window": q_events_tumbling_window,
         "events_sessions": q_events_sessions,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
@@ -1258,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h_cascade": SQL_ROLLUP_1H_CASCADE,
         "rollup_1d_cascade": SQL_ROLLUP_1D_CASCADE,
         "rollup_1d_gapfill_prev": SQL_ROLLUP_1D_GAPFILL_PREV,
+        "rollup_1d_gapfill_linear": SQL_ROLLUP_1D_GAPFILL_LINEAR,
         "conv_moments": SQL_CONV_MOMENTS,
         "conv_time": SQL_CONV_TIME,
         "conv_shape": SQL_CONV_SHAPE,
@@ -1270,6 +1388,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": SQL_MULTIMODAL_META,
         "conv_colors": SQL_CONV_COLORS,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
+        "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
         "doc_text_stats": SQL_DOC_TEXT_STATS,

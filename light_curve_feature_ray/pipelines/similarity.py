@@ -117,65 +117,101 @@ class _LshBucketer:
         return _LshBucketer(dim, n_planes, seed)
 
 
-def lsh_knn_cosine(emb_ds, n_queries: int = 5, k: int = 10, n_planes: int = 6):
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+def lsh_knn_cosine(
+    emb_ds,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 1,
+    seed: int = 77,
+):
+    """Approximate top-k: score only vectors in the query's LSH bucket(s).
 
     Scale shape: the query buckets are computed FIRST and broadcast; the
     bucket+filter stage drops every non-candidate vector before the
     ``groupby`` — the exchange moves only vectors sharing a bucket with
-    some query (for Q queries, an expected Q/2^n_planes fraction of the
-    table), not the whole embedding table. ``n_planes`` should grow with
-    the corpus (bucket occupancy ~ N/2^n_planes); for recall at high
-    n_planes, union several hash tables (different seeds)."""
-    bucketer = _LshBucketer.for_dataset(emb_ds, n_planes)
+    some query (for Q queries and T tables, an expected T*Q/2^n_planes
+    fraction of the table), not the whole embedding table. ``n_planes``
+    should grow with the corpus (bucket occupancy ~ N/2^n_planes);
+    ``n_tables`` > 1 unions independent hyperplane sets — the standard
+    recall knob at high n_planes. Candidates from all tables are merged
+    and deduped in a per-query top-k reduce."""
+    bucketers = [
+        _LshBucketer.for_dataset(emb_ds, n_planes, seed=seed + 1000 * t)
+        for t in range(n_tables)
+    ]
     q_rows = emb_ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
     q_rows = q_rows.sort_values("vec_id")
     q_mat = _normalize(_to_matrix(q_rows["embedding"]))
-    q_buckets = bucketer.bucket_of(q_mat)
-    q_by_bucket: dict[int, list[int]] = {}
-    for qi, b in enumerate(q_buckets):
-        q_by_bucket.setdefault(int(b), []).append(qi)
     q_ids = q_rows["vec_id"].to_numpy()
-    ref = ray.put((q_by_bucket, q_ids, q_mat))
-    wanted_arr = np.unique(q_buckets).astype(np.int64)
-    wanted_ref = ray.put(wanted_arr)
+    # key = table * 2^n_planes + bucket (tables are disjoint key spaces)
+    q_by_key: dict[int, list[int]] = {}
+    wanted_keys = []
+    for t, b in enumerate(bucketers):
+        for qi, bucket in enumerate(b.bucket_of(q_mat)):
+            key = (t << n_planes) | int(bucket)
+            q_by_key.setdefault(key, []).append(qi)
+            wanted_keys.append(key)
+    ref = ray.put((q_by_key, q_ids, q_mat))
+    wanted_ref = ray.put(np.unique(np.array(wanted_keys, dtype=np.int64)))
 
     def bucket_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        out = bucketer(batch)
         wanted = ray.get(wanted_ref)
-        return out[np.isin(out["bucket"].to_numpy(), wanted)]
+        mat = _normalize(_to_matrix(batch["embedding"]))
+        frames = []
+        for t, b in enumerate(bucketers):
+            keys = (t << n_planes) | b.bucket_of(mat).astype(np.int64)
+            sel = np.isin(keys, wanted)
+            if sel.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": batch["vec_id"].to_numpy()[sel],
+                            "bucket": keys[sel],
+                            "embedding": [m for m in mat[sel]],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype=np.int64),
+                 "bucket": pd.Series([], dtype=np.int64),
+                 "embedding": pd.Series([], dtype=object)}
+            )
+        return pd.concat(frames, ignore_index=True)
 
     bucketed = emb_ds.map_batches(
         bucket_and_filter, batch_format="pandas", batch_size=None
     )
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        q_by_bucket, q_ids, q_mat = ray.get(ref)
-        bucket = int(g["bucket"].iloc[0])
-        qs = q_by_bucket.get(bucket, [])
+        q_by_key, q_ids, q_mat = ray.get(ref)
+        key = int(g["bucket"].iloc[0])
+        qs = q_by_key.get(key, [])
         if not qs:
-            return pd.DataFrame(
-                {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
-            )
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
         mat = np.stack(list(g["embedding"]))
         cos = q_mat[qs] @ mat.T
-        out = []
-        for row, qi in enumerate(qs):
-            order = np.lexsort((g["vec_id"].to_numpy(), -cos[row]))[:k]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "query_id": q_ids[qi],
-                        "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-                        "vec_id": g["vec_id"].to_numpy()[order],
-                        "cosine": cos[row][order],
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+        n = mat.shape[0]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids[np.asarray(qs)], n),
+                "vec_id": np.tile(g["vec_id"].to_numpy(), len(qs)),
+                "cosine": cos.ravel(),
+            }
+        )
 
-    return bucketed.groupby("bucket").map_groups(
+    candidates = bucketed.groupby("bucket").map_groups(
         score_bucket, batch_format="pandas"
+    )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # dedup across tables, then the exact-path top-k tie rule
+        g = g.drop_duplicates("vec_id")
+        return _final_topk(k)(g)
+
+    return candidates.groupby("query_id").map_groups(
+        merge_topk, batch_format="pandas"
     )
 
 

@@ -134,3 +134,59 @@ def session_windows(
     return _with_part(events_ds, key_col, num_partitions).groupby("part").map_groups(
         per_partition, batch_format="pandas"
     )
+
+
+def tumbling_window_agg(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 3600,
+):
+    """Count/sum/min/max/mean of ``value`` per (key, tumbling window).
+
+    Shuffle-minimal shape: each block is pre-aggregated to one partial row
+    per (key, window) BEFORE the exchange (the combiner), so the groupby
+    moves partials — orders of magnitude fewer rows than events — and the
+    reduce side merges partials algebraically. Returns
+    (key, window_start: epoch seconds, n, sum_value, min_value, max_value,
+    mean_value)."""
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        t = _epoch_seconds(g[ts_col])
+        win = (t // window_s) * window_s
+        df = pd.DataFrame(
+            {key_col: g[key_col].to_numpy(), "window_start": win,
+             "v": g[value_col].to_numpy()}
+        )
+        out = (
+            df.groupby([key_col, "window_start"], sort=True)["v"]
+            .agg(n="count", sum_value="sum", min_value="min", max_value="max")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = events_ds.map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        s = float(g["sum_value"].sum())
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "window_start": [g["window_start"].iloc[0]],
+                "n": [n],
+                "sum_value": [s],
+                "min_value": [g["min_value"].min()],
+                "max_value": [g["max_value"].max()],
+                "mean_value": [s / n],
+            }
+        )
+
+    return partials.groupby([key_col, "window_start"]).map_groups(
+        merge, batch_format="pandas"
+    )

@@ -258,3 +258,28 @@ def test_embedding_cosine_dups_exact(emb_ds):
     assert set(got) == set(want)
     for key in want:
         assert abs(got[key] - want[key]) < 1e-9
+
+
+def test_knn_lsh_multi_table_recall_improves(emb_ds):
+    from light_curve_feature_ray.pipelines.similarity import (
+        knn_cosine,
+        lsh_knn_cosine,
+    )
+
+    ds, _ = emb_ds
+    exact = knn_cosine(ds, n_queries=5, k=5).to_pandas()
+
+    def recall(n_tables):
+        approx = lsh_knn_cosine(
+            ds, n_queries=5, k=5, n_planes=4, n_tables=n_tables
+        ).to_pandas()
+        hits = 0
+        for q in range(5):
+            e = set(exact[exact["query_id"] == q]["vec_id"])
+            a = set(approx[approx["query_id"] == q]["vec_id"])
+            hits += len(e & a)
+        return hits / 25
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1, (r1, r4)  # more tables never hurt recall
+    assert r4 >= 0.5, (r1, r4)  # 4 tables at 4 planes finds most of top-5
