@@ -291,6 +291,71 @@ FROM filled GROUP BY conv_id, h//24
 """
 
 
+def q_rollup_retention(sf_dir: str):
+    """All three tiers + per-tier TTL retention (the 'retention' half of
+    the engine contract): 1m kept 2 days, 1h kept 5 days, 1d forever.
+    'now' = the data's max ts floored to the minute, so the query is
+    deterministic and the cutoff comparison is exact integer minutes on
+    both the engine and oracle sides."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.rollup import apply_retention
+
+    max_ts = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    ).max("ts")
+    # Dataset.max returns datetime for timestamp columns
+    now_us = int(pa.scalar(max_ts, type=pa.timestamp("us")).cast(pa.int64()).as_py())
+    now_us = (now_us // 60_000_000) * 60_000_000
+    ds = _rollup(
+        sf_dir,
+        features=("observation_count", "mean"),
+        tiers=("1m", "1h", "1d"),
+        gap_fill="none",
+    )
+    kept = apply_retention(
+        ds, now_us, {"1m": 2 * 86400, "1h": 5 * 86400, "1d": None}
+    )
+    return _finalize(kept)
+
+
+SQL_ROLLUP_RETENTION = f"""
+WITH {_TM},
+nowj AS (SELECT CAST(floor(max(t)/60) AS BIGINT) AS nj FROM tm),
+m1 AS (
+    SELECT conv_id, j, count(*) AS n, avg(m) AS mean
+    FROM tm GROUP BY conv_id, j
+),
+bins AS (SELECT conv_id, j, avg(m) AS bm FROM tm GROUP BY conv_id, j),
+h1 AS (
+    SELECT conv_id, j//60 AS h, count(*) AS n, avg(bm) AS mean
+    FROM bins GROUP BY conv_id, j//60
+),
+hb AS (SELECT conv_id, j//60 AS h, avg(bm) AS hm FROM bins GROUP BY conv_id, j//60),
+d1 AS (
+    SELECT conv_id, h//24 AS d, count(*) AS n, avg(hm) AS mean
+    FROM hb GROUP BY conv_id, h//24
+)
+SELECT * FROM (
+    SELECT conv_id, '1m' AS tier,
+           make_timestamp(j*60*1000000) AS bucket_ts,
+           n AS n_points, CAST(n AS DOUBLE) AS observation_count,
+           round(mean, 6) AS mean
+    FROM m1 WHERE j >= (SELECT nj FROM nowj) - 2*1440
+    UNION ALL
+    SELECT conv_id, '1h',
+           make_timestamp(h*3600*1000000),
+           n, CAST(n AS DOUBLE), round(mean, 6)
+    FROM h1 WHERE h*60 >= (SELECT nj FROM nowj) - 5*1440
+    UNION ALL
+    SELECT conv_id, '1d',
+           make_timestamp(d*86400*1000000),
+           n, CAST(n AS DOUBLE), round(mean, 6)
+    FROM d1
+)
+"""
+
+
 def q_rollup_1d_gapfill_linear(sf_dir: str):
     # amplitude (order statistic) rather than mean: linear interpolation
     # creates dyadic-rational fill values whose day MEAN can land exactly
@@ -1199,6 +1264,14 @@ def q_doc_minhash_dups(sf_dir: str):
     return minhash_lsh_dups(_docs(sf_dir), threshold=0.5)
 
 
+def q_doc_simhash_dups(sf_dir: str):
+    """SimHash near-dup pairs (exact recall within the Hamming radius via
+    pigeonhole banding; signatures are polars-ahash-derived, so rows-only)."""
+    from light_curve_feature_ray.pipelines.text import simhash_dups
+
+    return simhash_dups(_docs(sf_dir), max_hamming=6)
+
+
 def q_doc_simhash(sf_dir: str):
     from light_curve_feature_ray.pipelines.text import simhash_signatures
 
@@ -1333,6 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "rollup_1d_gapfill_prev": q_rollup_1d_gapfill_prev,
         "rollup_1d_gapfill_linear": q_rollup_1d_gapfill_linear,
+        "rollup_retention": q_rollup_retention,
         "rollup_full_tiers": q_rollup_full_tiers,
         "conv_moments": q_conv_moments,
         "conv_time": q_conv_time,
@@ -1360,6 +1434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dups": q_emb_cosine_dups,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_dups": q_doc_simhash_dups,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "multimodal_decode": q_multimodal_decode,
@@ -1376,6 +1451,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d_cascade": SQL_ROLLUP_1D_CASCADE,
         "rollup_1d_gapfill_prev": SQL_ROLLUP_1D_GAPFILL_PREV,
         "rollup_1d_gapfill_linear": SQL_ROLLUP_1D_GAPFILL_LINEAR,
+        "rollup_retention": SQL_ROLLUP_RETENTION,
         "conv_moments": SQL_CONV_MOMENTS,
         "conv_time": SQL_CONV_TIME,
         "conv_shape": SQL_CONV_SHAPE,

@@ -141,3 +141,40 @@ def rollup_table(table: pa.Table, config: RollupConfig | None = None) -> pa.Tabl
     config = config or RollupConfig()
     derived = DeriveAssign(config)(table)
     return RollupWorker(config)(derived)
+
+
+#: per-tier TTL in seconds; None = keep forever. The retention half of the
+#: "rollup + downsample + retention" contract: fine tiers age out first,
+#: coarse tiers persist (classic continuous-aggregate retention policy).
+DEFAULT_RETENTION = {"1m": 7 * 86400, "1h": 90 * 86400, "1d": None}
+
+
+def apply_retention(tiers_ds, now_us: int, policy: dict | None = None):
+    """Filter tier rows by per-tier TTL: keep a row iff its tier's policy
+    is None or ``bucket_ts >= now - ttl``. A stateless vectorized
+    ``map_batches`` filter — at scale this prunes entire partitions when
+    the tier parquet is partitioned by (tier, date), so retention is a
+    metadata operation for expired partitions and a filter at the edge.
+    ``now_us`` must be supplied by the caller (epoch microseconds) so the
+    operation is deterministic and retry-safe."""
+    policy = DEFAULT_RETENTION if policy is None else policy
+
+    def f(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        import numpy as np
+        import pyarrow.compute as pc
+
+        bucket_us = batch["bucket_ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        tiers = batch["tier"].to_numpy(zero_copy_only=False)
+        keep = np.ones(batch.num_rows, dtype=bool)
+        for tier, ttl in policy.items():
+            if ttl is None:
+                continue
+            cutoff = now_us - int(ttl) * 1_000_000
+            keep &= (tiers != tier) | (bucket_us >= cutoff)
+        return batch.filter(pa.array(keep))
+
+    return tiers_ds.map_batches(f, batch_format="pyarrow", batch_size=None)

@@ -649,3 +649,74 @@ def winnow_fingerprints(docs_ds, k: int = 5, w: int = 4):
         )
 
     return docs_ds.map_batches(f, batch_format="pandas", batch_size=None)
+
+
+def simhash_dups(docs_ds, max_hamming: int = 6, max_bucket: int = 256):
+    """SimHash near-duplicate pairs with EXACT recall for the given radius:
+    the 64-bit signature is sliced into ``max_hamming + 1`` bit-bands, so
+    any pair within the Hamming radius shares at least one identical band
+    (pigeonhole); same-band candidates are verified by popcount. Returns
+    (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Everything is groupby-shaped: signatures -> (band, band_value, doc,
+    sig) rows -> per-bucket pair verification (bucket capped + logged) ->
+    pair dedup. Hamming is verified inside the bucket task (signatures
+    travel with the rows), so no second lookup pass exists."""
+    nbands = max_hamming + 1
+    # band bit boundaries: 64 bits split as evenly as possible
+    edges = np.linspace(0, 64, nbands + 1).astype(np.int64)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sig_df = SimHasher()(batch)
+        sigs = sig_df["simhash"].to_numpy().astype(np.uint64)
+        n = sigs.shape[0]
+        frames = []
+        for b in range(nbands):
+            lo, hi = edges[b], edges[b + 1]
+            width = np.uint64(hi - lo)
+            vals = (sigs >> np.uint64(lo)) & ((np.uint64(1) << width) - np.uint64(1))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "band": np.full(n, b, dtype=np.int32),
+                        "band_val": vals.view(np.int64),
+                        "doc_id": sig_df["doc_id"].to_numpy(),
+                        "sig": sigs.view(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    rows = docs_ds.map_batches(explode, batch_format="pandas", batch_size=None)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        if len(g) > max_bucket:
+            logger.warning(
+                "simhash_dups: band bucket of size %d capped to %d",
+                len(g), max_bucket,
+            )
+            g = g.head(max_bucket)
+        ids = g["doc_id"].to_numpy()
+        sigs = g["sig"].to_numpy().view(np.uint64)
+        a, b = np.triu_indices(len(ids), k=1)
+        x = sigs[a] ^ sigs[b]
+        ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "doc_a": ids[a[keep]],
+                "doc_b": ids[b[keep]],
+                "hamming": ham[keep].astype(np.int64),
+            }
+        )
+
+    pairs = rows.groupby(["band", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1)[["doc_a", "doc_b", "hamming"]],
+        batch_format="pandas",
+    )

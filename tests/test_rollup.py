@@ -302,3 +302,29 @@ def test_ray_pipeline_matches_inprocess(ray_session, tmp_path, salted, gap_fill)
     want["bucket_us"] = want["bucket_ts"].astype("int64")
     names = FeatureExtractor.from_config(list(SIMPLE_FEATURES)).names()
     compare_frames(got, want, names)
+
+
+def test_apply_retention(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.rollup import apply_retention
+
+    now_us = 1_700_000_000 * 1_000_000
+    day = 86_400 * 1_000_000
+    tbl = pa.table(
+        {
+            "tier": pa.array(["1m", "1m", "1h", "1h", "1d", "1d"]),
+            "bucket_ts": pa.array(
+                [now_us - 3 * day, now_us - day,        # 1m: old, fresh
+                 now_us - 9 * day, now_us - 2 * day,    # 1h: old, fresh
+                 now_us - 400 * day, now_us - day],     # 1d: kept forever
+                type=pa.timestamp("us"),
+            ),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        }
+    )
+    out = apply_retention(
+        rd.from_arrow(tbl), now_us,
+        {"1m": 2 * 86400, "1h": 7 * 86400, "1d": None},
+    ).to_pandas()
+    assert sorted(out["v"]) == [2.0, 4.0, 5.0, 6.0]

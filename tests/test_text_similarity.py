@@ -283,3 +283,26 @@ def test_knn_lsh_multi_table_recall_improves(emb_ds):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1, (r1, r4)  # more tables never hurt recall
     assert r4 >= 0.5, (r1, r4)  # 4 tables at 4 planes finds most of top-5
+
+
+def test_simhash_dups_pairs(docs_ds):
+    from light_curve_feature_ray.pipelines.text import (
+        simhash_dups,
+        simhash_signatures,
+    )
+
+    out = (
+        simhash_dups(docs_ds, max_hamming=6)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (2, 82) in pairs  # exact duplicate, hamming 0
+    assert (0, 80) in pairs  # near duplicate, hamming <= 6
+    # reported hamming equals the true signature hamming
+    sigs = simhash_signatures(docs_ds).to_pandas().set_index("doc_id")["simhash"]
+    for _, r in out.iterrows():
+        true = bin(int(sigs[r["doc_a"]]) ^ int(sigs[r["doc_b"]])).count("1")
+        assert r["hamming"] == true
+        assert true <= 6
