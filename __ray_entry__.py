@@ -1321,6 +1321,22 @@ def q_knn_lsh(sf_dir: str):
     )
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF approximate kNN (spherical k-means coarse quantizer, nprobe
+    cells per query) — the data-adaptive ANN scale path."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.similarity import ivf_knn_cosine
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return _finalize(
+        ivf_knn_cosine(emb, n_queries=5, k=10, n_centroids=16, nprobe=3),
+        skip=("query_id", "rank", "vec_id"),
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     from light_curve_feature_ray.pipelines.multimodal import (
         attach_fake_payloads,
@@ -1437,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dups": q_doc_simhash_dups,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_meta": q_multimodal_meta,
     }

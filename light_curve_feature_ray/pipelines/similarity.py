@@ -248,3 +248,107 @@ def embedding_cosine_dups(emb_ds, threshold: float = 0.9):
         )
 
     return emb_ds.map_batches(block, batch_format="pandas", batch_size=None)
+
+
+def _kmeans_cosine(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
+                   seed: int = 5):
+    """Deterministic spherical k-means (fixed seed/iterations) for the IVF
+    coarse quantizer. Centroids are unit-normalized."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(sample.shape[0], size=min(n_centroids, sample.shape[0]),
+                     replace=False)
+    cents = _normalize(sample[idx].copy())
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = sample[assign == c]
+            if members.shape[0]:
+                cents[c] = members.sum(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_knn_cosine(
+    emb_ds,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    train_sample: int = 2048,
+    seed: int = 5,
+):
+    """IVF (inverted-file) approximate top-k: a spherical k-means coarse
+    quantizer partitions the corpus into centroid cells; each query scans
+    only its ``nprobe`` nearest cells.
+
+    Scale shape mirrors the LSH path: the tiny centroid matrix is trained
+    on a bounded sample and broadcast; the assign stage drops every vector
+    outside the queries' probed cells BEFORE the groupby, so the exchange
+    moves an expected nprobe/n_centroids fraction of the table. Cells are
+    data-adaptive (unlike LSH hyperplanes), which is the standard recall
+    advantage of IVF on clustered embeddings."""
+    train = emb_ds.limit(train_sample).to_pandas()
+    cents = _kmeans_cosine(
+        _normalize(_to_matrix(train["embedding"])), n_centroids, seed=seed
+    )
+    q_rows = emb_ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_rows = q_rows.sort_values("vec_id")
+    q_mat = _normalize(_to_matrix(q_rows["embedding"]))
+    q_ids = q_rows["vec_id"].to_numpy()
+    # nprobe nearest cells per query
+    sim = q_mat @ cents.T
+    probe = np.argsort(-sim, axis=1)[:, :nprobe]  # (Q, nprobe)
+    q_by_cell: dict[int, list[int]] = {}
+    for qi in range(probe.shape[0]):
+        for c in probe[qi]:
+            q_by_cell.setdefault(int(c), []).append(qi)
+    wanted = np.unique(probe.ravel()).astype(np.int64)
+    ref = ray.put((q_by_cell, q_ids, q_mat, cents))
+    wanted_ref = ray.put(wanted)
+
+    def assign_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        _, _, _, cents_w = ray.get(ref)
+        want = ray.get(wanted_ref)
+        mat = _normalize(_to_matrix(batch["embedding"]))
+        cell = np.argmax(mat @ cents_w.T, axis=1).astype(np.int64)
+        sel = np.isin(cell, want)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy()[sel],
+                "cell": cell[sel],
+                "embedding": [m for m in mat[sel]],
+            }
+        )
+
+    assigned = emb_ds.map_batches(
+        assign_and_filter, batch_format="pandas", batch_size=None
+    )
+
+    def score_cell(g: pd.DataFrame) -> pd.DataFrame:
+        q_by_cell, q_ids, q_mat, _ = ray.get(ref)
+        cell = int(g["cell"].iloc[0])
+        qs = q_by_cell.get(cell, [])
+        if not qs:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        mat = np.stack(list(g["embedding"]))
+        cos = q_mat[qs] @ mat.T
+        n = mat.shape[0]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids[np.asarray(qs)], n),
+                "vec_id": np.tile(g["vec_id"].to_numpy(), len(qs)),
+                "cosine": cos.ravel(),
+            }
+        )
+
+    candidates = assigned.groupby("cell").map_groups(
+        score_cell, batch_format="pandas"
+    )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
+        return _final_topk(k)(g)
+
+    return candidates.groupby("query_id").map_groups(
+        merge_topk, batch_format="pandas"
+    )

@@ -306,3 +306,26 @@ def test_simhash_dups_pairs(docs_ds):
         true = bin(int(sigs[r["doc_a"]]) ^ int(sigs[r["doc_b"]])).count("1")
         assert r["hamming"] == true
         assert true <= 6
+
+
+def test_knn_ivf_recall(emb_ds):
+    from light_curve_feature_ray.pipelines.similarity import (
+        ivf_knn_cosine,
+        knn_cosine,
+    )
+
+    ds, _ = emb_ds
+    exact = knn_cosine(ds, n_queries=5, k=5).to_pandas()
+    approx = ivf_knn_cosine(
+        ds, n_queries=5, k=5, n_centroids=8, nprobe=3
+    ).to_pandas()
+    hits = 0
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+    assert hits / 25 >= 0.3, hits / 25
+    # the query's own cell is always probed -> self-match at rank 1
+    for q in range(5):
+        g = approx[approx["query_id"] == q].sort_values("rank")
+        assert g.iloc[0]["vec_id"] == q and abs(g.iloc[0]["cosine"] - 1) < 1e-9
