@@ -197,6 +197,94 @@ FROM g
 """
 
 
+def q_rollup_1h_by_band(sf_dir: str):
+    """Per-band tier rollup: each (conv, role) sub-stream is its own
+    series (composite key through the standard cascade) — per-band
+    continuous aggregates, the tier-level analog of PerBandFeature."""
+    from light_curve_feature_ray.stages.rollup import (
+        RollupConfig,
+        RollupWorker,
+    )
+
+    config = RollupConfig(
+        features=("observation_count", "mean", "amplitude"),
+        tiers=("1h",),
+        gap_fill="none",
+        num_partitions=16,
+        hot_threshold=None,
+        store_points=False,
+    )
+    turns = _turns(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch["conv_id"].cast(pa.string()),
+            batch["role"].cast(pa.string()),
+            "#",
+        )
+        return pa.table(
+            {
+                "conv_id": key,
+                "turn_idx": batch["turn_idx"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "m": pc.cast(
+                    pc.fill_null(pc.utf8_length(batch["text"]), 0),
+                    pa.float64(),
+                ),
+                "part": batch["part"],
+            }
+        )
+
+    worker = RollupWorker(config)
+    ds = (
+        turns.map_batches(derive, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda b: worker(b), batch_format="pyarrow")
+    )
+
+    def split_key(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["conv_id"].combine_chunks(), "#")
+        return pa.table(
+            {
+                "conv_id": pc.list_element(parts, 0),
+                "role": pc.list_element(parts, 1),
+                "bucket_ts": b["bucket_ts"],
+                "n_points": b["n_points"],
+                "observation_count": b["observation_count"],
+                "mean": b["mean"],
+                "amplitude": b["amplitude"],
+            }
+        )
+
+    return _finalize(
+        ds.map_batches(split_key, batch_format="pyarrow"),
+        skip=("conv_id", "role", "bucket_ts", "n_points"),
+    )
+
+
+# the 1h tier aggregates the 1m BIN series (cascade semantics), per band
+SQL_ROLLUP_1H_BY_BAND = f"""
+WITH turns AS ({TRANSCRIPTS_SQL}),
+tm2 AS (
+    SELECT conv_id, role,
+           CAST(coalesce(length(text), 0) AS DOUBLE) AS m,
+           CAST(floor(epoch(ts)/60) AS BIGINT) AS j
+    FROM turns
+),
+bins AS (
+    SELECT conv_id, role, j, avg(m) AS bm
+    FROM tm2 GROUP BY conv_id, role, j
+)
+SELECT conv_id, role,
+       make_timestamp((j//60)*3600*1000000) AS bucket_ts,
+       count(*) AS n_points,
+       CAST(count(*) AS DOUBLE) AS observation_count,
+       round(avg(bm), 6) AS mean,
+       round((max(bm) - min(bm))/2, 6) AS amplitude
+FROM bins GROUP BY conv_id, role, j//60
+"""
+
+
 def q_rollup_1h_cascade(sf_dir: str):
     ds = _rollup(
         sf_dir, features=_STATS_FEATURES, tiers=("1h",), gap_fill="none"
@@ -1419,6 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m_stats": q_rollup_1m_stats,
         "rollup_1m_quantiles": q_rollup_1m_quantiles,
         "rollup_1h_cascade": q_rollup_1h_cascade,
+        "rollup_1h_by_band": q_rollup_1h_by_band,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "rollup_1d_gapfill_prev": q_rollup_1d_gapfill_prev,
         "rollup_1d_gapfill_linear": q_rollup_1d_gapfill_linear,
@@ -1465,6 +1554,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m_stats": SQL_ROLLUP_1M_STATS,
         "rollup_1m_quantiles": SQL_ROLLUP_1M_QUANTILES,
         "rollup_1h_cascade": SQL_ROLLUP_1H_CASCADE,
+        "rollup_1h_by_band": SQL_ROLLUP_1H_BY_BAND,
         "rollup_1d_cascade": SQL_ROLLUP_1D_CASCADE,
         "rollup_1d_gapfill_prev": SQL_ROLLUP_1D_GAPFILL_PREV,
         "rollup_1d_gapfill_linear": SQL_ROLLUP_1D_GAPFILL_LINEAR,
