@@ -1212,6 +1212,56 @@ def q_doc_fingerprint(sf_dir: str):
 SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+def q_doc_redact(sf_dir: str):
+    """PII-style scrubbing (emails/URLs/long digit runs -> placeholders);
+    compared via md5 of the cleaned text (RE2-compatible patterns, so
+    DuckDB applies the identical substitutions)."""
+    from light_curve_feature_ray.pipelines.text import redact
+
+    ds = redact(_docs(sf_dir))
+
+    def digest(b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "clean_md5": b["clean_text"].map(
+                    lambda t: hashlib.md5(t.encode()).hexdigest()
+                ),
+                "n_redactions": b["n_redactions"],
+            }
+        )
+
+    import pandas as pd
+
+    return ds.map_batches(digest, batch_format="pandas", batch_size=None)
+
+
+SQL_DOC_REDACT = r"""
+WITH r AS (
+    SELECT doc_id, text,
+           regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS s1
+    FROM documents
+),
+r2 AS (
+    SELECT doc_id, text, s1,
+           regexp_replace(s1, 'https?://[^\s]+', '<URL>', 'g') AS s2
+    FROM r
+)
+SELECT doc_id,
+       md5(regexp_replace(s2, '\b[0-9]{6,}\b', '<NUM>', 'g')) AS clean_md5,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+       + CAST(len(regexp_extract_all(s1, 'https?://[^\s]+')) AS BIGINT)
+       + CAST(len(regexp_extract_all(s2, '\b[0-9]{6,}\b')) AS BIGINT)
+       AS n_redactions
+FROM r2
+"""
+
+
 def q_doc_ngram_jaccard(sf_dir: str):
     """EXACT word-5-gram Jaccard near-dup pairs (inverted pair counting;
     deterministic complement of the approximate minhash path)."""
@@ -1535,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": q_doc_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_redact": q_doc_redact,
         "doc_winnow": q_doc_winnow,
         "emb_cosine_dups": q_emb_cosine_dups,
         "doc_minhash_dups": q_doc_minhash_dups,
@@ -1579,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": SQL_DOC_TOKEN_COUNT,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+        "doc_redact": SQL_DOC_REDACT,
         "doc_winnow": SQL_DOC_WINNOW,
         "emb_cosine_dups": SQL_EMB_COSINE_DUPS,
         "knn_cosine": SQL_KNN_COSINE,

@@ -720,3 +720,41 @@ def simhash_dups(docs_ds, max_hamming: int = 6, max_bucket: int = 256):
         lambda g: g.head(1)[["doc_a", "doc_b", "hamming"]],
         batch_format="pandas",
     )
+
+
+# RE2-compatible patterns (no backreferences/lookaround) so the DuckDB
+# oracle's regexp_replace applies the IDENTICAL substitution
+REDACT_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("number", r"\b[0-9]{6,}\b", "<NUM>"),
+)
+
+
+def redact(docs_ds):
+    """PII-style scrubbing: replace emails / URLs / long digit runs with
+    typed placeholders. Returns (doc_id, clean_text, n_redactions) — the
+    standard pre-training hygiene pass, applied in pattern order."""
+    compiled = [(re.compile(p), rep) for _, p, rep in REDACT_PATTERNS]
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].to_numpy()
+        out = np.empty(len(texts), dtype=object)
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            total = 0
+            for rx, rep in compiled:
+                t, n = rx.subn(rep, t)
+                total += n
+            out[i] = t
+            counts[i] = total
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "clean_text": out,
+                "n_redactions": counts,
+            }
+        )
+
+    return docs_ds.map_batches(f, batch_format="pandas", batch_size=None)

@@ -329,3 +329,27 @@ def test_knn_ivf_recall(emb_ds):
     for q in range(5):
         g = approx[approx["query_id"] == q].sort_values("rank")
         assert g.iloc[0]["vec_id"] == q and abs(g.iloc[0]["cosine"] - 1) < 1e-9
+
+
+def test_redact(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import redact
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail a.b+c@ex-ample.co.uk or https://x.y/z?id=1234567 now",
+                "short 12345 stays, 123456 goes",
+                "clean text",
+            ],
+        }
+    )
+    out = redact(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> or <URL> now"
+    assert out.loc[0, "n_redactions"] == 2
+    assert out.loc[1, "clean_text"] == "short 12345 stays, <NUM> goes"
+    assert out.loc[1, "n_redactions"] == 1
+    assert out.loc[2, "clean_text"] == "clean text"
+    assert out.loc[2, "n_redactions"] == 0
