@@ -154,7 +154,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from light_curve_feature_ray.pipelines.turns import clean_turns
 
     t0 = time.perf_counter()
-    clean_turns(read_transcripts(path, for_rollup=False), 128).count()
+    # P=64 measured best for the parcel exchange (bigger zstd parcels
+    # than 128, better balance than 32)
+    clean_turns(read_transcripts(path, for_rollup=False), 64).count()
     timings["turns_clean"] = round(time.perf_counter() - t0, 3)
 
     # documents ops at the given sf testdata (small side ops)

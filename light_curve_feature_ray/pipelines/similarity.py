@@ -215,16 +215,28 @@ def lsh_knn_cosine(
     )
 
 
-def embedding_cosine_dups(emb_ds, threshold: float = 0.9):
+def embedding_cosine_dups(emb_ds, threshold: float = 0.9,
+                          max_broadcast: int = 1_000_000):
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cosine) for
     all pairs with cosine >= threshold, vec_a < vec_b.
 
     Baseline exact path: the normalized matrix is broadcast once via
     ``ray.put`` and every batch computes one matmul block-row against it —
-    the brute-force tier of the task's dedup family. The scale path for a
-    corpus that can't broadcast is the LSH-bucketed candidate generation of
-    :func:`lsh_knn_cosine` followed by the same per-batch verification.
+    the brute-force tier of the task's dedup family. This intentionally
+    materializes the WHOLE embedding table once (that is what exact
+    all-pairs requires); ``max_broadcast`` makes the bound explicit and
+    fails loudly past it — the scale path for a corpus that can't
+    broadcast is LSH (:func:`lsh_knn_cosine` buckets) or IVF
+    (:func:`ivf_knn_cosine` cells) candidate generation followed by the
+    same exact verification.
     """
+    n_total = emb_ds.count()
+    if n_total > max_broadcast:
+        raise ValueError(
+            f"embedding_cosine_dups is the exact-broadcast baseline; "
+            f"{n_total} rows > max_broadcast={max_broadcast}. Use the "
+            "LSH/IVF candidate path for corpora that cannot broadcast."
+        )
     rows = emb_ds.to_pandas()
     rows = rows.sort_values("vec_id")
     ids = rows["vec_id"].to_numpy()
