@@ -568,23 +568,28 @@ def ngram_jaccard_dups(
 
     pairs = grams.groupby("gram").map_groups(gram_pairs, batch_format="pandas")
 
-    def settle(grp: pd.DataFrame) -> pd.DataFrame:
-        co = len(grp)
-        na = int(grp["na"].iloc[0])
-        nb = int(grp["nb"].iloc[0])
+    # co-occurrence = COUNT aggregate over the pair key (na/nb are
+    # functionally dependent on the doc ids, so they ride in the key);
+    # jaccard + threshold are then one vectorized map_batches — no
+    # per-pair Python anywhere
+    counted = pairs.groupby(["doc_a", "doc_b", "na", "nb"]).count()
+
+    def jaccard_filter(b: pd.DataFrame) -> pd.DataFrame:
+        co = b["count()"].to_numpy(dtype=np.float64)
+        na = b["na"].to_numpy(dtype=np.float64)
+        nb = b["nb"].to_numpy(dtype=np.float64)
         j = co / (na + nb - co)
-        if j < threshold:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        keep = j >= threshold
         return pd.DataFrame(
             {
-                "doc_a": [grp["doc_a"].iloc[0]],
-                "doc_b": [grp["doc_b"].iloc[0]],
-                "jaccard": [j],
+                "doc_a": b["doc_a"].to_numpy()[keep],
+                "doc_b": b["doc_b"].to_numpy()[keep],
+                "jaccard": j[keep],
             }
         )
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        settle, batch_format="pandas"
+    return counted.map_batches(
+        jaccard_filter, batch_format="pandas", batch_size=None
     )
 
 
@@ -716,9 +721,19 @@ def simhash_dups(docs_ds, max_hamming: int = 6, max_bucket: int = 256):
     pairs = rows.groupby(["band", "band_val"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1)[["doc_a", "doc_b", "hamming"]],
+    # a pair found in several bands has the same hamming everywhere:
+    # min() is a pure dedup aggregate (no per-pair Python)
+    agg = pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_a": b["doc_a"],
+                "doc_b": b["doc_b"],
+                "hamming": b["min(hamming)"].astype("int64"),
+            }
+        ),
         batch_format="pandas",
+        batch_size=None,
     )
 
 
