@@ -370,9 +370,12 @@ def minhash_lsh_dups(
     pairs = buckets.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    # a pair surfacing in several bands is still one candidate
-    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # a pair surfacing in several bands is still one candidate:
+    # count() aggregate + column drop = distinct, no per-pair Python
+    pairs = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
+        lambda b: b.drop_columns(["count()"]),
+        batch_format="pyarrow",
+        batch_size=None,
     )
     # consumed twice below (id broadcast + side explosion); the pair set is
     # small (bucket-capped) so pin it rather than re-running the LSH stages
