@@ -18,9 +18,12 @@ Implemented models: BazinFit (/root/reference/src/features/bazin_fit.rs),
 VillarFit (villar_fit.rs) and LinexpFit (linexp_fit.rs). Output =
 parameters in original units + reduced chi2 (chi2 / (N - NPARAMS)).
 Optional ln-priors over external parameters (prior/ln_prior_1d.rs
-families) and a CurveFitAlgorithm-style config surface. Inside the Ray
-rollup these run as actor-pool stages (state: RNG + scratch), like every
-heavy feature.
+families) and a CurveFitAlgorithm-style config surface with two samplers:
+'mcmc' (seeded stretch-move ensemble) and 'nuts' (No-U-Turn HMC with
+dual-averaged step size; gradients by central differences — the honest
+dependency-free stand-in for the reference's analytic model derivatives,
+nuts.rs:150-170). Inside the Ray rollup these run as actor-pool stages
+(state: RNG + scratch), like every heavy feature.
 """
 
 from __future__ import annotations
@@ -159,6 +162,147 @@ def _stretch_move_sample(
     return best_x, best_lp
 
 
+def _nuts_sample(
+    ln_prob_grad,
+    x0: np.ndarray,
+    lower: np.ndarray,
+    upper: np.ndarray,
+    num_tune: int,
+    num_draws: int,
+    rng: np.random.Generator,
+    max_depth: int = 6,
+    target_accept: float = 0.8,
+):
+    """No-U-Turn Sampler (Hoffman & Gelman 2014, the Alg. 3 tree with
+    dual-averaged step size during tuning; unit diagonal metric).
+
+    ``ln_prob_grad(x) -> (lp, grad)``; positions outside the box get
+    lp = -inf and are never accepted, mirroring the reference's bounds
+    check in its logp (nuts.rs:131-138). Deterministic for a given rng.
+    Returns the best-lp position seen across tune + draw phases — the
+    reference's maximum-likelihood point-estimate semantics (nuts.rs
+    doc: "chooses the guess corresponding to the minimum sum of squared
+    deviations")."""
+    ndim = x0.shape[0]
+
+    def leapfrog(x, r, grad, eps):
+        r1 = r + 0.5 * eps * grad
+        x1 = x + eps * r1
+        lp1, g1 = ln_prob_grad(x1)
+        r1 = r1 + 0.5 * eps * g1
+        return x1, r1, lp1, g1
+
+    x = x0.copy()
+    lp, grad = ln_prob_grad(x)
+    best_x, best_lp = x.copy(), lp
+    eps = 0.1
+    # dual averaging state (Alg. 6 constants)
+    mu = np.log(10.0 * eps)
+    log_eps_bar, h_bar = 0.0, 0.0
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def build_tree(x, r, g, logu, v, depth, eps, joint0):
+        # returns (x-, r-, g-, x+, r+, g+, x', n', s', alpha, n_alpha)
+        nonlocal best_x, best_lp
+        if depth == 0:
+            x1, r1, lp1, g1 = leapfrog(x, r, g, v * eps)
+            joint = lp1 - 0.5 * float(r1 @ r1)
+            n1 = int(logu <= joint)
+            s1 = int(logu < joint + 1000.0)
+            if lp1 > best_lp:
+                best_lp, best_x = lp1, x1.copy()
+            alpha = min(1.0, np.exp(joint - joint0)) if np.isfinite(joint) else 0.0
+            return x1, r1, g1, x1, r1, g1, x1, lp1, n1, s1, alpha, 1
+        xm, rm, gm, xp, rp, gp, x1, lp1, n1, s1, a1, na1 = build_tree(
+            x, r, g, logu, v, depth - 1, eps, joint0
+        )
+        if s1:
+            if v == -1:
+                xm, rm, gm, _, _, _, x2, lp2, n2, s2, a2, na2 = build_tree(
+                    xm, rm, gm, logu, v, depth - 1, eps, joint0
+                )
+            else:
+                _, _, _, xp, rp, gp, x2, lp2, n2, s2, a2, na2 = build_tree(
+                    xp, rp, gp, logu, v, depth - 1, eps, joint0
+                )
+            if n1 + n2 > 0 and rng.random() < n2 / (n1 + n2):
+                x1, lp1 = x2, lp2
+            dx = xp - xm
+            s1 = s2 * int(dx @ rm >= 0) * int(dx @ rp >= 0)
+            n1 += n2
+            a1 += a2
+            na1 += na2
+        return xm, rm, gm, xp, rp, gp, x1, lp1, n1, s1, a1, na1
+
+    total = num_tune + num_draws
+    for it in range(total):
+        r0 = rng.standard_normal(ndim)
+        joint0 = lp - 0.5 * float(r0 @ r0)
+        if not np.isfinite(joint0):
+            # re-anchor at the best point if we got stuck at -inf
+            x = best_x.copy()
+            lp, grad = ln_prob_grad(x)
+            continue
+        logu = joint0 + np.log(rng.random())
+        xm = xp = x
+        rm = rp = r0
+        gm = gp = grad
+        depth, n, s = 0, 1, 1
+        alpha, n_alpha = 0.0, 1
+        x_new, lp_new = x, lp
+        while s and depth < max_depth:
+            v = 1 if rng.random() < 0.5 else -1
+            if v == -1:
+                xm, rm, gm, _, _, _, x1, lp1, n1, s1, a1, na1 = build_tree(
+                    xm, rm, gm, logu, v, depth, eps, joint0
+                )
+            else:
+                _, _, _, xp, rp, gp, x1, lp1, n1, s1, a1, na1 = build_tree(
+                    xp, rp, gp, logu, v, depth, eps, joint0
+                )
+            if s1 and rng.random() < min(1.0, n1 / max(n, 1)):
+                x_new, lp_new = x1, lp1
+            n += n1
+            alpha, n_alpha = a1, na1
+            dx = xp - xm
+            s = s1 * int(dx @ rm >= 0) * int(dx @ rp >= 0)
+            depth += 1
+        x, lp = x_new, lp_new
+        _, grad = ln_prob_grad(x)
+        if it < num_tune:
+            # dual averaging toward the target acceptance statistic
+            m = it + 1
+            h_bar = (1 - 1 / (m + t0)) * h_bar + (
+                target_accept - alpha / max(n_alpha, 1)
+            ) / (m + t0)
+            log_eps = mu - np.sqrt(m) / gamma * h_bar
+            w = m ** (-kappa)
+            log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
+            eps = float(np.exp(log_eps))
+        elif it == num_tune:
+            eps = float(np.exp(log_eps_bar))
+    return best_x, best_lp
+
+
+def _numeric_grad(f, x, lower, upper, rel=1e-6):
+    """Central-difference gradient clipped to the box (the reference uses
+    analytic model derivatives; numeric differences are the honest
+    dependency-free stand-in and are exact enough for HMC guidance)."""
+    g = np.zeros_like(x)
+    for i in range(x.shape[0]):
+        h = rel * max(abs(x[i]), 1e-3)
+        hi = min(x[i] + h, upper[i])
+        lo = max(x[i] - h, lower[i])
+        if hi <= lo:
+            continue
+        xp = x.copy()
+        xp[i] = hi
+        xm = x.copy()
+        xm[i] = lo
+        g[i] = (f(xp) - f(xm)) / (hi - lo)
+    return g
+
+
 def _nelder_mead(f, x0, lower, upper, maxiter=300, scale=1e-2):
     """Tiny deterministic Nelder-Mead (minimization) with box clipping."""
     n = x0.shape[0]
@@ -240,16 +384,26 @@ class _FitFeatureBase(Feature):
         algorithm: dict | None = None,
         ln_prior=None,
     ):
+        self.algorithm_name = "mcmc"
+        # NUTS defaults mirror the reference (nuts.rs:44-53)
+        self.num_tune, self.num_draws = 200, 200
         if algorithm is not None:
             name = algorithm.get("name", "mcmc")
-            if name != "mcmc":
+            if name == "mcmc":
+                niterations = int(algorithm.get("niterations", niterations))
+                polish = bool(algorithm.get("fine_tuning", polish))
+            elif name == "nuts":
+                self.algorithm_name = "nuts"
+                self.num_tune = int(algorithm.get("num_tune", 200))
+                self.num_draws = int(algorithm.get("num_draws", 200))
+                # reference default fine_tuning_algorithm = None
+                polish = bool(algorithm.get("fine_tuning", False))
+            else:
                 raise NotImplementedError(
                     f"curve-fit algorithm {name!r} is not available in this "
-                    "build (reference feature-gates LMSDER/Ceres; NUTS "
-                    "needs a gradient backend) — use 'mcmc'"
+                    "build (the reference feature-gates the native "
+                    "LMSDER/Ceres solvers) — use 'mcmc' or 'nuts'"
                 )
-            niterations = int(algorithm.get("niterations", niterations))
-            polish = bool(algorithm.get("fine_tuning", polish))
         self.niterations = int(niterations)
         self.seed = int(seed)
         self.polish = bool(polish)
@@ -257,12 +411,21 @@ class _FitFeatureBase(Feature):
         self._ln_prior = ln_prior_fn(ln_prior, self.NPARAMS)
 
     def _params(self):
-        return {
-            "algorithm": {
+        if self.algorithm_name == "nuts":
+            algorithm = {
+                "name": "nuts",
+                "num_tune": self.num_tune,
+                "num_draws": self.num_draws,
+                "fine_tuning": self.polish,
+            }
+        else:
+            algorithm = {
                 "name": "mcmc",
                 "niterations": self.niterations,
                 "fine_tuning": self.polish,
-            },
+            }
+        return {
+            "algorithm": algorithm,
             "seed": self.seed,
             "ln_prior": self.ln_prior_spec,
         }
@@ -318,9 +481,28 @@ class _FitFeatureBase(Feature):
             return -ln_prob(p)
 
         rng = np.random.default_rng(self.seed)
-        best, _ = _stretch_move_sample(
-            ln_prob, init, lower, upper, 4 * self.NPARAMS, self.niterations, rng
-        )
+        if self.algorithm_name == "nuts":
+
+            def ln_prob_b(p):
+                if np.any(p < lower) or np.any(p > upper):
+                    return -np.inf
+                return ln_prob(p)
+
+            def ln_prob_grad(p):
+                lp = ln_prob_b(p)
+                if not np.isfinite(lp):
+                    return lp, np.zeros_like(p)
+                return lp, _numeric_grad(ln_prob_b, p, lower, upper)
+
+            best, _ = _nuts_sample(
+                ln_prob_grad, init, lower, upper,
+                self.num_tune, self.num_draws, rng,
+            )
+        else:
+            best, _ = _stretch_move_sample(
+                ln_prob, init, lower, upper, 4 * self.NPARAMS,
+                self.niterations, rng,
+            )
         if self.polish:
             # multi-start polish: the sampler's best + the data-driven init
             # (the chi2 surface of these models has deceptive local basins);

@@ -228,3 +228,47 @@ def test_transformed_wraps_fit():
     out = feat.eval(Series(t, m + 0.05 * rng.normal(size=60)))
     assert np.isfinite(out).all()
     assert abs(out[1] - 0.3) < 0.2  # baseline/amplitude ~ 3/10
+
+
+def test_nuts_recovery_and_config():
+    """NUTS (nuts.rs semantics: tune+draw, best-likelihood draw, optional
+    fine-tuning) recovers Bazin parameters and round-trips its config."""
+    from light_curve_feature_ray.features.base import feature_from_config
+    from light_curve_feature_ray.features.nl_fit import BazinFit
+
+    rng = np.random.default_rng(8)
+    t = np.sort(rng.uniform(0, 100, 60))
+    true = np.array([10.0, 3.0, 40.0, 5.0, 20.0])
+    m = BazinFit().model(t, true) + 0.05 * rng.normal(size=60)
+    s = Series(t, m)
+    f = BazinFit(
+        algorithm={"name": "nuts", "num_tune": 80, "num_draws": 80,
+                   "fine_tuning": True}
+    )
+    out = f.eval(s)
+    np.testing.assert_allclose(out[:5], true, rtol=0.1)
+    assert out[-1] < 0.01  # reduced chi2 near the noise floor
+    # deterministic across calls (fixed seed)
+    np.testing.assert_array_equal(out, f.eval(s))
+    # config round-trip through the registry
+    d = f.to_dict()
+    f2 = feature_from_config(d)
+    assert f2.to_dict() == d
+    np.testing.assert_array_equal(f2.eval(s), out)
+
+
+def test_nuts_with_prior():
+    from light_curve_feature_ray.features.nl_fit import BazinFit
+
+    rng = np.random.default_rng(8)
+    t = np.sort(rng.uniform(0, 100, 60))
+    m = BazinFit().model(t, np.array([10.0, 3.0, 40.0, 5.0, 20.0]))
+    m = m + 0.05 * rng.normal(size=60)
+    prior = ["none", {"name": "normal", "mu": 30.0, "std": 0.01},
+             "none", "none", "none"]
+    out = BazinFit(
+        algorithm={"name": "nuts", "num_tune": 80, "num_draws": 80,
+                   "fine_tuning": True},
+        ln_prior=prior,
+    ).eval(Series(t, m))
+    assert abs(out[1] - 30.0) < 1.0  # tight prior dominates the baseline
