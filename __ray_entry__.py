@@ -1004,6 +1004,23 @@ def q_conv_bazin_fit(sf_dir: str):
     )
 
 
+def q_conv_villar_linexp_fit(sf_dir: str):
+    """VillarFit + LinexpFit (+ their magnitude-space transformers) per
+    conversation — deterministic seeded MCMC, rows-only."""
+    return _conv_features(
+        sf_dir,
+        (
+            {"name": "villar_fit", "niterations": 32},
+            {"name": "linexp_fit", "niterations": 32},
+            {
+                "name": "transformed",
+                "feature": {"name": "linexp_fit", "niterations": 32},
+                "transformer": {"name": "linexp_fit", "mag_zp": 8.9},
+            },
+        ),
+    )
+
+
 def q_rollup_full_tiers(sf_dir: str):
     """Flagship: all three tiers with the headline suite incl. periodogram +
     Gorilla-compressed points (rows-only: binary column + Lomb-Scargle)."""
@@ -1573,6 +1590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_advanced": q_conv_advanced,
         "conv_otsu": q_conv_otsu,
         "conv_bazin_fit": q_conv_bazin_fit,
+        "conv_villar_linexp_fit": q_conv_villar_linexp_fit,
         "conv_colors": q_conv_colors,
         "conv_multicolor_bins": q_conv_multicolor_bins,
         "conv_multicolor_periodogram": q_conv_multicolor_periodogram,

@@ -6,8 +6,9 @@ Plain run: one JSON line
      "turns": T, "turns_per_sec": ...}
 
 ``--scaling``: runs the headline pipeline in two fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
-plus efficiency = (t8/t32)/4 (BASELINE.md protocol).
+num_cpus=N and 4N (default 1 and 4; SCALE_N overrides) on the same input
+and reports both throughputs, the efficiency = (t_N/t_4N)/4, and the
+same-run kernel-only multiprocessing ceiling (BASELINE.md protocol).
 
 Input: a deterministic synthetic transcript table (input_hint schema),
 generated once under /tmp and reused; sized by $GRAFT_SF_DIR's scale

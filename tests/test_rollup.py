@@ -328,3 +328,37 @@ def test_apply_retention(ray_session):
         {"1m": 2 * 86400, "1h": 7 * 86400, "1d": None},
     ).to_pandas()
     assert sorted(out["v"]) == [2.0, 4.0, 5.0, 6.0]
+
+
+def test_actor_pool_worker_matches_tasks(ray_session):
+    """rollup_dataset(worker_concurrency=...) runs RollupWorker as an
+    actor pool (per-actor state in __init__); output must be identical to
+    the default task path."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.rollup import (
+        read_transcripts,
+        rollup_dataset,
+    )
+    from light_curve_feature_ray.sources.synth import synth_transcripts_parquet
+
+    d = synth_transcripts_parquet(
+        "/tmp/lcf_actor_pool_test/in", shards=2,
+        n_convs=10, mean_turns=40, hot_convs=1, hot_turns=600, seed=31,
+    )
+    cfg = RollupConfig(
+        features=("observation_count", "mean", "eta"),
+        num_partitions=6,
+        hot_threshold=300,
+        store_points=True,
+    )
+
+    def run(**kw):
+        df = rollup_dataset(read_transcripts(d), cfg, **kw).to_pandas()
+        return df.sort_values(["conv_id", "tier", "bucket_ts"]).reset_index(
+            drop=True
+        )
+
+    tasks = run()
+    actors = run(worker_concurrency=2)
+    pd.testing.assert_frame_equal(tasks, actors)
