@@ -468,6 +468,7 @@ class MultiColorPeriodogram(MultiColorFeature):
         features: list | None = None,
         phase_bands: list | None = None,
         phase_features: list | None = None,
+        freq_grid: dict | None = None,
     ):
         from .periodogram_feature import Periodogram
 
@@ -484,6 +485,7 @@ class MultiColorPeriodogram(MultiColorFeature):
             normalization=normalization,
             features=features,
             phase_features=phase_features if self.phase_bands else None,
+            freq_grid=freq_grid,
         )
 
     @property
@@ -544,11 +546,14 @@ class MultiColorPeriodogram(MultiColorFeature):
         t_union = np.concatenate([mcts[b].t for b in self.bands])
         if t_union.shape[0] < 2 or t_union[-1] - t_union[0] <= 0.0:
             raise ZeroDivision("zero union time span: no frequency grid")
-        params = self.mono._dynamic_params()
-        if self.mono.fast:
-            grid = ZeroBasedPow2FreqGrid.from_t(t_union, params)
+        if self.mono.freq_grid is not None:
+            grid = self.mono.freq_grid
         else:
-            grid = LinearFreqGrid.from_t(t_union, params)
+            params = self.mono._dynamic_params()
+            if self.mono.fast:
+                grid = ZeroBasedPow2FreqGrid.from_t(t_union, params)
+            else:
+                grid = LinearFreqGrid.from_t(t_union, params)
         freqs = grid.freqs()
 
         if self.normalization_weights == "count":
@@ -565,7 +570,7 @@ class MultiColorPeriodogram(MultiColorFeature):
             s = mcts[b]
             if s.n < self.mono.min_ts_length:
                 continue  # too-short band skipped; its weight mass is spent
-            if self.mono.fast:
+            if self.mono.fast and isinstance(grid, ZeroBasedPow2FreqGrid):
                 p = self.mono._fft.power(s.t, s.m, grid, s.std2())
             else:
                 p = power_direct(s.t, s.m, freqs, s.std2())

@@ -33,6 +33,39 @@ from .periodogram import (
     ZeroBasedPow2FreqGrid,
     power_direct,
 )
+from .periodogram.freq import ArbitraryFreqGrid, FreqGrid
+
+
+def freq_grid_from_config(spec):
+    """Fixed frequency grid from a JSON-able spec — the reference's
+    FreqGridStrategy::Fixed (/root/reference/src/periodogram/freq.rs:424-459):
+    {"kind": "linear", start, step, size} | {"kind": "pow2", step, size}
+    (size = 2^k + 1) | {"kind": "arbitrary", freqs: [...]}."""
+    if spec is None or isinstance(spec, FreqGrid):
+        return spec
+    kind = spec["kind"]
+    if kind == "linear":
+        return LinearFreqGrid(spec["start"], spec["step"], spec["size"])
+    if kind == "pow2":
+        return ZeroBasedPow2FreqGrid.with_size(spec["step"], spec["size"])
+    if kind == "arbitrary":
+        return ArbitraryFreqGrid(np.asarray(spec["freqs"], dtype=np.float64))
+    raise ValueError(f"unknown freq_grid kind {kind!r}")
+
+
+def freq_grid_to_config(grid):
+    if grid is None:
+        return None
+    if isinstance(grid, ZeroBasedPow2FreqGrid):
+        return {"kind": "pow2", "step": grid.step, "size": grid.size}
+    if isinstance(grid, LinearFreqGrid):
+        return {
+            "kind": "linear",
+            "start": grid.start,
+            "step": grid.step,
+            "size": grid.size,
+        }
+    return {"kind": "arbitrary", "freqs": grid.freqs().tolist()}
 
 
 def peak_indices_desc(a: np.ndarray) -> np.ndarray:
@@ -127,7 +160,12 @@ class Periodogram(Feature):
         normalization: str = "psd",
         features: list | None = None,
         phase_features: list | None = None,
+        freq_grid: dict | None = None,
     ):
+        # fixed grid (FreqGridStrategy::Fixed) overrides the dynamic
+        # from-t grid when given; the FFT path applies only to pow2 grids
+        # (reference periodogram/mod.rs:104-109), others evaluate direct
+        self.freq_grid = freq_grid_from_config(freq_grid)
         self.peaks_feature = PeriodogramPeaks(peaks)
         self.resolution = float(resolution)
         self.max_freq_factor = float(max_freq_factor)
@@ -172,6 +210,7 @@ class Periodogram(Feature):
             "normalization": self.normalization,
             "features": [f.to_dict() for f in extra] or None,
             "phase_features": self.phase_extractor.to_config() or None,
+            "freq_grid": freq_grid_to_config(self.freq_grid),
         }
 
     # -- phase folding -------------------------------------------------------
@@ -227,13 +266,20 @@ class Periodogram(Feature):
 
         if s.t[-1] - s.t[0] <= 0.0:
             raise ZeroDivision("zero time span: no frequency grid")
-        params = self._dynamic_params()
-        if self.fast:
-            grid = ZeroBasedPow2FreqGrid.from_t(s.t, params)
-            power = self._fft.power(s.t, s.m, grid, s.std2())
+        if self.freq_grid is not None:
+            grid = self.freq_grid
+            if self.fast and isinstance(grid, ZeroBasedPow2FreqGrid):
+                power = self._fft.power(s.t, s.m, grid, s.std2())
+            else:
+                power = power_direct(s.t, s.m, grid.freqs(), s.std2())
         else:
-            grid = LinearFreqGrid.from_t(s.t, params)
-            power = power_direct(s.t, s.m, grid.freqs(), s.std2())
+            params = self._dynamic_params()
+            if self.fast:
+                grid = ZeroBasedPow2FreqGrid.from_t(s.t, params)
+                power = self._fft.power(s.t, s.m, grid, s.std2())
+            else:
+                grid = LinearFreqGrid.from_t(s.t, params)
+                power = power_direct(s.t, s.m, grid.freqs(), s.std2())
         power = self._normalize(power, s.n)
         return grid.freqs(), power
 

@@ -170,3 +170,74 @@ def test_peak_indices():
     np.testing.assert_array_equal(
         peak_indices_desc(np.exp(-0.5 * x * x)), [50]
     )
+
+
+def test_fixed_freq_grid_config():
+    """FreqGridStrategy::Fixed analog (freq.rs:424-459): a configured grid
+    overrides the dynamic one; FFT applies only to pow2 grids; config
+    round-trips."""
+    import numpy as np
+
+    from light_curve_feature_ray.features.base import feature_from_config
+    from light_curve_feature_ray.features.kernel import Series
+    from light_curve_feature_ray.features.periodogram import power_direct
+    from light_curve_feature_ray.features.periodogram_feature import Periodogram
+
+    rng = np.random.default_rng(2)
+    t = np.sort(rng.uniform(0, 20, 150))
+    m = np.sin(2 * np.pi * t / 0.75) + 0.1 * rng.normal(size=150)
+    s = Series(t, m)
+
+    # arbitrary fixed grid -> direct power on exactly those freqs
+    freqs = np.linspace(2 * np.pi / 2.0, 2 * np.pi / 0.3, 400)
+    p = Periodogram(peaks=1, freq_grid={"kind": "arbitrary", "freqs": list(freqs)})
+    got_f, got_p = p.freq_power(s)
+    np.testing.assert_array_equal(got_f, freqs)
+    np.testing.assert_allclose(got_p, power_direct(t, m, freqs, s.std2()))
+    assert abs(p.eval(s)[0] - 0.75) / 0.75 < 0.02
+
+    # pow2 fixed grid identical to the dynamic grid -> bit-identical
+    # output through the fast path (grid-source equivalence)
+    from light_curve_feature_ray.features.periodogram import (
+        DynamicFreqParams,
+        ZeroBasedPow2FreqGrid,
+    )
+    from light_curve_feature_ray.features.periodogram_feature import (
+        peak_indices_desc,
+    )
+
+    dyn = Periodogram(peaks=1, fast=True)
+    g_dyn = ZeroBasedPow2FreqGrid.from_t(s.t, dyn._dynamic_params())
+    fixed_same = Periodogram(
+        peaks=1,
+        fast=True,
+        freq_grid={"kind": "pow2", "step": g_dyn.step, "size": g_dyn.size},
+    )
+    np.testing.assert_array_equal(
+        fixed_same.freq_power(s)[1], dyn.freq_power(s)[1]
+    )
+
+    g2 = {"kind": "pow2", "step": 2 * np.pi / 200.0, "size": 1025}
+    f_uneven = Periodogram(peaks=1, fast=True, freq_grid=g2).freq_power(s)[1]
+    d_uneven = Periodogram(peaks=1, fast=False, freq_grid=g2).freq_power(s)[1]
+    np.testing.assert_array_equal(
+        peak_indices_desc(f_uneven)[:1], peak_indices_desc(d_uneven)[:1]
+    )
+
+    # serde round-trip
+    d = p.to_dict()
+    p2 = feature_from_config(d)
+    assert p2.to_dict() == d
+    np.testing.assert_array_equal(p2.freq_power(s)[1], got_p)
+
+    # multicolor inherits the fixed grid
+    from light_curve_feature_ray.features.multicolor import MultiColorPeriodogram
+
+    mcts = {"g": Series(t, m), "r": Series(t, 0.8 * m + 0.05)}
+    mc = MultiColorPeriodogram(
+        ["g", "r"], peaks=1,
+        freq_grid={"kind": "arbitrary", "freqs": list(freqs)},
+    )
+    fr, _ = mc.freq_power(mcts)
+    np.testing.assert_array_equal(fr, freqs)
+    assert abs(mc.eval(mcts)[0] - 0.75) / 0.75 < 0.02
