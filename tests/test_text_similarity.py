@@ -353,3 +353,35 @@ def test_redact(ray_session):
     assert out.loc[1, "n_redactions"] == 1
     assert out.loc[2, "clean_text"] == "clean text"
     assert out.loc[2, "n_redactions"] == 0
+
+
+def test_dedup_block_layout_invariance(docs_ds, ray_session):
+    """Dedup-family outputs must not depend on how the corpus is split
+    into blocks (the per-operator analog of the rollup's
+    parallelism-invariance invariant)."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import (
+        minhash_lsh_dups,
+        ngram_jaccard_dups,
+        simhash_dups,
+    )
+
+    df = docs_ds.to_pandas()
+    one = rd.from_pandas(df)  # single block
+    many = rd.from_pandas([df.iloc[i::7].reset_index(drop=True) for i in range(7)])
+
+    def norm(ds, cols):
+        return (
+            ds.to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)[cols]
+        )
+
+    for fn, cols in (
+        (lambda d: minhash_lsh_dups(d, threshold=0.5), ["doc_a", "doc_b", "jaccard"]),
+        (lambda d: ngram_jaccard_dups(d, k=5, threshold=0.3), ["doc_a", "doc_b", "jaccard"]),
+        (lambda d: simhash_dups(d, max_hamming=6), ["doc_a", "doc_b", "hamming"]),
+    ):
+        a, b = norm(fn(one), cols), norm(fn(many), cols)
+        pd.testing.assert_frame_equal(a, b)
