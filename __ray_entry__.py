@@ -1169,7 +1169,7 @@ def q_doc_text_stats(sf_dir: str):
 
 SQL_DOC_TEXT_STATS = rf"""
 WITH w AS (
-    SELECT doc_id,
+    SELECT doc_id, text,
            CAST(length(text) AS BIGINT) AS n_chars,
            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
            length(regexp_replace(text, '\s', '', 'g')) AS non_space
@@ -1181,7 +1181,11 @@ SELECT doc_id, n_chars,
              THEN CAST(non_space AS DOUBLE)/len(words) END, 6) AS avg_word_len,
        round(CASE WHEN len(words) > 0
              THEN CAST(len(list_filter(words, x -> lower(x) IN ({_STOP_LIST})))
-                  AS DOUBLE)/len(words) END, 6) AS stop_ratio
+                  AS DOUBLE)/len(words) END, 6) AS stop_ratio,
+       round(CASE WHEN n_chars > 0
+             THEN CAST(len(regexp_extract_all(text,
+                  '[^0-9A-Za-z_ \t\n\r\f\v]')) AS DOUBLE)/n_chars
+             END, 6) AS punct_ratio
 FROM w
 """
 

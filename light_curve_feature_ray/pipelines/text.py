@@ -191,9 +191,18 @@ def _stats_frame(batch: pd.DataFrame) -> pd.DataFrame:
         .to_numpy()
         .astype("int64")
     )
+    # explicit ASCII class (same as the token-count oracle) so the SQL
+    # side's RE2 counts the identical characters
+    punct = (
+        s.str.count_matches(r"[^0-9A-Za-z_ \t\n\r\f\v]")
+        .fill_null(0)
+        .to_numpy()
+        .astype("int64")
+    )
     with np.errstate(invalid="ignore"):
         avg_word_len = np.where(n_words > 0, non_space / n_words, np.nan)
         stop_ratio = np.where(n_words > 0, stop_hits / n_words, np.nan)
+        punct_ratio = np.where(n_chars > 0, punct / n_chars, np.nan)
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
@@ -201,6 +210,7 @@ def _stats_frame(batch: pd.DataFrame) -> pd.DataFrame:
             "n_words": n_words,
             "avg_word_len": avg_word_len,
             "stop_ratio": stop_ratio,
+            "punct_ratio": punct_ratio,
         }
     )
 
