@@ -420,7 +420,14 @@ def encode_segments_arrow(ts: np.ndarray, values: np.ndarray, starts: np.ndarray
     data, seg_byte_start, seg_nbytes = _encode_segments_raw(ts, values, starts)
     nseg = seg_byte_start.shape[0]
     total = int(data.shape[0])
-    assert total < (1 << 31), "partition points payload exceeds binary offsets"
+    if total >= (1 << 31):
+        # explicit raise (never an assert: -O would strip it and the int32
+        # offset cast below would silently wrap into corrupt slices)
+        raise OverflowError(
+            f"points payload of {total} bytes exceeds 32-bit binary "
+            "offsets; lower num_partitions per worker or store fewer "
+            "points per partition"
+        )
     offsets = np.empty(nseg + 1, dtype=np.int32)
     offsets[:nseg] = seg_byte_start
     offsets[nseg] = total

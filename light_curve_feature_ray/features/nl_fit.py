@@ -236,6 +236,11 @@ def _nuts_sample(
 
     total = num_tune + num_draws
     for it in range(total):
+        if it == num_tune:
+            # install the dual-averaged step BEFORE the first draw
+            # (Hoffman & Gelman Alg. 6: eps = exp(log_eps_bar) for every
+            # post-warmup iteration)
+            eps = float(np.exp(log_eps_bar))
         r0 = rng.standard_normal(ndim)
         joint0 = lp - 0.5 * float(r0 @ r0)
         if not np.isfinite(joint0):
@@ -279,8 +284,6 @@ def _nuts_sample(
             w = m ** (-kappa)
             log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
             eps = float(np.exp(log_eps))
-        elif it == num_tune:
-            eps = float(np.exp(log_eps_bar))
     return best_x, best_lp
 
 
@@ -358,8 +361,8 @@ class _FitFeatureBase(Feature):
     ``{"name": "mcmc", "niterations": N, "fine_tuning": bool}`` — 'mcmc' is
     the seeded stretch-move ensemble; fine_tuning runs the deterministic
     Nelder-Mead polish (the stand-in for the reference's feature-gated
-    LMSDER/Ceres fine-tuners). 'nuts' / 'lmsder' / 'ceres' parse but raise
-    NotImplementedError at construction (honest gate).
+    LMSDER/Ceres fine-tuners). 'lmsder' / 'ceres' (native solvers) parse but
+    raise NotImplementedError at construction (honest gate).
 
     ``ln_prior`` is an optional prior over EXTERNAL parameters
     (reference priors apply to external params via transformation,

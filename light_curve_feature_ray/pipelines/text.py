@@ -278,6 +278,10 @@ class MinHasher:
     def signatures(self, texts) -> np.ndarray:
         """(n_docs, num_perms) uint64 signature matrix."""
         h, lens = _word_hashes_flat(texts)
+        if lens.shape[0] == 0:
+            # empty Ray blocks are routine; reduceat([0]) on a zero-width
+            # matrix raises
+            return np.empty((0, self.num_perms), dtype=np.uint64)
         sh, counts = _shingle_hashes_flat(h, lens, self.shingle_k)
         starts = np.r_[0, np.cumsum(counts)[:-1]]
         ndocs = lens.shape[0]

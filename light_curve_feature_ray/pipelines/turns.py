@@ -21,10 +21,21 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.rollup import hash_strings
 
 _IPC_OPTS = pa.ipc.IpcWriteOptions(compression="zstd")
+
+
+_DEDUP_SORT_KEYS = [
+    ("conv_id", "ascending"),
+    ("turn_idx", "ascending"),
+    ("ts", "ascending"),
+    ("text", "ascending"),
+    ("role", "ascending"),
+    ("tool", "ascending"),
+]
 
 
 def _dedup_sort_partition(batch: pa.Table) -> pa.Table:
@@ -34,8 +45,21 @@ def _dedup_sort_partition(batch: pa.Table) -> pa.Table:
     order = np.argsort((codes << np.int64(32)) | turn, kind="stable")
     keep = np.ones(order.shape[0], dtype=bool)
     c, t = codes[order], turn[order]
-    keep[1:] = (c[1:] != c[:-1]) | (t[1:] != t[:-1])
-    taken = batch.take(pa.array(order[keep]))
+    dup = (c[1:] == c[:-1]) & (t[1:] == t[:-1])
+    if dup.any():
+        # duplicates with differing payloads must settle DETERMINISTICALLY
+        # (min ts, then lexicographically smallest text/role/tool), not by
+        # block-arrival order — same rule as RollupWorker, so retries and
+        # different block layouts produce identical bytes
+        full_order = pc.sort_indices(
+            batch, sort_keys=_DEDUP_SORT_KEYS
+        ).to_numpy(zero_copy_only=False)
+        c2, t2 = codes[full_order], turn[full_order]
+        keep[1:] = (c2[1:] != c2[:-1]) | (t2[1:] != t2[:-1])
+        taken = batch.take(pa.array(full_order[keep]))
+    else:
+        keep[1:] = ~dup
+        taken = batch.take(pa.array(order[keep]))
     return taken.drop_columns(["part"]) if "part" in batch.column_names else taken
 
 
@@ -59,18 +83,25 @@ def _pack_parcels(batch: pa.Table, num_partitions: int) -> pa.Table:
     conv_dict = batch["conv_id"].combine_chunks().dictionary_encode()
     codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    # local first-wins dedup WITHOUT reordering the block (boolean filter
-    # only when duplicates exist, so the common no-dup case copies nothing)
+    # local dedup (combiner) WITHOUT reordering the block in the common
+    # no-dup case; when duplicates exist, keep the row the DETERMINISTIC
+    # rule selects (min ts, then smallest payload) so the block-local
+    # winner always equals the global winner restricted to this block —
+    # min is associative, so the reduce-side settle is layout-independent
     order = np.argsort((codes << np.int64(32)) | turn, kind="stable")
     c, t = codes[order], turn[order]
     dup_sorted = np.zeros(order.shape[0], dtype=bool)
     dup_sorted[1:] = (c[1:] == c[:-1]) & (t[1:] == t[:-1])
     if dup_sorted.any():
-        keep = np.ones(order.shape[0], dtype=bool)
-        keep[order[dup_sorted]] = False
+        full_order = pc.sort_indices(
+            batch, sort_keys=_DEDUP_SORT_KEYS
+        ).to_numpy(zero_copy_only=False)
+        c2, t2 = codes[full_order], turn[full_order]
+        keep_sorted = np.ones(full_order.shape[0], dtype=bool)
+        keep_sorted[1:] = (c2[1:] != c2[:-1]) | (t2[1:] != t2[:-1])
+        keep = np.zeros(full_order.shape[0], dtype=bool)
+        keep[full_order[keep_sorted]] = True
         batch = batch.filter(pa.array(keep))
-        conv_dict = batch["conv_id"].combine_chunks().dictionary_encode()
-        codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
     part = (
         hash_strings(batch["conv_id"]) % np.uint64(num_partitions)

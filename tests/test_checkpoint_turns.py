@@ -5,8 +5,10 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
+import ray.data as rd
 
 from light_curve_feature_ray.sources.synth import (
     synth_transcripts_parquet,
@@ -98,3 +100,38 @@ def test_turns_dedup_idempotent_reingest(ray_session, synth_dir):
     out_s = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     src_s = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert (out_s["text"].values == src_s["text"].values).all()
+
+
+def test_turns_conflicting_duplicates_deterministic(ray_session, tmp_path):
+    """Duplicate (conv_id, turn_idx) rows with DIFFERENT payloads must
+    settle by the deterministic (min ts, then smallest text) rule, not by
+    block arrival order — identical output for opposite block layouts."""
+    import pyarrow.parquet as pq
+
+    from light_curve_feature_ray.pipelines.turns import clean_turns
+    from light_curve_feature_ray.sources.synth import synth_transcripts_table
+
+    tbl = synth_transcripts_table(n_convs=6, mean_turns=30, hot_convs=0, seed=17)
+    dup = tbl.slice(5, 12)
+    # same keys and ts, lexicographically LARGER text -> must always lose
+    dup = dup.set_column(
+        dup.schema.get_field_index("text"), "text",
+        pa.array(["zzz-conflict"] * dup.num_rows),
+    )
+    for name, parts in (("ab", [tbl, dup]), ("ba", [dup, tbl])):
+        d = tmp_path / name
+        d.mkdir()
+        for i, p in enumerate(parts):
+            pq.write_table(p, str(d / f"part-{i}.parquet"))
+
+    def run(name):
+        return (
+            clean_turns(rd.read_parquet(str(tmp_path / name)), num_partitions=5)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run("ab"), run("ba")
+    pd.testing.assert_frame_equal(a, b)
+    assert not (a["text"] == "zzz-conflict").any()
