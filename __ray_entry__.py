@@ -1092,7 +1092,7 @@ WITH e AS (
     FROM events
 )
 SELECT user_id, w AS window_start,
-       count(*) AS n,
+       count(value) AS n,
        round(sum(value), 6) AS sum_value,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value,
@@ -1169,10 +1169,12 @@ def q_doc_text_stats(sf_dir: str):
 
 SQL_DOC_TEXT_STATS = rf"""
 WITH w AS (
-    SELECT doc_id, text,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
-           length(regexp_replace(text, '\s', '', 'g')) AS non_space
+    -- coalesce mirrors the engine's fill_null('') total rule for NULL text
+    SELECT doc_id, coalesce(text, '') AS text,
+           CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+           list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                       x -> x <> '') AS words,
+           length(regexp_replace(coalesce(text, ''), '\s', '', 'g')) AS non_space
     FROM documents
 )
 SELECT doc_id, n_chars,

@@ -109,7 +109,12 @@ def ln_prior_fn(spec, nparams: int):
         return None
     if spec["name"] == "ind_components":
         comps = [ln_prior_1d_fn(c) for c in spec["components"]]
-        assert len(comps) == nparams, (len(comps), nparams)
+        if len(comps) != nparams:
+            # explicit raise: under -O an assert would vanish and zip()
+            # would silently truncate the prior to the first components
+            raise ValueError(
+                f"ln_prior needs {nparams} components, got {len(comps)}"
+            )
 
         def f(x):
             return sum(g(v) for g, v in zip(comps, x))

@@ -18,7 +18,11 @@ import ray
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+    # np.stack raises on an empty list; empty Ray blocks are routine
+    vs = [np.asarray(v, dtype=np.float64) for v in col]
+    if not vs:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack(vs)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -37,6 +41,8 @@ class _BatchTopK:
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
         mat = _normalize(_to_matrix(batch["embedding"]))  # (n, d)
         ids = batch["vec_id"].to_numpy()
         cos = self.q_mat @ mat.T  # (Q, n)
@@ -86,6 +92,45 @@ def knn_cosine(emb_ds, n_queries: int = 5, k: int = 10):
     return partials.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas"
     )
+
+
+def _empty_candidates() -> pd.DataFrame:
+    return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+
+
+def _score_candidates_fn(ref, key_col: str):
+    """Shared LSH/IVF bucket scorer: one matmul of the bucket's members
+    against the queries mapped to this bucket key."""
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        q_by_key, q_ids, q_mat = ray.get(ref)[:3]
+        key = int(g[key_col].iloc[0])
+        qs = q_by_key.get(key, [])
+        if not qs or len(g) == 0:
+            return _empty_candidates()
+        mat = np.stack(list(g["embedding"]))
+        cos = q_mat[qs] @ mat.T
+        n = mat.shape[0]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids[np.asarray(qs)], n),
+                "vec_id": np.tile(g["vec_id"].to_numpy(), len(qs)),
+                "cosine": cos.ravel(),
+            }
+        )
+
+    return score
+
+
+def _merge_topk_dedup(k: int):
+    """Per-query final top-k after cross-bucket/table dedup — the single
+    place the tie rule lives for every approximate path."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
+        return _final_topk(k)(g)
+
+    return merge
 
 
 class _LshBucketer:
@@ -156,6 +201,12 @@ def lsh_knn_cosine(
     wanted_ref = ray.put(np.unique(np.array(wanted_keys, dtype=np.int64)))
 
     def bucket_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype=np.int64),
+                 "bucket": pd.Series([], dtype=np.int64),
+                 "embedding": pd.Series([], dtype=object)}
+            )
         wanted = ray.get(wanted_ref)
         mat = _normalize(_to_matrix(batch["embedding"]))
         frames = []
@@ -184,34 +235,11 @@ def lsh_knn_cosine(
         bucket_and_filter, batch_format="pandas", batch_size=None
     )
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        q_by_key, q_ids, q_mat = ray.get(ref)
-        key = int(g["bucket"].iloc[0])
-        qs = q_by_key.get(key, [])
-        if not qs:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
-        mat = np.stack(list(g["embedding"]))
-        cos = q_mat[qs] @ mat.T
-        n = mat.shape[0]
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(q_ids[np.asarray(qs)], n),
-                "vec_id": np.tile(g["vec_id"].to_numpy(), len(qs)),
-                "cosine": cos.ravel(),
-            }
-        )
-
     candidates = bucketed.groupby("bucket").map_groups(
-        score_bucket, batch_format="pandas"
+        _score_candidates_fn(ref, "bucket"), batch_format="pandas"
     )
-
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        # dedup across tables, then the exact-path top-k tie rule
-        g = g.drop_duplicates("vec_id")
-        return _final_topk(k)(g)
-
     return candidates.groupby("query_id").map_groups(
-        merge_topk, batch_format="pandas"
+        _merge_topk_dedup(k), batch_format="pandas"
     )
 
 
@@ -244,6 +272,8 @@ def embedding_cosine_dups(emb_ds, threshold: float = 0.9,
     ref = ray.put((ids, mat))
 
     def block(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         all_ids, all_mat = ray.get(ref)
         bmat = _normalize(_to_matrix(batch["embedding"]))
         bids = batch["vec_id"].to_numpy()
@@ -319,6 +349,12 @@ def ivf_knn_cosine(
     wanted_ref = ray.put(wanted)
 
     def assign_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype=np.int64),
+                 "cell": pd.Series([], dtype=np.int64),
+                 "embedding": pd.Series([], dtype=object)}
+            )
         _, _, _, cents_w = ray.get(ref)
         want = ray.get(wanted_ref)
         mat = _normalize(_to_matrix(batch["embedding"]))
@@ -336,31 +372,9 @@ def ivf_knn_cosine(
         assign_and_filter, batch_format="pandas", batch_size=None
     )
 
-    def score_cell(g: pd.DataFrame) -> pd.DataFrame:
-        q_by_cell, q_ids, q_mat, _ = ray.get(ref)
-        cell = int(g["cell"].iloc[0])
-        qs = q_by_cell.get(cell, [])
-        if not qs:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
-        mat = np.stack(list(g["embedding"]))
-        cos = q_mat[qs] @ mat.T
-        n = mat.shape[0]
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(q_ids[np.asarray(qs)], n),
-                "vec_id": np.tile(g["vec_id"].to_numpy(), len(qs)),
-                "cosine": cos.ravel(),
-            }
-        )
-
     candidates = assigned.groupby("cell").map_groups(
-        score_cell, batch_format="pandas"
+        _score_candidates_fn(ref, "cell"), batch_format="pandas"
     )
-
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id")
-        return _final_topk(k)(g)
-
     return candidates.groupby("query_id").map_groups(
-        merge_topk, batch_format="pandas"
+        _merge_topk_dedup(k), batch_format="pandas"
     )

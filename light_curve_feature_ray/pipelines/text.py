@@ -101,18 +101,19 @@ def _shingle_hashes_flat(
         sh[full] = r[np.minimum(pos[full], max(n - k, 0))]
     short = ~full
     if short.any():
-        # docs with < k words: one shingle = polynomial over all their words
-        # (numpy warns on *scalar* uint64 wraparound; wraparound is the mod)
-        with np.errstate(over="ignore"):
-            for j in np.flatnonzero(short):
-                d = doc_of[j]
-                if lens[d] == 0:
-                    sh[j] = _EMPTY_SHINGLE
-                else:
-                    acc = np.uint64(0)
-                    for v in h[starts[d] : starts[d] + lens[d]]:
-                        acc = acc * _POLY + v
-                    sh[j] = acc
+        # docs with < k words: one shingle = polynomial over all their
+        # words — vectorized as at most k-1 rounds over ALL short docs at
+        # once (round j folds word j into every short doc that has one)
+        sj = np.flatnonzero(short)
+        docs_s = doc_of[sj]
+        lens_s = lens[docs_s]
+        starts_s = starts[docs_s]
+        acc = np.zeros(sj.shape[0], dtype=np.uint64)
+        for j in range(int(lens_s.max(initial=0))):
+            has = lens_s > j
+            acc[has] = acc[has] * _POLY + h[starts_s[has] + j]
+        acc[lens_s == 0] = _EMPTY_SHINGLE
+        sh[sj] = acc
     return sh, counts
 
 
@@ -542,6 +543,12 @@ def ngram_jaccard_dups(
     import pyarrow as pa
 
     def explode_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype=np.int64),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "n_grams": pd.Series([], dtype=np.int64)}
+            )
         h, lens = _word_hashes_flat(batch["text"].to_numpy())
         sh, counts = _shingle_hashes_flat(h, lens, k)
         starts = np.r_[0, np.cumsum(counts)[:-1]]
@@ -767,7 +774,10 @@ def redact(docs_ds):
     """PII-style scrubbing: replace emails / URLs / long digit runs with
     typed placeholders. Returns (doc_id, clean_text, n_redactions) — the
     standard pre-training hygiene pass, applied in pattern order."""
-    compiled = [(re.compile(p), rep) for _, p, rep in REDACT_PATTERNS]
+    # re.ASCII pins \b, \s and \w to ASCII semantics, matching
+    # DuckDB/RE2's defaults so the oracle substitutes identically on
+    # non-ASCII text (Unicode-aware \b would disagree on e.g. 'caf\u00e9123456')
+    compiled = [(re.compile(p, re.ASCII), rep) for _, p, rep in REDACT_PATTERNS]
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"].to_numpy()

@@ -38,28 +38,45 @@ _DEDUP_SORT_KEYS = [
 ]
 
 
-def _dedup_sort_partition(batch: pa.Table) -> pa.Table:
+def _key_arrays(batch: pa.Table):
     conv_dict = batch["conv_id"].combine_chunks().dictionary_encode()
     codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, turn
+
+
+def _settle_order(batch: pa.Table, codes, turn):
+    """Deterministic-duplicate settlement: full sort order over
+    ``_DEDUP_SORT_KEYS`` (min ts, then lexicographically smallest
+    text/role/tool — the same rule RollupWorker applies, so retries and
+    block layouts cannot change which duplicate survives) plus the
+    keep-first-of-key mask in that order. The single source of truth for
+    both the block-local combiner and the reduce-side settle."""
+    full_order = pc.sort_indices(
+        batch, sort_keys=_DEDUP_SORT_KEYS
+    ).to_numpy(zero_copy_only=False)
+    c2, t2 = codes[full_order], turn[full_order]
+    keep_sorted = np.ones(full_order.shape[0], dtype=bool)
+    keep_sorted[1:] = (c2[1:] != c2[:-1]) | (t2[1:] != t2[:-1])
+    return full_order, keep_sorted
+
+
+def _has_duplicates(codes, turn) -> tuple[np.ndarray, bool]:
     order = np.argsort((codes << np.int64(32)) | turn, kind="stable")
-    keep = np.ones(order.shape[0], dtype=bool)
     c, t = codes[order], turn[order]
-    dup = (c[1:] == c[:-1]) & (t[1:] == t[:-1])
-    if dup.any():
-        # duplicates with differing payloads must settle DETERMINISTICALLY
-        # (min ts, then lexicographically smallest text/role/tool), not by
-        # block-arrival order — same rule as RollupWorker, so retries and
-        # different block layouts produce identical bytes
-        full_order = pc.sort_indices(
-            batch, sort_keys=_DEDUP_SORT_KEYS
-        ).to_numpy(zero_copy_only=False)
-        c2, t2 = codes[full_order], turn[full_order]
-        keep[1:] = (c2[1:] != c2[:-1]) | (t2[1:] != t2[:-1])
-        taken = batch.take(pa.array(full_order[keep]))
+    dup = np.zeros(order.shape[0], dtype=bool)
+    dup[1:] = (c[1:] == c[:-1]) & (t[1:] == t[:-1])
+    return order, bool(dup.any())
+
+
+def _dedup_sort_partition(batch: pa.Table) -> pa.Table:
+    codes, turn = _key_arrays(batch)
+    order, dups = _has_duplicates(codes, turn)
+    if dups:
+        full_order, keep_sorted = _settle_order(batch, codes, turn)
+        taken = batch.take(pa.array(full_order[keep_sorted]))
     else:
-        keep[1:] = ~dup
-        taken = batch.take(pa.array(order[keep]))
+        taken = batch.take(pa.array(order))
     return taken.drop_columns(["part"]) if "part" in batch.column_names else taken
 
 
@@ -80,25 +97,15 @@ def _pack_parcels(batch: pa.Table, num_partitions: int) -> pa.Table:
                 "payload": pa.array([], type=pa.large_binary()),
             }
         )
-    conv_dict = batch["conv_id"].combine_chunks().dictionary_encode()
-    codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    codes, turn = _key_arrays(batch)
     # local dedup (combiner) WITHOUT reordering the block in the common
-    # no-dup case; when duplicates exist, keep the row the DETERMINISTIC
-    # rule selects (min ts, then smallest payload) so the block-local
-    # winner always equals the global winner restricted to this block —
-    # min is associative, so the reduce-side settle is layout-independent
-    order = np.argsort((codes << np.int64(32)) | turn, kind="stable")
-    c, t = codes[order], turn[order]
-    dup_sorted = np.zeros(order.shape[0], dtype=bool)
-    dup_sorted[1:] = (c[1:] == c[:-1]) & (t[1:] == t[:-1])
-    if dup_sorted.any():
-        full_order = pc.sort_indices(
-            batch, sort_keys=_DEDUP_SORT_KEYS
-        ).to_numpy(zero_copy_only=False)
-        c2, t2 = codes[full_order], turn[full_order]
-        keep_sorted = np.ones(full_order.shape[0], dtype=bool)
-        keep_sorted[1:] = (c2[1:] != c2[:-1]) | (t2[1:] != t2[:-1])
+    # no-dup case; when duplicates exist, keep the row _settle_order
+    # selects so the block-local winner always equals the global winner
+    # restricted to this block — min is associative, so the reduce-side
+    # settle is layout-independent
+    _, dups = _has_duplicates(codes, turn)
+    if dups:
+        full_order, keep_sorted = _settle_order(batch, codes, turn)
         keep = np.zeros(full_order.shape[0], dtype=bool)
         keep[full_order[keep_sorted]] = True
         batch = batch.filter(pa.array(keep))

@@ -160,6 +160,8 @@ def tumbling_window_agg(
             {key_col: g[key_col].to_numpy(), "window_start": win,
              "v": g[value_col].to_numpy()}
         )
+        # n counts NON-NULL values (the SQL oracle uses count(value));
+        # sum/min/max skip NaN like SQL aggregates skip NULL
         out = (
             df.groupby([key_col, "window_start"], sort=True)["v"]
             .agg(n="count", sum_value="sum", min_value="min", max_value="max")
@@ -174,16 +176,17 @@ def tumbling_window_agg(
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         n = int(g["n"].sum())
-        s = float(g["sum_value"].sum())
+        # an all-NaN window has n == 0: SQL sum/min/max/avg are NULL there
+        s = float(g["sum_value"].sum()) if n else np.nan
         return pd.DataFrame(
             {
                 key_col: [g[key_col].iloc[0]],
                 "window_start": [g["window_start"].iloc[0]],
                 "n": [n],
                 "sum_value": [s],
-                "min_value": [g["min_value"].min()],
-                "max_value": [g["max_value"].max()],
-                "mean_value": [s / n],
+                "min_value": [g["min_value"].min() if n else np.nan],
+                "max_value": [g["max_value"].max() if n else np.nan],
+                "mean_value": [s / n if n else np.nan],
             }
         )
 
