@@ -10,9 +10,12 @@ a deterministic, dependency-free fitting stack —
   iterations by default, tracking the best posterior sample — mirroring
   McmcCurveFit (/root/reference/src/nl_fit/mcmc.rs:100-140, fixed
   StdRng::from_seed so retries are safe);
-- a deterministic Nelder-Mead polish of the best sample (our stand-in for
-  the reference's optional LMSDER/Ceres fine-tuning, which are
-  feature-gated native optimizers there).
+- a deterministic Nelder-Mead polish of the best sample, and a
+  deterministic Levenberg-Marquardt trust-region least-squares solver
+  (``algorithm={"name": "lsq"}``, aliases 'lmsder'/'ceres') standing in for
+  the reference's feature-gated native LMSDER/Ceres optimizers
+  (/root/reference/src/nl_fit/lmsder.rs, curve_fit.rs:41-52) — usable
+  standalone or as the MCMC/NUTS ``fine_tuning`` algorithm.
 
 Implemented models: BazinFit (/root/reference/src/features/bazin_fit.rs),
 VillarFit (villar_fit.rs) and LinexpFit (linexp_fit.rs). Output =
@@ -311,6 +314,65 @@ def _numeric_grad(f, x, lower, upper, rel=1e-6):
     return g
 
 
+def _lm_least_squares(resid, x0, lower, upper, maxiter=30, ftol=1e-12):
+    """Deterministic Levenberg-Marquardt trust-region least squares with
+    Marquardt diagonal scaling and box projection — the dependency-free
+    analog of the reference's feature-gated LMSDER (GSL ``lmsder``) and
+    Ceres solvers (/root/reference/src/nl_fit/lmsder.rs,
+    curve_fit.rs:41-52). ``resid(x) -> np.ndarray`` of weighted residuals;
+    minimizes ``sum(resid**2)``. The Jacobian is central-difference
+    (the reference uses analytic model derivatives; numeric differences
+    are the honest stand-in, as with NUTS). Steps solve
+    ``(J'J + lam*diag(J'J)) dx = -J'r`` and trial points are projected
+    into the bounds box. Fully deterministic: no RNG anywhere."""
+    x = np.clip(np.asarray(x0, dtype=np.float64), lower, upper)
+    r = resid(x)
+    cost = float(r @ r)
+    if not np.isfinite(cost):
+        return x, cost
+    n = x.shape[0]
+    lam = 1e-3
+    for _ in range(maxiter):
+        jac = np.empty((r.shape[0], n))
+        for i in range(n):
+            h = 1e-6 * max(abs(x[i]), 1e-3)
+            hi = min(x[i] + h, upper[i])
+            lo = max(x[i] - h, lower[i])
+            if hi <= lo:
+                jac[:, i] = 0.0
+                continue
+            xp = x.copy()
+            xp[i] = hi
+            xm = x.copy()
+            xm[i] = lo
+            jac[:, i] = (resid(xp) - resid(xm)) / (hi - lo)
+        jtj = jac.T @ jac
+        jtr = jac.T @ r
+        d = np.diag(jtj).copy()
+        d[d <= 0.0] = 1.0  # flat/frozen directions still get damping
+        rel = 0.0
+        improved = False
+        for _ in range(16):
+            try:
+                step = np.linalg.solve(jtj + lam * np.diag(d), -jtr)
+            except np.linalg.LinAlgError:
+                lam *= 10.0
+                continue
+            x_new = np.clip(x + step, lower, upper)
+            r_new = resid(x_new)
+            c_new = float(r_new @ r_new)
+            if np.isfinite(c_new) and c_new < cost:
+                rel = (cost - c_new) / max(cost, 1e-300)
+                x, r, cost = x_new, r_new, c_new
+                lam = max(lam * 0.25, 1e-12)
+                improved = True
+                break
+            lam *= 10.0
+        if not improved or rel < ftol:
+            break
+    return x, cost
+
+
 def _nelder_mead(f, x0, lower, upper, maxiter=300, scale=1e-2):
     """Tiny deterministic Nelder-Mead (minimization) with box clipping."""
     n = x0.shape[0]
@@ -363,11 +425,13 @@ class _FitFeatureBase(Feature):
 
     The algorithm surface mirrors ``CurveFitAlgorithm``
     (/root/reference/src/nl_fit/curve_fit.rs:41-52): config
-    ``{"name": "mcmc", "niterations": N, "fine_tuning": bool}`` — 'mcmc' is
-    the seeded stretch-move ensemble; fine_tuning runs the deterministic
-    Nelder-Mead polish (the stand-in for the reference's feature-gated
-    LMSDER/Ceres fine-tuners). 'lmsder' / 'ceres' (native solvers) parse but
-    raise NotImplementedError at construction (honest gate).
+    ``{"name": "mcmc", "niterations": N, "fine_tuning": bool|'lsq'}`` —
+    'mcmc' is the seeded stretch-move ensemble; fine_tuning True runs the
+    deterministic Nelder-Mead polish, fine_tuning='lsq' runs the
+    Levenberg-Marquardt fine-tuner (the reference's
+    fine_tuning_algorithm=LMSDER). ``{"name": "lsq", "niterations": N}``
+    (aliases 'lmsder'/'ceres') is the standalone deterministic trust-region
+    least squares replacing the reference's feature-gated native solvers.
 
     ``ln_prior`` is an optional prior over EXTERNAL parameters
     (reference priors apply to external params via transformation,
@@ -395,31 +459,46 @@ class _FitFeatureBase(Feature):
         self.algorithm_name = "mcmc"
         # NUTS defaults mirror the reference (nuts.rs:44-53)
         self.num_tune, self.num_draws = 200, 200
+        self.lsq_niterations = 30
         if algorithm is not None:
             name = algorithm.get("name", "mcmc")
             if name == "mcmc":
                 niterations = int(algorithm.get("niterations", niterations))
-                polish = bool(algorithm.get("fine_tuning", polish))
+                polish = algorithm.get("fine_tuning", polish)
             elif name == "nuts":
                 self.algorithm_name = "nuts"
                 self.num_tune = int(algorithm.get("num_tune", 200))
                 self.num_draws = int(algorithm.get("num_draws", 200))
                 # reference default fine_tuning_algorithm = None
-                polish = bool(algorithm.get("fine_tuning", False))
+                polish = algorithm.get("fine_tuning", False)
+            elif name in ("lsq", "lmsder", "ceres"):
+                # standalone deterministic least squares — the reference's
+                # LmsderCurveFit / CeresCurveFit (curve_fit.rs:41-52); both
+                # native backends map to the same pure-Python LM here. Pure
+                # least squares: ln_prior is ignored, as in the reference's
+                # LMSDER. No fine_tuning field (it IS the fine-tuner).
+                self.algorithm_name = "lsq"
+                self.lsq_niterations = int(algorithm.get("niterations", 30))
+                polish = False
             else:
                 raise NotImplementedError(
-                    f"curve-fit algorithm {name!r} is not available in this "
-                    "build (the reference feature-gates the native "
-                    "LMSDER/Ceres solvers) — use 'mcmc' or 'nuts'"
+                    f"curve-fit algorithm {name!r} is unknown — use "
+                    "'mcmc', 'nuts' or 'lsq' (aliases 'lmsder'/'ceres')"
                 )
         self.niterations = int(niterations)
         self.seed = int(seed)
-        self.polish = bool(polish)
+        # polish: False | True (Nelder-Mead) | 'lsq' (LM fine-tuning, the
+        # reference's fine_tuning_algorithm=LMSDER semantics)
+        if polish not in (False, True, "lsq", "lmsder", "ceres"):
+            raise ValueError(f"fine_tuning must be bool or 'lsq', got {polish!r}")
+        self.polish = "lsq" if polish in ("lsq", "lmsder", "ceres") else bool(polish)
         self.ln_prior_spec = ln_prior
         self._ln_prior = ln_prior_fn(ln_prior, self.NPARAMS)
 
     def _params(self):
-        if self.algorithm_name == "nuts":
+        if self.algorithm_name == "lsq":
+            algorithm = {"name": "lsq", "niterations": self.lsq_niterations}
+        elif self.algorithm_name == "nuts":
             algorithm = {
                 "name": "nuts",
                 "num_tune": self.num_tune,
@@ -488,8 +567,17 @@ class _FitFeatureBase(Feature):
         def neg_ln_prob(p):
             return -ln_prob(p)
 
+        sqrt_wn = np.sqrt(wn)
+
+        def resid(p):
+            return sqrt_wn * (self.model(tn, p) - mn)
+
         rng = np.random.default_rng(self.seed)
-        if self.algorithm_name == "nuts":
+        if self.algorithm_name == "lsq":
+            best, _ = _lm_least_squares(
+                resid, init, lower, upper, self.lsq_niterations
+            )
+        elif self.algorithm_name == "nuts":
 
             def ln_prob_b(p):
                 if np.any(p < lower) or np.any(p > upper):
@@ -513,18 +601,29 @@ class _FitFeatureBase(Feature):
             )
         if self.polish:
             # multi-start polish: the sampler's best + the data-driven init
-            # (the chi2 surface of these models has deceptive local basins);
-            # minimizes the negative ln posterior so priors keep their pull
-            objective = chi2 if prior is None else neg_ln_prob
+            # (the chi2 surface of these models has deceptive local basins).
+            # polish == 'lsq' runs the deterministic LM fine-tuner (the
+            # reference's fine_tuning_algorithm = LMSDER, pure least squares);
+            # polish is True runs Nelder-Mead on the negative ln posterior so
+            # priors keep their pull.
             candidates = [best, init]
             best_c, best_v = None, np.inf
-            for c in candidates:
-                x, v = _nelder_mead(
-                    objective, np.asarray(c, dtype=np.float64), lower, upper
-                )
-                x, v = _nelder_mead(objective, x, lower, upper, scale=1e-3)
-                if v < best_v:
-                    best_c, best_v = x, v
+            if self.polish == "lsq":
+                for c in candidates:
+                    x, v = _lm_least_squares(
+                        resid, np.asarray(c, dtype=np.float64), lower, upper
+                    )
+                    if v < best_v:
+                        best_c, best_v = x, v
+            else:
+                objective = chi2 if prior is None else neg_ln_prob
+                for c in candidates:
+                    x, v = _nelder_mead(
+                        objective, np.asarray(c, dtype=np.float64), lower, upper
+                    )
+                    x, v = _nelder_mead(objective, x, lower, upper, scale=1e-3)
+                    if v < best_v:
+                        best_c, best_v = x, v
             best = best_c
         # reduced chi2 is reported in ORIGINAL units (identical by
         # construction: wn * rn^2 == w * r^2), recomputed for exactness

@@ -161,8 +161,75 @@ def test_algorithm_config_roundtrip():
     d = f.to_dict()
     f2 = feature_from_config(d)
     assert f2.to_dict() == d
+    # lmsder/ceres alias to the pure-Python 'lsq' LM solver
+    f3 = BazinFit(algorithm={"name": "lmsder", "niterations": 12})
+    assert f3.algorithm_name == "lsq" and f3.lsq_niterations == 12
+    d3 = f3.to_dict()
+    assert d3["algorithm"] == {"name": "lsq", "niterations": 12}
+    assert feature_from_config(d3).to_dict() == d3
     with pytest.raises(NotImplementedError):
-        BazinFit(algorithm={"name": "lmsder"})
+        BazinFit(algorithm={"name": "gradient_descent"})
+
+
+def test_lsq_recovery_tighter_than_mcmc():
+    """The deterministic LM solver recovers Bazin parameters from a clean
+    curve to much tighter tolerance than the MCMC point estimate, and is
+    bit-deterministic across calls (no RNG in the path)."""
+    from light_curve_feature_ray.features.nl_fit import BazinFit, LinexpFit, VillarFit
+
+    rng = np.random.default_rng(8)
+    t = np.sort(rng.uniform(0, 100, 80))
+    true = np.array([10.0, 3.0, 40.0, 5.0, 20.0])
+    m = BazinFit().model(t, true)  # noiseless: LM should nail it
+    s = Series(t, m)
+    f = BazinFit(algorithm={"name": "lsq"})
+    out = f.eval(s)
+    np.testing.assert_allclose(out[:5], true, rtol=1e-4)
+    assert out[-1] < 1e-10  # reduced chi2 at the float floor
+    np.testing.assert_array_equal(out, f.eval(s))  # deterministic
+
+    # noisy case still beats the MCMC tolerance used elsewhere (rtol=0.1)
+    m_noisy = m + 0.05 * rng.normal(size=80)
+    out_n = BazinFit(algorithm={"name": "lsq"}).eval(Series(t, m_noisy))
+    np.testing.assert_allclose(out_n[:5], true, rtol=0.05)
+
+    # linexp: noiseless exact recovery too
+    true_l = np.array([5.0, 10.0, 15.0, 2.0])
+    ml = LinexpFit().model(t, true_l)
+    out_l = LinexpFit(algorithm={"name": "lsq"}).eval(Series(t, ml))
+    np.testing.assert_allclose(out_l[:4], true_l, rtol=1e-4)
+
+    # villar (non-smooth at dt=gamma): generous but deterministic recovery
+    true_v = np.array([10.0, 2.0, 30.0, 4.0, 15.0, 0.3, 10.0])
+    mv = VillarFit().model(t, true_v)
+    fv = VillarFit(algorithm={"name": "lsq", "niterations": 60})
+    out_v = fv.eval(Series(t, mv))
+    assert out_v[-1] < 1e-3
+    np.testing.assert_array_equal(out_v, fv.eval(Series(t, mv)))
+
+
+def test_lsq_as_fine_tuning():
+    """fine_tuning='lsq' inside mcmc config = the reference's
+    fine_tuning_algorithm=LMSDER; tightens the MCMC point estimate."""
+    from light_curve_feature_ray.features.base import feature_from_config
+    from light_curve_feature_ray.features.nl_fit import BazinFit
+
+    rng = np.random.default_rng(8)
+    t = np.sort(rng.uniform(0, 100, 60))
+    true = np.array([10.0, 3.0, 40.0, 5.0, 20.0])
+    m = BazinFit().model(t, true) + 0.02 * rng.normal(size=60)
+    s = Series(t, m)
+    f = BazinFit(
+        algorithm={"name": "mcmc", "niterations": 64, "fine_tuning": "lsq"}
+    )
+    assert f.polish == "lsq"
+    out = f.eval(s)
+    np.testing.assert_allclose(out[:5], true, rtol=0.05)
+    d = f.to_dict()
+    assert d["algorithm"]["fine_tuning"] == "lsq"
+    f2 = feature_from_config(d)
+    assert f2.to_dict() == d
+    np.testing.assert_array_equal(f2.eval(s), out)
 
 
 def test_fit_output_transformers():
