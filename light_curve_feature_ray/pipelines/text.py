@@ -263,6 +263,42 @@ def token_count(docs_ds):
 _MERSENNE = (1 << 61) - 1
 
 
+def _segment_pairs(starts: np.ndarray, sizes: np.ndarray):
+    """Row-index pairs (a, b), a < b, within each contiguous segment of a
+    sorted array — for ALL segments at once in one vectorized pass (no
+    per-group Python). The k-th pair of a segment maps to (i, j) via the
+    triangular-number inverse j = floor((1+sqrt(1+8k))/2), with an integer
+    guard against float rounding. Returns global row indices."""
+    p = sizes * (sizes - 1) // 2
+    total = int(p.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pg = np.repeat(np.arange(sizes.shape[0]), p)
+    pstarts = np.r_[0, np.cumsum(p)[:-1]]
+    within = np.arange(total, dtype=np.int64) - pstarts[pg]
+    jj = np.floor(0.5 * (1.0 + np.sqrt(1.0 + 8.0 * within))).astype(np.int64)
+    jj -= (jj * (jj - 1) // 2 > within).astype(np.int64)
+    jj += (jj * (jj + 1) // 2 <= within).astype(np.int64)
+    ii = within - jj * (jj - 1) // 2
+    return starts[pg] + ii, starts[pg] + jj
+
+
+def _segment_bounds(*keys: np.ndarray):
+    """Group ids / sizes / starts / within-group offsets for rows already
+    sorted by ``keys`` (lexicographic). All vectorized."""
+    n = keys[0].shape[0]
+    new = np.zeros(n, dtype=bool)
+    if n:
+        new[0] = True
+        for k in keys:
+            new[1:] |= k[1:] != k[:-1]
+    gid = np.cumsum(new) - 1
+    sizes = np.bincount(gid) if n else np.empty(0, dtype=np.int64)
+    starts = np.r_[0, np.cumsum(sizes)[:-1]] if n else np.empty(0, dtype=np.int64)
+    offsets = np.arange(n, dtype=np.int64) - starts[gid] if n else np.empty(0, dtype=np.int64)
+    return gid, sizes.astype(np.int64), starts.astype(np.int64), offsets
+
+
 class MinHasher:
     """num_perms universal-hash minhash signatures over shingle hashes.
     Stateful (permutation coefficients) => actor-pool stage. Fully
@@ -360,30 +396,53 @@ def minhash_lsh_dups(
             }
         )
 
+    num_partitions = 32
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        bh = batch["band_hash"].to_numpy().view(np.uint64)
+        band = batch["band"].to_numpy().astype(np.uint64)
+        batch = batch.copy()
+        batch["part"] = ((bh * _POLY + band) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        return batch
+
     buckets = docs_ds.map_batches(
         explode_bands, batch_format="pandas", batch_size=None
-    )
+    ).map_batches(add_part, batch_format="pandas", batch_size=None)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype=ids.dtype),
-                 "doc_b": pd.Series([], dtype=ids.dtype)}
-            )
-        if len(ids) > max_bucket:
+    def partition_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        """ALL band buckets of a hash partition in one vectorized pass:
+        sort by (band, band_hash, doc), segment bounds, per-bucket cap at
+        the ``max_bucket`` smallest ids (overflow logged in aggregate),
+        then one ``_segment_pairs`` explosion — no per-bucket Python."""
+        band = grp["band"].to_numpy()
+        bh = grp["band_hash"].to_numpy()
+        d = grp["doc_id"].to_numpy()
+        order = np.lexsort((d, bh, band))
+        band, bh, d = band[order], bh[order], d[order]
+        gid, sizes, starts, offsets = _segment_bounds(band, bh)
+        # dedup same doc within a bucket (defensive), then cap
+        dup = np.zeros(d.shape[0], dtype=bool)
+        dup[1:] = (gid[1:] == gid[:-1]) & (d[1:] == d[:-1])
+        keep = ~dup & (offsets < max_bucket)
+        over = int((sizes > max_bucket).sum())
+        if over:
             logger.warning(
-                "minhash_lsh: band bucket of size %d capped to %d "
-                "(band=%s) — near-dups among the dropped tail of this "
-                "bucket are not candidates this run",
-                len(ids), max_bucket, g["band"].iloc[0],
+                "minhash_lsh: %d band buckets exceeded max_bucket=%d and "
+                "were capped to their smallest ids — near-dups among the "
+                "dropped tails are not candidates this run",
+                over, max_bucket,
             )
-            ids = ids[:max_bucket]
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        band, bh, d = band[keep], bh[keep], d[keep]
+        gid, sizes, starts, offsets = _segment_bounds(band, bh)
+        a_rows, b_rows = _segment_pairs(starts, sizes)
+        return pd.DataFrame(
+            {"doc_a": d[a_rows], "doc_b": d[b_rows]}
+        )
 
-    pairs = buckets.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = buckets.groupby("part").map_groups(
+        partition_pairs, batch_format="pandas"
     )
     # a pair surfacing in several bands is still one candidate:
     # count() aggregate + column drop = distinct, no per-pair Python
@@ -568,29 +627,51 @@ def ngram_jaccard_dups(
             }
         )
 
+    num_partitions = 32
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch["gram"].to_numpy().view(np.uint64)
+        batch = batch.copy()
+        batch["part"] = (g % np.uint64(num_partitions)).astype(np.int32)
+        return batch
+
     grams = docs_ds.map_batches(
         explode_grams, batch_format="pandas", batch_size=None
-    )
+    ).map_batches(add_part, batch_format="pandas", batch_size=None)
 
-    def gram_pairs(grp: pd.DataFrame) -> pd.DataFrame:
-        if len(grp) < 2 or len(grp) > max_df:
-            if len(grp) > max_df:
-                logger.warning(
-                    "ngram_jaccard: gram with df=%d > max_df=%d dropped",
-                    len(grp), max_df,
-                )
-            return pd.DataFrame(
-                {"doc_a": [], "doc_b": [], "na": [], "nb": []}
+    def partition_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        """ALL grams of a hash partition in one vectorized pass: sort by
+        (gram, doc), segment bounds, drop df<2 and df>max_df grams
+        (boilerplate; logged in aggregate), one ``_segment_pairs``
+        explosion — no per-gram Python."""
+        g = grp["gram"].to_numpy()
+        d = grp["doc_id"].to_numpy()
+        ng = grp["n_grams"].to_numpy()
+        order = np.lexsort((d, g))
+        g, d, ng = g[order], d[order], ng[order]
+        gid, sizes, starts, offsets = _segment_bounds(g)
+        # (gram, doc) rows are globally distinct (explode_grams dedups per
+        # doc and each doc lives in one block), so sizes ARE the dfs
+        over = int((sizes > max_df).sum())
+        if over:
+            logger.warning(
+                "ngram_jaccard: %d grams with df > max_df=%d dropped "
+                "(boilerplate bound)", over, max_df,
             )
-        grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = grp["doc_id"].to_numpy()
-        ns = grp["n_grams"].to_numpy()
-        a, b = np.triu_indices(len(ids), k=1)
+        keep = (sizes[gid] >= 2) & (sizes[gid] <= max_df)
+        g, d, ng = g[keep], d[keep], ng[keep]
+        gid, sizes, starts, offsets = _segment_bounds(g)
+        a_rows, b_rows = _segment_pairs(starts, sizes)
         return pd.DataFrame(
-            {"doc_a": ids[a], "doc_b": ids[b], "na": ns[a], "nb": ns[b]}
+            {
+                "doc_a": d[a_rows],
+                "doc_b": d[b_rows],
+                "na": ng[a_rows],
+                "nb": ng[b_rows],
+            }
         )
 
-    pairs = grams.groupby("gram").map_groups(gram_pairs, batch_format="pandas")
+    pairs = grams.groupby("part").map_groups(partition_pairs, batch_format="pandas")
 
     # co-occurrence = COUNT aggregate over the pair key (na/nb are
     # functionally dependent on the doc ids, so they ride in the key);
@@ -654,20 +735,117 @@ def _winnow_doc(text: str, k: int, w: int):
     return np.unique(mins)
 
 
+def _winnow_batch(texts, k: int, w: int):
+    """Winnow ALL documents of a batch in one flat-offset pass (no
+    per-document Python): concatenate codepoints, compute the k-char
+    rolling hash over every global position, select the per-doc valid
+    window ranges (doc-boundary masking), take w-window minima with ONE
+    ``sliding_window_view`` over the compact array plus ``minimum.reduceat``
+    for short ranges, then per-doc distinct counts via a lexsort run-length.
+    Bit-identical to ``_winnow_doc`` (same (acc*31 + c) % mod arithmetic).
+    Returns (n_fp, min_fp, max_fp) arrays of len(texts)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    ndocs = len(texts)
+    n_fp = np.zeros(ndocs, dtype=np.int64)
+    min_fp = np.full(ndocs, np.nan)
+    max_fp = np.full(ndocs, np.nan)
+    if ndocs == 0:
+        return n_fp, min_fp, max_fp
+    texts = ["" if t is None else t for t in texts]
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    joined = "".join(texts)
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    total = cps.shape[0]
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+
+    # --- k-gram rolling hashes at every global position (garbage at
+    # cross-doc positions; masked out by the per-doc ranges below)
+    m_global = max(total - k + 1, 0)
+    acc = np.zeros(m_global, dtype=np.int64)
+    for j in range(k):
+        acc = (acc * 31 + cps[j : j + m_global]) % _WINNOW_MOD
+
+    # --- docs with n >= k: valid hash range [start_d, start_d + m_d)
+    full = lens >= k
+    m_d = np.where(full, lens - k + 1, 0)
+    # compact array of valid hashes, doc segments contiguous
+    fi = np.flatnonzero(full)
+    if fi.size:
+        seg_counts = m_d[fi]
+        seg_starts = np.r_[0, np.cumsum(seg_counts)[:-1]]
+        doc_of = np.repeat(np.arange(fi.size), seg_counts)
+        pos = (
+            starts[fi][doc_of]
+            + np.arange(int(seg_counts.sum()), dtype=np.int64)
+            - seg_starts[doc_of]
+        )
+        compact = acc[pos]
+        # w-window minima: docs with m > w get sliding minima (windows that
+        # would cross doc boundaries are simply not selected); m <= w docs
+        # get one min over the whole segment
+        mins_counts = np.where(seg_counts > w, seg_counts - w + 1, 1)
+        mins_starts = np.r_[0, np.cumsum(mins_counts)[:-1]]
+        mins = np.empty(int(mins_counts.sum()), dtype=np.int64)
+        long = seg_counts > w
+        if long.any():
+            swv = sliding_window_view(compact, w).min(axis=1)
+            li = np.flatnonzero(long)
+            lc = mins_counts[li]
+            ld = np.repeat(li, lc)
+            off = np.arange(int(lc.sum()), dtype=np.int64) - np.repeat(
+                np.r_[0, np.cumsum(lc)[:-1]], lc
+            )
+            sel = seg_starts[ld] + off
+            dst = np.repeat(mins_starts[li], lc) + off
+            mins[dst] = swv[sel]
+        short_seg = ~long
+        if short_seg.any():
+            ssi = np.flatnonzero(short_seg)
+            mins[mins_starts[ssi]] = np.minimum.reduceat(compact, seg_starts)[ssi]
+        # distinct mins per doc: sort within doc runs, run-length count
+        mdoc = np.repeat(np.arange(fi.size), mins_counts)
+        order = np.lexsort((mins, mdoc))
+        md, mv = mdoc[order], mins[order]
+        first = np.r_[True, (md[1:] != md[:-1]) | (mv[1:] != mv[:-1])]
+        md_u, mv_u = md[first], mv[first]
+        n_fp[fi] = np.bincount(md_u, minlength=fi.size)
+        doc_first = np.r_[True, md_u[1:] != md_u[:-1]]
+        doc_last = np.r_[md_u[1:] != md_u[:-1], True]
+        min_fp[fi[md_u[doc_first]]] = mv_u[doc_first]
+        max_fp[fi[md_u[doc_last]]] = mv_u[doc_last]
+
+    # --- short docs (0 < n < k): ONE hash over all their chars, at most
+    # k-1 vectorized rounds across all short docs at once
+    sm = (lens > 0) & ~full
+    si = np.flatnonzero(sm)
+    if si.size:
+        acc_s = np.zeros(si.size, dtype=np.int64)
+        lens_s = lens[si]
+        starts_s = starts[si]
+        for j in range(int(lens_s.max(initial=0))):
+            has = lens_s > j
+            acc_s[has] = (acc_s[has] * 31 + cps[starts_s[has] + j]) % _WINNOW_MOD
+        n_fp[si] = 1
+        min_fp[si] = acc_s
+        max_fp[si] = acc_s
+    return n_fp, min_fp, max_fp
+
+
 def winnow_fingerprints(docs_ds, k: int = 5, w: int = 4):
     """Per-document winnowing fingerprint summary:
     (doc_id, n_fp, min_fp, max_fp). Deterministic and SQL-reproducible
-    (the rolling hash uses exact sub-2^53 integer arithmetic)."""
+    (the rolling hash uses exact sub-2^53 integer arithmetic); the whole
+    batch is winnowed in one flat-offset vectorized pass
+    (``_winnow_batch``), with ``_winnow_doc`` kept as the per-doc
+    reference implementation for parity tests."""
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        out_n = np.empty(len(batch), dtype=np.int64)
-        out_min = np.empty(len(batch), dtype=np.float64)
-        out_max = np.empty(len(batch), dtype=np.float64)
-        for i, text in enumerate(batch["text"]):
-            fps = _winnow_doc(text or "", k, w)
-            out_n[i] = fps.shape[0]
-            out_min[i] = fps[0] if fps.size else np.nan
-            out_max[i] = fps[-1] if fps.size else np.nan
+        out_n, out_min, out_max = _winnow_batch(
+            batch["text"].tolist(), k, w
+        )
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(),
@@ -716,34 +894,61 @@ def simhash_dups(docs_ds, max_hamming: int = 6, max_bucket: int = 256):
             )
         return pd.concat(frames, ignore_index=True)
 
-    rows = docs_ds.map_batches(explode, batch_format="pandas", batch_size=None)
+    num_partitions = 32
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        if len(g) > max_bucket:
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        bv = batch["band_val"].to_numpy().view(np.uint64)
+        band = batch["band"].to_numpy().astype(np.uint64)
+        batch = batch.copy()
+        batch["part"] = ((bv * _POLY + band) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        return batch
+
+    rows = docs_ds.map_batches(
+        explode, batch_format="pandas", batch_size=None
+    ).map_batches(add_part, batch_format="pandas", batch_size=None)
+
+    def partition_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        """ALL bit-band buckets of a hash partition at once: sort by
+        (band, band_val, doc), dedup + cap per bucket, one
+        ``_segment_pairs`` explosion, vectorized xor-popcount verify."""
+        band = grp["band"].to_numpy()
+        bv = grp["band_val"].to_numpy()
+        d = grp["doc_id"].to_numpy()
+        sigs = grp["sig"].to_numpy()
+        order = np.lexsort((d, bv, band))
+        band, bv, d, sigs = band[order], bv[order], d[order], sigs[order]
+        gid, sizes, starts, offsets = _segment_bounds(band, bv)
+        dup = np.zeros(d.shape[0], dtype=bool)
+        dup[1:] = (gid[1:] == gid[:-1]) & (d[1:] == d[:-1])
+        keep = ~dup & (offsets < max_bucket)
+        over = int((sizes > max_bucket).sum())
+        if over:
             logger.warning(
-                "simhash_dups: band bucket of size %d capped to %d",
-                len(g), max_bucket,
+                "simhash_dups: %d band buckets exceeded max_bucket=%d and "
+                "were capped", over, max_bucket,
             )
-            g = g.head(max_bucket)
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy().view(np.uint64)
-        a, b = np.triu_indices(len(ids), k=1)
-        x = sigs[a] ^ sigs[b]
-        ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
-        keep = ham <= max_hamming
+        band, bv, d, sigs = band[keep], bv[keep], d[keep], sigs[keep]
+        gid, sizes, starts, offsets = _segment_bounds(band, bv)
+        a_rows, b_rows = _segment_pairs(starts, sizes)
+        usigs = np.ascontiguousarray(sigs).view(np.uint64)
+        x = usigs[a_rows] ^ usigs[b_rows]
+        if x.size:
+            ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+        else:
+            ham = np.empty(0, dtype=np.int64)
+        kp = ham <= max_hamming
         return pd.DataFrame(
             {
-                "doc_a": ids[a[keep]],
-                "doc_b": ids[b[keep]],
-                "hamming": ham[keep].astype(np.int64),
+                "doc_a": d[a_rows[kp]],
+                "doc_b": d[b_rows[kp]],
+                "hamming": ham[kp].astype(np.int64),
             }
         )
 
-    pairs = rows.groupby(["band", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = rows.groupby("part").map_groups(
+        partition_pairs, batch_format="pandas"
     )
     # a pair found in several bands has the same hamming everywhere:
     # min() is a pure dedup aggregate (no per-pair Python)
@@ -770,31 +975,41 @@ REDACT_PATTERNS = (
 )
 
 
+def _polars_pattern(pat: str) -> str:
+    """Translate an RE2-compatible pattern to the exactly-equivalent Rust
+    ``regex`` (polars) pattern: RE2's ``\\b`` and ``\\s`` are ASCII while
+    Rust's are Unicode, so pin them — ``(?-u:\\b)`` is the ASCII word
+    boundary and RE2's ``\\s`` is exactly ``[\\t\\n\\f\\r ]``."""
+    return pat.replace("\\b", "(?-u:\\b)").replace("[^\\s]", "[^\t\n\f\r ]")
+
+
 def redact(docs_ds):
     """PII-style scrubbing: replace emails / URLs / long digit runs with
     typed placeholders. Returns (doc_id, clean_text, n_redactions) — the
-    standard pre-training hygiene pass, applied in pattern order."""
-    # re.ASCII pins \b, \s and \w to ASCII semantics, matching
-    # DuckDB/RE2's defaults so the oracle substitutes identically on
-    # non-ASCII text (Unicode-aware \b would disagree on e.g. 'caf\u00e9123456')
-    compiled = [(re.compile(p, re.ASCII), rep) for _, p, rep in REDACT_PATTERNS]
+    standard pre-training hygiene pass, applied in pattern order.
+
+    Vectorized via polars ``str.count_matches`` + ``str.replace_all``
+    (Rust regex engine, one pass per pattern over the whole batch — no
+    per-document Python). Patterns are translated by ``_polars_pattern``
+    so the substitutions stay byte-identical to DuckDB/RE2's (the SQL
+    oracle pins this with an md5 of the cleaned text; Unicode-aware
+    ``\\b`` would disagree on e.g. 'caf\u00e9123456')."""
+    import polars as pl
+
+    pats = [(_polars_pattern(p), rep) for _, p, rep in REDACT_PATTERNS]
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].to_numpy()
-        out = np.empty(len(texts), dtype=object)
-        counts = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            t = t or ""
-            total = 0
-            for rx, rep in compiled:
-                t, n = rx.subn(rep, t)
-                total += n
-            out[i] = t
-            counts[i] = total
+        s = pl.Series("t", batch["text"].to_numpy(), dtype=pl.String).fill_null("")
+        counts = np.zeros(len(batch), dtype=np.int64)
+        for pat, rep in pats:
+            counts += (
+                s.str.count_matches(pat).fill_null(0).to_numpy().astype(np.int64)
+            )
+            s = s.str.replace_all(pat, rep)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(),
-                "clean_text": out,
+                "clean_text": s.to_numpy(),
                 "n_redactions": counts,
             }
         )

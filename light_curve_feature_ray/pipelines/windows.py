@@ -143,15 +143,18 @@ def tumbling_window_agg(
     ts_col: str = "ts",
     value_col: str = "value",
     window_s: int = 3600,
+    num_partitions: int = 32,
 ):
     """Count/sum/min/max/mean of ``value`` per (key, tumbling window).
 
     Shuffle-minimal shape: each block is pre-aggregated to one partial row
     per (key, window) BEFORE the exchange (the combiner), so the groupby
     moves partials — orders of magnitude fewer rows than events — and the
-    reduce side merges partials algebraically. Returns
-    (key, window_start: epoch seconds, n, sum_value, min_value, max_value,
-    mean_value)."""
+    reduce side shuffles partials on ``hash(key) % num_partitions`` (like
+    ``sliding_window_agg``) and merges ALL groups of a partition in one
+    vectorized pandas groupby-agg: no per-(key, window) Python calls.
+    Returns (key, window_start: epoch seconds, n, sum_value, min_value,
+    max_value, mean_value)."""
 
     def partial(g: pd.DataFrame) -> pd.DataFrame:
         t = _epoch_seconds(g[ts_col])
@@ -174,22 +177,27 @@ def tumbling_window_agg(
         partial, batch_format="pandas", batch_size=None
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        n = int(g["n"].sum())
-        # an all-NaN window has n == 0: SQL sum/min/max/avg are NULL there
-        s = float(g["sum_value"].sum()) if n else np.nan
-        return pd.DataFrame(
-            {
-                key_col: [g[key_col].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "n": [n],
-                "sum_value": [s],
-                "min_value": [g["min_value"].min() if n else np.nan],
-                "max_value": [g["max_value"].max() if n else np.nan],
-                "mean_value": [s / n if n else np.nan],
-            }
+    def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby([key_col, "window_start"], sort=True)
+            .agg(
+                n=("n", "sum"),
+                sum_value=("sum_value", "sum"),
+                min_value=("min_value", "min"),
+                max_value=("max_value", "max"),
+            )
+            .reset_index()
         )
+        out["n"] = out["n"].astype("int64")
+        n = out["n"].to_numpy()
+        s = out["sum_value"].to_numpy()
+        out["mean_value"] = np.where(n > 0, s / np.maximum(n, 1), np.nan)
+        # an all-NaN window has n == 0: SQL sum/min/max/avg are NULL there
+        out.loc[n == 0, ["sum_value", "min_value", "max_value"]] = np.nan
+        return out
 
-    return partials.groupby([key_col, "window_start"]).map_groups(
-        merge, batch_format="pandas"
+    return (
+        _with_part(partials, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(merge_partition, batch_format="pandas")
     )

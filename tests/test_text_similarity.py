@@ -385,3 +385,59 @@ def test_dedup_block_layout_invariance(docs_ds, ray_session):
     ):
         a, b = norm(fn(one), cols), norm(fn(many), cols)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_winnow_batch_matches_per_doc():
+    """The flat-offset batch winnower is bit-identical to the per-doc
+    reference implementation across edge shapes (empty, short, exactly-k,
+    m==w boundary, long, unicode)."""
+    import numpy as np
+
+    from light_curve_feature_ray.pipelines.text import _winnow_batch, _winnow_doc
+
+    texts = [
+        "",
+        "ab",
+        "abcde",          # n == k: one window
+        "abcdefgh",       # m == w boundary
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "café déjà vu — ünïcödé text with 123 numbers",
+        "aaaaaaaaaaaaaaa",  # degenerate repeats
+        None,
+    ]
+    k, w = 5, 4
+    n_fp, min_fp, max_fp = _winnow_batch(texts, k, w)
+    for i, t in enumerate(texts):
+        fps = _winnow_doc(t or "", k, w)
+        assert n_fp[i] == fps.shape[0], (i, t)
+        if fps.size:
+            assert min_fp[i] == fps[0] and max_fp[i] == fps[-1], (i, t)
+        else:
+            assert np.isnan(min_fp[i]) and np.isnan(max_fp[i])
+
+
+def test_segment_pairs_matches_triu():
+    import numpy as np
+
+    from light_curve_feature_ray.pipelines.text import _segment_pairs
+
+    rng = np.random.default_rng(5)
+    sizes = rng.integers(1, 12, 40).astype(np.int64)
+    sizes[3] = 1
+    sizes[7] = 0 + 1  # size-1 groups produce no pairs
+    starts = np.r_[0, np.cumsum(sizes)[:-1]]
+    a, b = _segment_pairs(starts, sizes)
+    expect_a, expect_b = [], []
+    for s0, sz in zip(starts, sizes):
+        i, j = np.triu_indices(sz, k=1)
+        expect_a.extend((s0 + i).tolist())
+        expect_b.extend((s0 + j).tolist())
+    assert sorted(zip(a.tolist(), b.tolist())) == sorted(
+        zip(expect_a, expect_b)
+    )
+    # big-group guard for the float inverse (max_bucket-scale sizes)
+    sizes = np.array([257], dtype=np.int64)
+    starts = np.array([0], dtype=np.int64)
+    a, b = _segment_pairs(starts, sizes)
+    i, j = np.triu_indices(257, k=1)
+    assert sorted(zip(a.tolist(), b.tolist())) == sorted(zip(i.tolist(), j.tolist()))
