@@ -634,3 +634,247 @@ class MultiColorPeriodogram(MultiColorFeature):
             except Exception:
                 parts.append(np.full(phase_size, fill_value))
         return np.concatenate(parts)
+
+
+# ---------------------------------------------------------------------------
+# GroupedMultiColor — vectorized many-conversation evaluation
+# ---------------------------------------------------------------------------
+
+
+class _MCSegments:
+    """Flat (conv, band)-segment-major arrays + lazily cached per-segment
+    statistics. Rows are sorted by (conv, band, time); ``seg_starts`` marks
+    (conv, band) run boundaries."""
+
+    def __init__(self, conv_of_seg, band_of_seg, band_names, t, m, w, seg_starts, nconv):
+        self.conv_of_seg = np.asarray(conv_of_seg, dtype=np.int64)
+        self.band_of_seg = np.asarray(band_of_seg, dtype=np.int64)
+        self.band_names = list(band_names)
+        self.code_of = {b: i for i, b in enumerate(self.band_names)}
+        self.t = np.ascontiguousarray(t, dtype=np.float64)
+        self.m = np.ascontiguousarray(m, dtype=np.float64)
+        self.w = np.ascontiguousarray(w, dtype=np.float64)
+        self.seg_starts = np.asarray(seg_starts, dtype=np.int64)
+        self.nconv = int(nconv)
+        nseg = self.seg_starts.shape[0]
+        self.sizes = (
+            np.r_[self.seg_starts[1:], self.t.shape[0]] - self.seg_starts
+        )
+        self.seg_of_row = np.repeat(np.arange(nseg), self.sizes)
+        self._cache: dict = {}
+        # per-(conv, band) observation counts; 0 == band absent
+        cnt = np.zeros((self.nconv, len(self.band_names)), dtype=np.int64)
+        cnt[self.conv_of_seg, self.band_of_seg] = self.sizes
+        self.count = cnt
+
+    def _seg_stat(self, key):
+        v = self._cache.get(key)
+        if v is not None:
+            return v
+        if self.t.shape[0] == 0:
+            v = np.empty(0, dtype=np.float64)
+        elif key == "max":
+            v = np.maximum.reduceat(self.m, self.seg_starts)
+        elif key == "min":
+            v = np.minimum.reduceat(self.m, self.seg_starts)
+        elif key == "median":
+            order = np.lexsort((self.m, self.seg_of_row))
+            ms = self.m[order]
+            lo = self.seg_starts + (self.sizes - 1) // 2
+            hi = self.seg_starts + self.sizes // 2
+            v = 0.5 * (ms[lo] + ms[hi])
+        elif key == "weighted_mean":
+            sw = np.add.reduceat(self.w, self.seg_starts)
+            smw = np.add.reduceat(self.m * self.w, self.seg_starts)
+            v = smw / sw
+        else:  # pragma: no cover
+            raise KeyError(key)
+        self._cache[key] = v
+        return v
+
+    def stat_matrix(self, key) -> np.ndarray:
+        """(nconv, nbands) matrix of the per-segment stat (NaN = absent)."""
+        mk = ("mat", key)
+        v = self._cache.get(mk)
+        if v is None:
+            v = np.full((self.nconv, len(self.band_names)), np.nan)
+            v[self.conv_of_seg, self.band_of_seg] = self._seg_stat(key)
+            self._cache[mk] = v
+        return v
+
+    def presence_ok(self, bands, min_n: int) -> np.ndarray:
+        """(nconv,) bool: every named band present with >= min_n points.
+        A band unseen in this partition fails everywhere."""
+        ok = np.ones(self.nconv, dtype=bool)
+        for b in bands:
+            code = self.code_of.get(b)
+            if code is None:
+                return np.zeros(self.nconv, dtype=bool)
+            ok &= self.count[:, code] >= max(min_n, 1)
+        return ok
+
+    def band_arrays(self, band_code: int):
+        """Compact (t, m, w, starts, conv_codes) for one band's segments,
+        segment-major in conv order (for the monochrome GroupedSuite)."""
+        sel = self.band_of_seg == band_code
+        rows = np.repeat(sel, self.sizes)
+        sizes_b = self.sizes[sel]
+        starts_b = np.r_[0, np.cumsum(sizes_b)[:-1]].astype(np.int64)
+        return (
+            self.t[rows],
+            self.m[rows],
+            self.w[rows],
+            starts_b,
+            self.conv_of_seg[sel],
+        )
+
+    def binned(self, window: float, offset: float) -> "_MCSegments":
+        """New segments with each (conv, band) series rebinned by the
+        monochrome Bins transform (t* = (j+1/2)*window, m* = weighted
+        mean, w* = sum(w)/N — bins.py:bin_series), ALL segments at once."""
+        if self.t.shape[0] == 0:
+            return self
+        j = np.floor((self.t - offset) / window)
+        # time ascends within a segment => j non-decreasing within it
+        new = np.zeros(self.t.shape[0], dtype=bool)
+        new[self.seg_starts] = True
+        new[1:] |= j[1:] != j[:-1]
+        bstarts = np.flatnonzero(new)
+        bends = np.r_[bstarts[1:], self.t.shape[0]]
+        n_j = (bends - bstarts).astype(np.float64)
+        sum_w = np.add.reduceat(self.w, bstarts)
+        sum_mw = np.add.reduceat(self.m * self.w, bstarts)
+        bt = (j[bstarts] + 0.5) * window
+        bm = sum_mw / sum_w
+        bw = sum_w / n_j
+        # one bin row per (conv, band, j); seg boundaries where the source
+        # segment changes
+        src_seg = self.seg_of_row[bstarts]
+        seg_new = np.r_[True, src_seg[1:] != src_seg[:-1]]
+        new_starts = np.flatnonzero(seg_new)
+        return _MCSegments(
+            self.conv_of_seg[src_seg[new_starts]],
+            self.band_of_seg[src_seg[new_starts]],
+            self.band_names,
+            bt,
+            bm,
+            bw,
+            new_starts,
+            self.nconv,
+        )
+
+
+class GroupedMultiColor:
+    """Vectorized evaluation of a :class:`MultiColorExtractor` over many
+    conversations at once (the multicolor analog of the monochrome
+    ``GroupedSuite``). ColorOfMaximum/Median/Minimum, ColorSpread,
+    PerBandFeature and MultiColorBins evaluate with reduceat/GroupedSuite
+    kernels — no per-conversation Python; features without a vectorized
+    path (MultiColorPeriodogram) fall back to a per-series loop over ONLY
+    that feature, exactly mirroring their scalar ``eval_or_fill``."""
+
+    def __init__(self, features, fill_value: float = np.nan):
+        self.extractor = (
+            features
+            if isinstance(features, MultiColorExtractor)
+            else MultiColorExtractor(features)
+        )
+        self.fill_value = float(fill_value)
+
+    def names(self):
+        return self.extractor.names()
+
+    def eval(self, ctx: _MCSegments) -> dict:
+        out: dict = {}
+        for f in self.extractor.features:
+            out.update(self._eval_feature(f, ctx))
+        return out
+
+    # -- per-kind vectorized kernels ----------------------------------------
+
+    def _eval_feature(self, f, ctx: _MCSegments) -> dict:
+        fill = self.fill_value
+        if isinstance(f, _ColorOf):
+            stat = ctx.stat_matrix(
+                {"max": "max", "min": "min", "median": "median"}[f.stat]
+            )
+            a, b = f.bands
+            ok = ctx.presence_ok(f.bands, f.min_ts_length)
+            ca, cb = ctx.code_of.get(a), ctx.code_of.get(b)
+            if ca is None or cb is None:
+                return {f.names[0]: np.full(ctx.nconv, fill)}
+            col = stat[:, ca] - stat[:, cb]
+            return {f.names[0]: np.where(ok, col, fill)}
+        if isinstance(f, ColorSpread):
+            ok = ctx.presence_ok(f.bands, f.min_ts_length)
+            mus = ctx.stat_matrix("weighted_mean")
+            codes = [ctx.code_of.get(b) for b in f.bands]
+            if any(c is None for c in codes):
+                return {"color_spread": np.full(ctx.nconv, fill)}
+            sub = mus[:, codes]
+            with np.errstate(invalid="ignore"):
+                spread = np.sqrt(
+                    np.mean((sub - sub.mean(axis=1, keepdims=True)) ** 2, axis=1)
+                )
+            return {"color_spread": np.where(ok, spread, fill)}
+        if isinstance(f, PerBandFeature):
+            from .extractor import FeatureExtractor
+            from .grouped import GroupedSuite
+
+            ok = ctx.presence_ok(f.bands, f.min_ts_length)
+            suite = GroupedSuite(FeatureExtractor([f.feature]), fill)
+            cols: dict = {}
+            for b in f.bands:
+                code = ctx.code_of.get(b)
+                if code is None:
+                    for n in f.feature.names:
+                        cols[f"{n}_{b}"] = np.full(ctx.nconv, fill)
+                    continue
+                tb, mb, wb, starts_b, convs_b = ctx.band_arrays(code)
+                if starts_b.shape[0] == 0:
+                    vals = {n: np.empty(0) for n in f.feature.names}
+                else:
+                    vals = suite.eval(tb, mb, wb, starts_b)
+                for n in f.feature.names:
+                    col = np.full(ctx.nconv, fill)
+                    col[convs_b] = vals[n]
+                    cols[f"{n}_{b}"] = col
+            for n in list(cols):
+                cols[n] = np.where(ok, cols[n], fill)
+            return cols
+        if isinstance(f, MultiColorBins):
+            ok = ctx.presence_ok(
+                sorted(f.passband_set), f.min_ts_length
+            )
+            inner = GroupedMultiColor(f.extractor, fill)
+            bctx = ctx.binned(f.window, f.offset)
+            inner_cols = inner.eval(bctx)
+            pre = f"bins_window{f.window:.1f}_offset{f.offset:.1f}_"
+            return {
+                pre + n: np.where(ok, col, fill)
+                for n, col in inner_cols.items()
+            }
+        return self._fallback(f, ctx)
+
+    def _fallback(self, f, ctx: _MCSegments) -> dict:
+        """Per-conversation loop for features with no vectorized kernel
+        (inherently per-series, e.g. MultiColorPeriodogram)."""
+        fill = self.fill_value
+        nseg = ctx.seg_starts.shape[0]
+        seg_end = np.r_[ctx.seg_starts[1:], ctx.t.shape[0]]
+        conv_first = (
+            np.flatnonzero(np.r_[True, ctx.conv_of_seg[1:] != ctx.conv_of_seg[:-1]])
+            if nseg
+            else np.empty(0, dtype=np.int64)
+        )
+        conv_last = np.r_[conv_first[1:], nseg]
+        rows = np.full((ctx.nconv, f.size), fill)
+        for lo, hi in zip(conv_first, conv_last):
+            mcts = {}
+            for k in range(lo, hi):
+                s0, s1 = ctx.seg_starts[k], seg_end[k]
+                mcts[ctx.band_names[ctx.band_of_seg[k]]] = Series(
+                    ctx.t[s0:s1], ctx.m[s0:s1], ctx.w[s0:s1], check=False
+                )
+            rows[ctx.conv_of_seg[lo]] = f.eval_or_fill(mcts, fill)
+        return {n: rows[:, i] for i, n in enumerate(f.names)}

@@ -23,7 +23,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..features.kernel import Series
-from ..features.multicolor import MultiColorExtractor
+from ..features.multicolor import (
+    GroupedMultiColor,
+    MultiColorExtractor,
+    _MCSegments,
+)
 
 
 def _band_aggregates(batch: pa.Table, band_col: str):
@@ -155,6 +159,7 @@ def conv_multicolor_features(
         if isinstance(features, MultiColorExtractor)
         else MultiColorExtractor(features)
     )
+    grouped = GroupedMultiColor(extractor, fill_value)
     names = extractor.names()
 
     def eval_partition(batch: pa.Table) -> pa.Table:
@@ -183,30 +188,24 @@ def conv_multicolor_features(
         c, b, tt, mm = codes[order], bands[order], ts_us[order], m[order]
         t = tt.astype(np.float64) / 1e6
         seg = np.flatnonzero(np.r_[True, (c[1:] != c[:-1]) | (b[1:] != b[:-1])])
-        seg_end = np.r_[seg[1:], c.shape[0]]
-        conv_first = np.flatnonzero(np.r_[True, c[seg][1:] != c[seg][:-1]])
-        conv_last = np.r_[conv_first[1:], seg.shape[0]]
-
-        out_conv = []
-        out_rows = np.empty((conv_first.shape[0], len(names)))
-        for i, (lo, hi) in enumerate(zip(conv_first, conv_last)):
-            mcts = {}
-            for k in range(lo, hi):
-                s0, s1 = seg[k], seg_end[k]
-                mcts[band_names[b[s0]]] = Series(
-                    t[s0:s1], mm[s0:s1], check=False
-                )
-            out_conv.append(c[seg[lo]])
-            out_rows[i] = extractor.eval_or_fill(mcts, fill_value)
+        c_seg, b_seg = c[seg], b[seg]
+        conv_codes = np.unique(c_seg)
+        conv_of_seg = np.searchsorted(conv_codes, c_seg)
+        ctx = _MCSegments(
+            conv_of_seg, b_seg, band_names, t, mm,
+            np.ones_like(mm), seg, conv_codes.shape[0],
+        )
+        # vectorized many-conv evaluation (per-conv Python only for the
+        # inherently per-series features, e.g. MultiColorPeriodogram)
+        grouped_cols = grouped.eval(ctx)
 
         cols = {
             "conv_id": pa.DictionaryArray.from_arrays(
-                pa.array(np.array(out_conv, dtype=np.int64), type=pa.int32()),
-                conv_dict.dictionary,
+                pa.array(conv_codes, type=pa.int32()), conv_dict.dictionary
             ).cast(pa.string())
         }
-        for j, n in enumerate(names):
-            arr = pa.array(out_rows[:, j], type=pa.float64())
+        for n in names:
+            arr = pa.array(grouped_cols[n], type=pa.float64())
             if nan_to_null:
                 arr = pc.if_else(
                     pc.is_nan(arr), pa.scalar(None, pa.float64()), arr

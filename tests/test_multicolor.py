@@ -261,3 +261,101 @@ def test_conv_color_features_vectorized_pivot(ray_session):
         assert abs(row[f"color_max_assistant_user"] - (a.max() - b.max())) < 1e-9
         mus = np.array([a.mean(), b.mean()])
         assert abs(row["color_spread"] - np.sqrt(((mus - mus.mean()) ** 2).mean())) < 1e-9
+
+
+def test_grouped_multicolor_matches_scalar():
+    """GroupedMultiColor (vectorized many-conv path used by
+    conv_multicolor_features) is exactly the per-conv scalar
+    extractor.eval_or_fill across missing-band / short-series /
+    flat-series edge cases, for every vectorized kind + the
+    periodogram fallback."""
+    import numpy as np
+
+    from light_curve_feature_ray.features.kernel import Series
+    from light_curve_feature_ray.features.multicolor import (
+        ColorOfMaximum,
+        ColorOfMedian,
+        ColorOfMinimum,
+        ColorSpread,
+        GroupedMultiColor,
+        MultiColorBins,
+        MultiColorExtractor,
+        PerBandFeature,
+        _MCSegments,
+    )
+
+    rng = np.random.default_rng(11)
+    band_names = ["assistant", "tool", "user"]
+    convs = []
+    for ci in range(25):
+        mcts = {}
+        for bi, b in enumerate(band_names):
+            # vary presence and length; conv 3 has a flat band, conv 5 short
+            if (ci + bi) % 4 == 0 and ci != 7:
+                continue
+            n = 1 if ci == 5 and bi == 0 else rng.integers(2, 30)
+            t = np.sort(rng.uniform(0, 1000, n))
+            m = (
+                np.full(n, 3.0)
+                if ci == 3 and bi == 1
+                else rng.uniform(0, 50, n)
+            )
+            mcts[b] = (t, m)
+        if mcts:
+            convs.append(mcts)
+
+    extractor = MultiColorExtractor(
+        [
+            ColorOfMaximum(["assistant", "user"]),
+            ColorOfMedian(["assistant", "tool"]),
+            ColorOfMinimum(["tool", "user"]),
+            ColorSpread(["assistant", "tool", "user"]),
+            PerBandFeature(
+                {"name": "linear_trend"}, ["assistant", "user"]
+            ),
+            PerBandFeature({"name": "eta"}, ["tool"]),
+            MultiColorBins(
+                [
+                    ColorOfMedian(["assistant", "user"]),
+                    ColorSpread(["assistant", "user"]),
+                ],
+                window=100.0,
+                offset=0.0,
+            ),
+        ]
+    )
+
+    # scalar reference
+    expected = np.stack(
+        [
+            extractor.eval_or_fill(
+                {b: Series(t, m, check=False) for b, (t, m) in c.items()}
+            )
+            for c in convs
+        ]
+    )
+
+    # flat segment-major layout
+    ts, ms, segs, conv_of, band_of = [], [], [], [], []
+    off = 0
+    for ci, c in enumerate(convs):
+        for bi, b in enumerate(band_names):
+            if b not in c:
+                continue
+            t, m = c[b]
+            ts.append(t)
+            ms.append(m)
+            segs.append(off)
+            conv_of.append(ci)
+            band_of.append(bi)
+            off += t.shape[0]
+    t = np.concatenate(ts)
+    m = np.concatenate(ms)
+    ctx = _MCSegments(
+        np.array(conv_of), np.array(band_of), band_names,
+        t, m, np.ones_like(m), np.array(segs), len(convs),
+    )
+    got_cols = GroupedMultiColor(extractor).eval(ctx)
+    names = extractor.names()
+    got = np.stack([got_cols[n] for n in names], axis=1)
+    np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
