@@ -1499,12 +1499,30 @@ def q_knn_ivf(sf_dir: str):
 
 
 def q_multimodal_decode(sf_dir: str):
+    """Full decode output, oracle-checked: the 8-dim embedding list is
+    flattened to emb_0..emb_7 scalar columns (the driver compare hashes
+    scalars), each sha256-derived so DuckDB replicates them exactly."""
     from light_curve_feature_ray.pipelines.multimodal import (
         attach_fake_payloads,
         decode_images,
     )
 
-    return decode_images(attach_fake_payloads(_docs(sf_dir)))
+    ds = decode_images(attach_fake_payloads(_docs(sf_dir)))
+
+    def flatten(b: pa.Table) -> pa.Table:
+        cols = {
+            "item_id": b["item_id"],
+            "width": b["width"].cast(pa.int64()),
+            "height": b["height"].cast(pa.int64()),
+        }
+        for i in range(8):
+            cols[f"emb_{i}"] = pc.list_element(b["embedding"], i)
+        return pa.table(cols)
+
+    return _finalize(
+        ds.map_batches(flatten, batch_format="pyarrow"),
+        skip=("item_id", "width", "height"),
+    )
 
 
 def q_multimodal_meta(sf_dir: str):
@@ -1561,6 +1579,17 @@ SELECT item_id,
        round(CASE WHEN nrm = 0 THEN bs[1] ELSE bs[1]/nrm END, 6) AS emb_0
 FROM n
 """
+
+# same derivation, all 8 embedding components (multimodal_decode oracle)
+SQL_MULTIMODAL_DECODE = (
+    SQL_MULTIMODAL_META.rsplit("FROM n", 1)[0].rsplit("round(", 1)[0]
+    + ",\n".join(
+        f"       round(CASE WHEN nrm = 0 THEN bs[{i + 1}] "
+        f"ELSE bs[{i + 1}]/nrm END, 6) AS emb_{i}"
+        for i in range(8)
+    )
+    + "\nFROM n\n"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1644,6 +1673,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_multicolor_bins": SQL_CONV_MULTICOLOR_BINS,
         "conv_otsu": SQL_CONV_OTSU,
         "multimodal_meta": SQL_MULTIMODAL_META,
+        "multimodal_decode": SQL_MULTIMODAL_DECODE,
         "conv_colors": SQL_CONV_COLORS,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,

@@ -72,7 +72,8 @@ class DecodeImage:
 
     def _decode_stub(self, payload: bytes):
         """Deterministic fake: dimensions + unit-norm embedding derived from
-        the payload digest."""
+        the payload digest (per-item scalar form, kept for tests; the batch
+        path below is the vectorized equivalent)."""
         digest = hashlib.sha256(payload).digest()
         width = 1 + digest[0] % 64
         height = 1 + digest[1] % 64
@@ -83,21 +84,43 @@ class DecodeImage:
         return width, height, emb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        widths = np.empty(batch.num_rows, dtype=np.int32)
-        heights = np.empty(batch.num_rows, dtype=np.int32)
-        embs = np.empty((batch.num_rows, self.embedding_dim), dtype=np.float64)
-        for i, payload in enumerate(batch["payload"]):
-            w, h, e = self.decode(payload.as_py())
-            widths[i], heights[i] = w, h
-            embs[i] = e
+        n = batch.num_rows
+        dim = self.embedding_dim
+        if n == 0:
+            return pa.table(
+                {
+                    "item_id": pa.array([], type=pa.int64()),
+                    "width": pa.array([], type=pa.int32()),
+                    "height": pa.array([], type=pa.int32()),
+                    "embedding": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        # digesting is per-item by necessity (hashlib); everything after
+        # the digest is one vectorized pass over the (n, 32) byte matrix,
+        # and the list column is built zero-copy from offsets + flat values
+        payloads = batch["payload"].to_pylist()
+        digests = np.frombuffer(
+            b"".join(
+                hashlib.sha256(b"" if p is None else p).digest()
+                for p in payloads
+            ),
+            dtype=np.uint8,
+        ).reshape(n, 32)
+        widths = (1 + digests[:, 0] % 64).astype(np.int32)
+        heights = (1 + digests[:, 1] % 64).astype(np.int32)
+        raw = digests[:, :dim].astype(np.float64)
+        norms = np.linalg.norm(raw, axis=1)
+        embs = np.where(norms[:, None] > 0, raw / np.maximum(norms, 1e-300)[:, None], raw)
+        offsets = pa.array(
+            np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+        )
+        emb_col = pa.ListArray.from_arrays(offsets, pa.array(embs.ravel()))
         return pa.table(
             {
                 "item_id": batch["item_id"],
                 "width": pa.array(widths, type=pa.int32()),
                 "height": pa.array(heights, type=pa.int32()),
-                "embedding": pa.array(
-                    list(embs), type=pa.list_(pa.float64())
-                ),
+                "embedding": emb_col,
             }
         )
 
