@@ -52,6 +52,16 @@ def _md5_hex(texts: pd.Series) -> pd.Series:
     return texts.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
 
 
+def _md5_hex_arrow(texts) -> pa.Array:
+    """md5 hex of an Arrow string column (digesting is per-row by necessity
+    — no batch md5 kernel exists; the surrounding stage stays zero-copy
+    Arrow with no pandas hop)."""
+    return pa.array(
+        [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts.to_pylist()],
+        type=pa.string(),
+    )
+
+
 # ---------------------------------------------------------------------------
 # vectorized tokenization / shingling (shared by minhash, simhash, stats)
 # ---------------------------------------------------------------------------
@@ -144,12 +154,12 @@ def exact_dedup(docs_ds):
     (text_md5, doc_id) partials cross the exchange. Returns
     (doc_id, text_md5)."""
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"], "text_md5": _md5_hex(batch["text"])}
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text_md5": _md5_hex_arrow(batch["text"])}
         )
 
-    hashed = docs_ds.map_batches(add_hash, batch_format="pandas", batch_size=None)
+    hashed = docs_ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
     agg = hashed.groupby("text_md5").min("doc_id")
     return agg.map_batches(
         lambda b: pa.table(
@@ -163,10 +173,10 @@ def exact_dedup(docs_ds):
 def fingerprint(docs_ds):
     """Content fingerprint per document (md5 hex)."""
     return docs_ds.map_batches(
-        lambda b: pd.DataFrame(
-            {"doc_id": b["doc_id"], "fp": _md5_hex(b["text"])}
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "fp": _md5_hex_arrow(b["text"])}
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=None,
     )
 
@@ -176,11 +186,12 @@ def fingerprint(docs_ds):
 # ---------------------------------------------------------------------------
 
 
-def _stats_frame(batch: pd.DataFrame) -> pd.DataFrame:
+def _stats_frame(batch: pa.Table) -> pa.Table:
+    """Arrow in, Arrow out: the text column goes straight into polars
+    (zero-copy from Arrow) — no pandas hop anywhere in the stats family."""
     import polars as pl
 
-    text = batch["text"]
-    s = pl.Series("t", text.to_numpy(), dtype=pl.String).fill_null("")
+    s = pl.from_arrow(batch["text"]).fill_null("")
     n_chars = s.str.len_chars().to_numpy().astype("int64")
     non_space = s.str.replace_all(r"\s", "").str.len_chars().to_numpy().astype("int64")
     words = s.str.to_lowercase().str.extract_all(r"\S+")
@@ -204,14 +215,14 @@ def _stats_frame(batch: pd.DataFrame) -> pd.DataFrame:
         avg_word_len = np.where(n_words > 0, non_space / n_words, np.nan)
         stop_ratio = np.where(n_words > 0, stop_hits / n_words, np.nan)
         punct_ratio = np.where(n_chars > 0, punct / n_chars, np.nan)
-    return pd.DataFrame(
+    return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "n_chars": n_chars,
-            "n_words": n_words,
-            "avg_word_len": avg_word_len,
-            "stop_ratio": stop_ratio,
-            "punct_ratio": punct_ratio,
+            "n_chars": pa.array(n_chars),
+            "n_words": pa.array(n_words),
+            "avg_word_len": pa.array(avg_word_len),
+            "stop_ratio": pa.array(stop_ratio),
+            "punct_ratio": pa.array(punct_ratio),
         }
     )
 
@@ -219,7 +230,7 @@ def _stats_frame(batch: pd.DataFrame) -> pd.DataFrame:
 def text_stats(docs_ds):
     """Per-document length / word-count / quality-signal columns."""
     return docs_ds.map_batches(
-        _stats_frame, batch_format="pandas", batch_size=None
+        _stats_frame, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -227,33 +238,40 @@ def lang_id(docs_ds, threshold: float = 0.08):
     """Stopword-ratio language heuristic: 'en' iff the fraction of words in
     the English stop list reaches ``threshold``."""
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
+    def f(batch: pa.Table) -> pa.Table:
         st = _stats_frame(batch)
-        pred = np.where(
-            np.nan_to_num(st["stop_ratio"].to_numpy(), nan=0.0) >= threshold,
-            "en",
-            "other",
+        sr = st["stop_ratio"].to_numpy(zero_copy_only=False)
+        pred = np.where(np.nan_to_num(sr, nan=0.0) >= threshold, "en", "other")
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang_pred": pa.array(pred)}
         )
-        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": pred})
 
-    return docs_ds.map_batches(f, batch_format="pandas", batch_size=None)
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+# the Rust-regex (polars) spelling of _TOKEN_RE with Python-ASCII classes
+# expanded literally, so counts are identical to re.ASCII and to the SQL
+# oracle's RE2 regexp_extract_all
+_TOKEN_RE_POLARS = r"[0-9A-Za-z_]+|[^0-9A-Za-z_ \t\n\r\f\v]"
 
 
 def token_count(docs_ds):
     """BPE-ish token counting: \\w+ runs and single punctuation marks
-    (ASCII classes, mirrored by the SQL oracle's regexp_extract_all)."""
+    (ASCII classes, mirrored by the SQL oracle's regexp_extract_all).
+    Vectorized via polars count_matches over the Arrow column."""
+    import polars as pl
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def f(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"]).fill_null("")
+        n = s.str.count_matches(_TOKEN_RE_POLARS).fill_null(0)
+        return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": batch["text"]
-                .str.count(_TOKEN_RE)
-                .astype("int64"),
+                "n_tokens": pa.array(n.to_numpy().astype(np.int64)),
             }
         )
 
-    return docs_ds.map_batches(f, batch_format="pandas", batch_size=None)
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
