@@ -100,6 +100,17 @@ def rollup_dataset(
     amortization.
     """
     config = config or RollupConfig()
+    if config.num_partitions is None:
+        # resolve the auto partition count BEFORE any worker state keys on
+        # config.to_dict() — ds.count() on a fresh parquet read is a
+        # metadata-only operation
+        from dataclasses import replace
+
+        from ..stages.rollup import auto_num_partitions
+
+        config = replace(
+            config, num_partitions=auto_num_partitions(ds.count())
+        )
     hot_ref = None
     if hot_list is not None:
         # precomputed hot-conversation set (a slowly-changing property of
@@ -139,6 +150,15 @@ def rollup_table(table: pa.Table, config: RollupConfig | None = None) -> pa.Tabl
     rows as ``rollup_dataset`` modulo row order.
     """
     config = config or RollupConfig()
+    if config.num_partitions is None:
+        from dataclasses import replace
+
+        from ..stages.rollup import auto_num_partitions
+
+        config = replace(
+            config,
+            num_partitions=auto_num_partitions(table.num_rows, num_cpus=1),
+        )
     derived = DeriveAssign(config)(table)
     return RollupWorker(config)(derived)
 

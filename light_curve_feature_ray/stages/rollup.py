@@ -76,7 +76,10 @@ class RollupConfig:
     gap_fill: str = "linear"  # "none" | "prev" | "linear"
     fill_levels: tuple = ("1m", "1h")  # which bin series get gap-filled
     max_fill_gap: int = 2880  # max missing slots filled per gap (None = all)
-    num_partitions: int = 64
+    #: None = auto-size at pipeline entry (``auto_num_partitions``:
+    #: a rows-per-partition target band instead of a fixed constant, so the
+    #: one-partition-per-reduce-task memory bound holds at any input scale)
+    num_partitions: int | None = None
     hot_threshold: int | None = 10_000  # turns; None disables salting
     salt_window_days: int = 1
     store_points: bool = True
@@ -103,6 +106,33 @@ class RollupConfig:
             "store_points": self.store_points,
             "fill_value": fv_ser,
         }
+
+
+def auto_num_partitions(
+    n_rows: int,
+    num_cpus: int | None = None,
+    target_rows: int = 100_000,
+    max_parts: int = 65_536,
+) -> int:
+    """Partition count from a rows-per-partition target band.
+
+    ~``target_rows`` rows per reduce partition (one partition = one reduce
+    task holding its partition in memory — the band keeps that bounded at
+    any input size), floored at 2 tasks per CPU slot for wave smoothing and
+    capped so tiny inputs don't shatter into empty partitions. 100k rows/
+    partition reproduces the measured-optimal P=96 for the 9.5M-turn bench
+    (BASELINE.md) while scaling linearly with the input."""
+    if num_cpus is None:
+        try:
+            import ray
+
+            num_cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            num_cpus = 8
+    by_rows = -(-int(n_rows) // target_rows) if n_rows > 0 else 1
+    parts = max(by_rows, 2 * num_cpus)
+    parts = min(parts, max(-(-int(n_rows) // 1_000), 1), max_parts)
+    return max(parts, 1)
 
 
 # ---------------------------------------------------------------------------

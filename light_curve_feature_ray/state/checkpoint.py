@@ -114,13 +114,24 @@ def run_rollup_job(
     from ..pipelines.rollup import _derive_fn, read_transcripts
 
     config = config or RollupConfig()
+    ds = read_transcripts(input_path)
+    if config.num_partitions is None:
+        # resolve the auto partition count BEFORE the lineage manifest is
+        # written: the resolved value is part of the resume identity (and
+        # is deterministic for a given input — metadata row count)
+        from dataclasses import replace
+
+        from ..stages.rollup import auto_num_partitions
+
+        config = replace(
+            config, num_partitions=auto_num_partitions(ds.count())
+        )
     os.makedirs(out_dir, exist_ok=True)
     done = completed_partitions(out_dir)
     lineage = {"input": input_path, "config": config.to_dict()}
     with open(os.path.join(out_dir, "_job.json"), "w") as f:
         json.dump(lineage, f)
 
-    ds = read_transcripts(input_path)
     hot_ref, hot = None, None
     if config.hot_threshold is not None:
         hot = detect_hot_convs(ds, config.hot_threshold)

@@ -362,3 +362,51 @@ def test_actor_pool_worker_matches_tasks(ray_session):
     tasks = run()
     actors = run(worker_concurrency=2)
     pd.testing.assert_frame_equal(tasks, actors)
+
+
+def test_auto_num_partitions_rule():
+    from light_curve_feature_ray.stages.rollup import auto_num_partitions
+
+    # rows-per-partition band: 9.5M rows -> the measured-optimal ~96
+    assert auto_num_partitions(9_534_677, num_cpus=32) == 96
+    # small inputs floor at 2 tasks/cpu but never shatter below 1k rows/part
+    assert auto_num_partitions(953_000, num_cpus=32) == 64
+    assert auto_num_partitions(5_000, num_cpus=32) == 5
+    assert auto_num_partitions(0, num_cpus=8) == 1
+    # scales linearly with input at fixed cpus (100-TB posture)
+    assert auto_num_partitions(953_000_000, num_cpus=32) == 9530
+
+
+def test_auto_partitions_resolution(ray_session):
+    """RollupConfig(num_partitions=None) resolves deterministically and
+    produces the same rows as an explicit partition count (partition-count
+    invariance extends to the auto rule)."""
+    from dataclasses import replace
+
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.rollup import rollup_dataset, rollup_table
+    from light_curve_feature_ray.stages.rollup import RollupConfig
+
+    turns_table = synth_transcripts_table(n_convs=40, seed=3)
+    cfg_auto = RollupConfig(
+        features=("observation_count", "mean"), tiers=("1h",),
+        gap_fill="none", hot_threshold=None, store_points=False,
+    )
+    assert cfg_auto.num_partitions is None
+    out_auto = rollup_table(turns_table, cfg_auto)
+    out_16 = rollup_table(turns_table, replace(cfg_auto, num_partitions=16))
+    a = out_auto.to_pandas().sort_values(["conv_id", "tier", "bucket_ts"]).reset_index(drop=True)
+    b = out_16.to_pandas().sort_values(["conv_id", "tier", "bucket_ts"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+    ds = rd.from_arrow(turns_table)
+    out_ds = (
+        rollup_dataset(ds, cfg_auto)
+        .to_pandas()
+        .sort_values(["conv_id", "tier", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out_ds[a.columns], a)
