@@ -16,6 +16,15 @@ from ..errors import EvaluatorError, FlatTimeSeries, ShortTimeSeries
 from .kernel import Series
 
 
+def number_ending(i: int) -> str:
+    """Ordinal suffix for a number ("st"/"nd"/"rd"/"th") — the analog of
+    /root/reference/src/number_ending.rs (used by feature descriptions,
+    e.g. "period of the 2nd highest peak")."""
+    if i % 100 in (11, 12, 13):
+        return "th"
+    return {1: "st", 2: "nd", 3: "rd"}.get(i % 10, "th")
+
+
 class Feature:
     """Base evaluator: ``eval(series) -> np.ndarray`` of length ``size``."""
 

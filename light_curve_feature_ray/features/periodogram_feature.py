@@ -107,6 +107,21 @@ class PeriodogramPeaks(Feature):
             out += [f"period_{i}", f"period_s_to_n_{i}"]
         return out
 
+    @property
+    def descriptions(self):
+        # _periodogram_peaks.rs:49-64 ordinal phrasing via number_ending
+        from .base import number_ending
+
+        out = []
+        for i in range(self.peaks):
+            nth = f"{i + 1}{number_ending(i + 1)}"
+            out += [
+                f"period of the {nth} highest peak",
+                "Spectral density to spectral density standard deviation "
+                f"ratio of the {nth} highest peak",
+            ]
+        return out
+
     def _params(self):
         return {"peaks": self.peaks}
 

@@ -241,3 +241,21 @@ def test_fixed_freq_grid_config():
     fr, _ = mc.freq_power(mcts)
     np.testing.assert_array_equal(fr, freqs)
     assert abs(mc.eval(mcts)[0] - 0.75) / 0.75 < 0.02
+
+
+def test_number_ending_and_peak_descriptions():
+    from light_curve_feature_ray.features.base import number_ending
+    from light_curve_feature_ray.features.periodogram_feature import (
+        PeriodogramPeaks,
+    )
+
+    # the reference's own test vector (number_ending.rs tests)
+    expect = ["th", "st", "nd", "rd"] + ["th"] * 17 + ["st", "nd", "rd"] + [
+        "th"
+    ] * 7
+    assert [number_ending(i) for i in range(31)] == expect
+    assert number_ending(111) == "th" and number_ending(101) == "st"
+
+    d = PeriodogramPeaks(peaks=3).descriptions
+    assert d[0] == "period of the 1st highest peak"
+    assert d[4].endswith("of the 3rd highest peak")
