@@ -1235,6 +1235,52 @@ def q_doc_fingerprint(sf_dir: str):
 SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+SQL_DOC_DEDUP_GROUPS = r"""
+WITH RECURSIVE w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+    FROM documents
+),
+g0 AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 5 THEN
+               list_distinct([array_to_string(ws[i:i+4], ' ')
+                              for i in range(1, len(ws) - 3)])
+           WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+           ELSE [''] END AS grams
+    FROM w
+),
+g AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams FROM g0),
+df AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 100),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_grams AS na, b.n_grams AS nb
+    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    JOIN df ON df.gram = a.gram
+),
+c AS (
+    SELECT doc_a, doc_b, any_value(na) AS na, any_value(nb) AS nb,
+           count(*) AS co
+    FROM p GROUP BY doc_a, doc_b
+),
+prs AS (
+    SELECT doc_a, doc_b FROM c
+    WHERE CAST(co AS DOUBLE)/(na + nb - co) >= 0.3
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM prs
+    UNION ALL SELECT doc_b, doc_a FROM prs
+),
+reach(u, v) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, min(v) AS rep_id, (u = min(v)) AS keep
+FROM reach GROUP BY u
+"""
+
+
 def q_doc_redact(sf_dir: str):
     """PII-style scrubbing (emails/URLs/long digit runs -> placeholders);
     compared via md5 of the cleaned text (RE2-compatible patterns, so
@@ -1294,6 +1340,31 @@ def q_doc_ngram_jaccard(sf_dir: str):
         ngram_jaccard_dups(_docs(sf_dir), k=5, threshold=0.3, max_df=100),
         skip=("doc_a", "doc_b"),
     )
+
+
+def q_doc_dedup_groups(sf_dir: str):
+    """Corpus-dedup decision table: connected components (min-label
+    propagation, pipelines/graph.py) over the exact n-gram Jaccard
+    near-dup pairs — (doc_id, rep_id, keep) with keep = is-representative.
+    Oracled by a DuckDB recursive CTE over the identical pair set."""
+    from light_curve_feature_ray.pipelines.graph import dedup_keep_representatives
+    from light_curve_feature_ray.pipelines.text import ngram_jaccard_dups
+
+    pairs = ngram_jaccard_dups(_docs(sf_dir), k=5, threshold=0.3, max_df=100)
+    ds = dedup_keep_representatives(pairs)
+
+    def cast_cols(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "rep_id": b["rep_id"].astype("int64"),
+                "keep": b["keep"].astype(bool),
+            }
+        )
+
+    import pandas as pd
+
+    return ds.map_batches(cast_cols, batch_format="pandas", batch_size=None)
 
 
 SQL_DOC_NGRAM_JACCARD = r"""
@@ -1638,6 +1709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": q_doc_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_dedup_groups": q_doc_dedup_groups,
         "doc_redact": q_doc_redact,
         "doc_winnow": q_doc_winnow,
         "emb_cosine_dups": q_emb_cosine_dups,
@@ -1684,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": SQL_DOC_TOKEN_COUNT,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+        "doc_dedup_groups": SQL_DOC_DEDUP_GROUPS,
         "doc_redact": SQL_DOC_REDACT,
         "doc_winnow": SQL_DOC_WINNOW,
         "emb_cosine_dups": SQL_EMB_COSINE_DUPS,

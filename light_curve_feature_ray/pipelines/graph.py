@@ -1,0 +1,175 @@
+"""Connected components over a pair/edge Dataset — the "dedup groups"
+operator: given near-duplicate PAIRS (from exact n-gram Jaccard, MinHash,
+SimHash or embedding-cosine), assign every involved document the MINIMUM
+doc id of its connected component, so a corpus-level dedup keeps exactly
+one representative per duplicate cluster.
+
+Algorithm: iterative min-label propagation over the original edges
+("hash-to-min" style; cf. Rastogi et al., "Finding Connected Components
+in Map-Reduce", ICDE 2013 — the simple variant, because dedup clusters
+are near-cliques with diameter 2-3 so O(diameter) rounds beats the
+log-rounds constructions in practice). Each round is Ray-Data-native:
+
+1. attach: one hash shuffle co-locating each node's current label with
+   the edges that reference it (partition-level vectorized searchsorted —
+   no per-node Python), emitting (neighbor, my_label) messages plus a
+   self-retain message;
+2. combine: ``groupby(node).min(label)`` — Ray pre-combines per block,
+   so only per-block minima cross the second shuffle.
+
+Rounds stop when the labels reach a fixpoint, detected by an O(1)
+aggregate: labels only ever decrease, so an unchanged ``sum(label)``
+means converged. Each round's labels are materialized (iterative
+algorithms must pin their frontier or lineage re-executes every round).
+Deterministic: pure min-lattice, independent of partitioning and
+arrival order.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+
+logger = logging.getLogger(__name__)
+
+
+def connected_components_min_label(
+    pairs_ds,
+    *,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    num_partitions: int = 32,
+    max_rounds: int = 16,
+):
+    """(node, rep) for every node appearing in ``pairs_ds``; ``rep`` is the
+    minimum node id of its connected component. Node ids must be
+    non-negative integers (doc ids)."""
+
+    def first_msgs(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[id_a].to_numpy(dtype=np.int64)
+        b = batch[id_b].to_numpy(dtype=np.int64)
+        m = np.minimum(a, b)
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([a, b]),
+                "lab": np.concatenate([m, m]),
+            }
+        )
+
+    def min_combine(ds):
+        agg = ds.groupby("node").min("lab")
+        return agg.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "node": t["node"].astype("int64"),
+                    "lab": t["min(lab)"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        )
+
+    # round 1 directly from the edges (labels start as node ids; the first
+    # propagation folds in, saving one attach shuffle)
+    labels = min_combine(
+        pairs_ds.map_batches(first_msgs, batch_format="pandas", batch_size=None)
+    ).materialize()
+    prev_sum = labels.sum("lab")
+
+    def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[id_a].to_numpy(dtype=np.int64)
+        b = batch[id_b].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "key": np.concatenate([a, b]),
+                "other": np.concatenate([b, a]),
+                "lab": np.full(2 * a.shape[0], -1, dtype=np.int64),
+            }
+        )
+
+    def label_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": batch["node"].to_numpy(dtype=np.int64),
+                "other": np.full(len(batch), -1, dtype=np.int64),
+                "lab": batch["lab"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["part"] = (
+            batch["key"].to_numpy().view(np.uint64) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return batch
+
+    def attach(grp: pd.DataFrame) -> pd.DataFrame:
+        """ALL nodes of a hash partition at once: scatter each node's label
+        onto its incident edge rows via searchsorted, emit propagation +
+        self-retain messages. No per-node Python."""
+        key = grp["key"].to_numpy()
+        other = grp["other"].to_numpy()
+        lab = grp["lab"].to_numpy()
+        is_lab = lab >= 0
+        lk, lv = key[is_lab], lab[is_lab]
+        order = np.argsort(lk, kind="stable")
+        lk, lv = lk[order], lv[order]
+        ek, eo = key[~is_lab], other[~is_lab]
+        pos = np.searchsorted(lk, ek)
+        # every edge endpoint has a label row by construction (round 1
+        # seeded labels from the same edge set)
+        el = lv[pos]
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([eo, lk]),
+                "lab": np.concatenate([el, lv]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        edge_rows, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    for round_i in range(max_rounds):
+        tagged = (
+            edges.union(
+                labels.map_batches(
+                    label_rows, batch_format="pandas", batch_size=None
+                )
+            )
+            .map_batches(add_part, batch_format="pandas", batch_size=None)
+        )
+        msgs = tagged.groupby("part").map_groups(attach, batch_format="pandas")
+        labels = min_combine(msgs).materialize()
+        new_sum = labels.sum("lab")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        logger.warning(
+            "connected_components: no fixpoint after %d rounds "
+            "(component diameter exceeds the cap); labels are a valid "
+            "upper bound but may not be fully contracted",
+            max_rounds,
+        )
+    return labels
+
+
+def dedup_keep_representatives(pairs_ds, **kwargs):
+    """Corpus-dedup decision table from near-dup pairs: one row per
+    clustered document, (doc_id, rep_id, keep). ``keep`` is true iff the
+    document IS its cluster's representative (minimum id); dropping rows
+    with ``keep = false`` removes every duplicate while keeping exactly
+    one document per cluster."""
+    comps = connected_components_min_label(pairs_ds, **kwargs)
+
+    def decide(batch: pd.DataFrame) -> pd.DataFrame:
+        node = batch["node"].to_numpy(dtype=np.int64)
+        lab = batch["lab"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": node, "rep_id": lab, "keep": node == lab}
+        )
+
+    return comps.map_batches(decide, batch_format="pandas", batch_size=None)

@@ -441,3 +441,61 @@ def test_segment_pairs_matches_triu():
     a, b = _segment_pairs(starts, sizes)
     i, j = np.triu_indices(257, k=1)
     assert sorted(zip(a.tolist(), b.tolist())) == sorted(zip(i.tolist(), j.tolist()))
+
+
+def test_connected_components_min_label(ray_session):
+    """Min-label propagation matches a union-find reference on a graph
+    with chains (diameter > 2), cliques, and singleton pairs — and is
+    invariant to the partition count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.graph import (
+        connected_components_min_label,
+        dedup_keep_representatives,
+    )
+
+    rng = np.random.default_rng(7)
+    edges = []
+    # chain 10-11-...-19 (diameter 9 — exercises multi-round convergence)
+    edges += [(i, i + 1) for i in range(10, 19)]
+    # clique on {30, 31, 32, 33}
+    edges += [(a, b) for a in (30, 31, 32, 33) for b in (30, 31, 32, 33) if a < b]
+    # isolated pair + random small blobs
+    edges += [(50, 51)]
+    for base in (100, 200, 300):
+        ids = base + rng.permutation(6)[:4]
+        edges += [(int(min(x, y)), int(max(x, y))) for x, y in zip(ids[:-1], ids[1:])]
+    df = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+
+    # union-find reference
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    for nparts in (4, 32):
+        out = (
+            connected_components_min_label(
+                rd.from_pandas(df), num_partitions=nparts
+            )
+            .to_pandas()
+            .sort_values("node")
+        )
+        got = dict(zip(out["node"], out["lab"]))
+        assert got == expect, nparts
+
+    keep = dedup_keep_representatives(rd.from_pandas(df)).to_pandas()
+    reps = set(keep.loc[keep["keep"], "doc_id"])
+    assert reps == set(expect.values())
+    assert (keep["rep_id"] == keep["doc_id"].map(expect)).all()
