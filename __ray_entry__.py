@@ -1591,7 +1591,7 @@ def q_multimodal_decode(sf_dir: str):
         return pa.table(cols)
 
     return _finalize(
-        ds.map_batches(flatten, batch_format="pyarrow"),
+        ds.map_batches(flatten, batch_format="pyarrow", batch_size=None),
         skip=("item_id", "width", "height"),
     )
 

@@ -624,7 +624,10 @@ class _FitFeatureBase(Feature):
                     x, v = _nelder_mead(objective, x, lower, upper, scale=1e-3)
                     if v < best_v:
                         best_c, best_v = x, v
-            best = best_c
+            if best_c is not None:
+                # both candidates non-finite (e.g. overflowing exp at every
+                # probed point): keep the sampler's best instead of None
+                best = best_c
         # reduced chi2 is reported in ORIGINAL units (identical by
         # construction: wn * rn^2 == w * r^2), recomputed for exactness
         ext = self._denorm(best, *norms)

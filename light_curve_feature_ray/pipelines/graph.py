@@ -35,17 +35,39 @@ import pandas as pd
 logger = logging.getLogger(__name__)
 
 
+def _auto_parts(min_parts: int = 32) -> int:
+    """2 reduce tasks per cluster CPU (floored) — bounds per-task memory
+    as the cluster grows instead of a fixed constant."""
+    try:
+        import ray
+
+        return max(min_parts, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return min_parts
+
+
 def connected_components_min_label(
     pairs_ds,
     *,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
-    num_partitions: int = 32,
-    max_rounds: int = 16,
+    num_partitions: int | None = None,
+    max_rounds: int = 64,
+    strict: bool = True,
 ):
     """(node, rep) for every node appearing in ``pairs_ds``; ``rep`` is the
     minimum node id of its connected component. Node ids must be
-    non-negative integers (doc ids)."""
+    non-negative integers (doc ids).
+
+    ``strict=True`` (default) raises if no fixpoint is reached within
+    ``max_rounds`` — a non-contracted label table would let a downstream
+    keep-representative dedup drop every document of a sub-cluster, so
+    failing loudly is the only safe default. Dedup clusters are
+    near-cliques (diameter 2-3); 64 rounds is far beyond any real corpus.
+    ``num_partitions`` defaults to 2 tasks per cluster CPU (each reduce
+    task holds one partition of the edge list in memory)."""
+    if num_partitions is None:
+        num_partitions = _auto_parts()
 
     def first_msgs(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch[id_a].to_numpy(dtype=np.int64)
@@ -148,12 +170,15 @@ def connected_components_min_label(
             break
         prev_sum = new_sum
     else:
-        logger.warning(
-            "connected_components: no fixpoint after %d rounds "
-            "(component diameter exceeds the cap); labels are a valid "
-            "upper bound but may not be fully contracted",
-            max_rounds,
+        msg = (
+            f"connected_components: no fixpoint after {max_rounds} rounds "
+            "(component diameter exceeds the cap); labels are NOT fully "
+            "contracted and a keep-representative dedup on them would be "
+            "wrong"
         )
+        if strict:
+            raise RuntimeError(msg + " — raise max_rounds")
+        logger.warning(msg)
     return labels
 
 

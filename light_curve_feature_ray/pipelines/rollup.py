@@ -100,17 +100,12 @@ def rollup_dataset(
     amortization.
     """
     config = config or RollupConfig()
-    if config.num_partitions is None:
-        # resolve the auto partition count BEFORE any worker state keys on
-        # config.to_dict() — ds.count() on a fresh parquet read is a
-        # metadata-only operation
-        from dataclasses import replace
-
-        from ..stages.rollup import auto_num_partitions
-
-        config = replace(
-            config, num_partitions=auto_num_partitions(ds.count())
-        )
+    # auto partition count resolves BEFORE any worker state keys on
+    # config.to_dict(). ds.count() is metadata-only for a fresh parquet
+    # read; for an already-transformed dataset it executes the upstream
+    # lineage once just to count — pass an explicit num_partitions (or a
+    # pre-materialized dataset) in that case.
+    config = config.resolved(ds.count()) if config.num_partitions is None else config
     hot_ref = None
     if hot_list is not None:
         # precomputed hot-conversation set (a slowly-changing property of
@@ -149,16 +144,7 @@ def rollup_table(table: pa.Table, config: RollupConfig | None = None) -> pa.Tabl
     Used by tests as the naive oracle and by tiny inputs; produces the same
     rows as ``rollup_dataset`` modulo row order.
     """
-    config = config or RollupConfig()
-    if config.num_partitions is None:
-        from dataclasses import replace
-
-        from ..stages.rollup import auto_num_partitions
-
-        config = replace(
-            config,
-            num_partitions=auto_num_partitions(table.num_rows, num_cpus=1),
-        )
+    config = (config or RollupConfig()).resolved(table.num_rows, num_cpus=1)
     derived = DeriveAssign(config)(table)
     return RollupWorker(config)(derived)
 

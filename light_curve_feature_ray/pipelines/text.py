@@ -48,10 +48,6 @@ _POLY = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for combines
 _EMPTY_SHINGLE = np.uint64(0x9E3779B97F4A7C15)  # hash of the empty doc
 
 
-def _md5_hex(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
-
-
 def _md5_hex_arrow(texts) -> pa.Array:
     """md5 hex of an Arrow string column (digesting is per-row by necessity
     — no batch md5 kernel exists; the surrounding stage stays zero-copy
@@ -301,6 +297,34 @@ def _segment_pairs(starts: np.ndarray, sizes: np.ndarray):
     return starts[pg] + ii, starts[pg] + jj
 
 
+def _auto_pair_parts(min_parts: int = 32) -> int:
+    """Reduce-partition count for the pair-explosion shuffles: 2 tasks per
+    cluster CPU (floored at 32) so one partition's exploded rows stay a
+    bounded fraction of the corpus as the cluster grows."""
+    try:
+        import ray
+
+        return max(min_parts, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return min_parts
+
+
+def _hash_mod_part(batch: pd.DataFrame, cols, num_partitions: int) -> pd.DataFrame:
+    """Append an int32 ``part`` column = polynomial mix of ``cols`` (viewed
+    as uint64) mod ``num_partitions`` — the one shared spelling of the
+    hash-partition key used by every pair-explosion stage."""
+    acc = np.zeros(len(batch), dtype=np.uint64)
+    for c in cols:
+        v = batch[c].to_numpy()
+        # 64-bit columns reinterpret (sign-preserving across engines is
+        # irrelevant here — any stable mix works); narrower ints upcast
+        v = v.view(np.uint64) if v.dtype.itemsize == 8 else v.astype(np.uint64)
+        acc = acc * _POLY + v
+    batch = batch.copy()
+    batch["part"] = (acc % np.uint64(num_partitions)).astype(np.int32)
+    return batch
+
+
 def _segment_bounds(*keys: np.ndarray):
     """Group ids / sizes / starts / within-group offsets for rows already
     sorted by ``keys`` (lexicographic). All vectorized."""
@@ -414,20 +438,15 @@ def minhash_lsh_dups(
             }
         )
 
-    num_partitions = 32
-
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        bh = batch["band_hash"].to_numpy().view(np.uint64)
-        band = batch["band"].to_numpy().astype(np.uint64)
-        batch = batch.copy()
-        batch["part"] = ((bh * _POLY + band) % np.uint64(num_partitions)).astype(
-            np.int32
-        )
-        return batch
+    num_partitions = _auto_pair_parts()
 
     buckets = docs_ds.map_batches(
         explode_bands, batch_format="pandas", batch_size=None
-    ).map_batches(add_part, batch_format="pandas", batch_size=None)
+    ).map_batches(
+        lambda b: _hash_mod_part(b, ["band_hash", "band"], num_partitions),
+        batch_format="pandas",
+        batch_size=None,
+    )
 
     def partition_pairs(grp: pd.DataFrame) -> pd.DataFrame:
         """ALL band buckets of a hash partition in one vectorized pass:
@@ -645,17 +664,15 @@ def ngram_jaccard_dups(
             }
         )
 
-    num_partitions = 32
-
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch["gram"].to_numpy().view(np.uint64)
-        batch = batch.copy()
-        batch["part"] = (g % np.uint64(num_partitions)).astype(np.int32)
-        return batch
+    num_partitions = _auto_pair_parts()
 
     grams = docs_ds.map_batches(
         explode_grams, batch_format="pandas", batch_size=None
-    ).map_batches(add_part, batch_format="pandas", batch_size=None)
+    ).map_batches(
+        lambda b: _hash_mod_part(b, ["gram"], num_partitions),
+        batch_format="pandas",
+        batch_size=None,
+    )
 
     def partition_pairs(grp: pd.DataFrame) -> pd.DataFrame:
         """ALL grams of a hash partition in one vectorized pass: sort by
@@ -912,20 +929,15 @@ def simhash_dups(docs_ds, max_hamming: int = 6, max_bucket: int = 256):
             )
         return pd.concat(frames, ignore_index=True)
 
-    num_partitions = 32
-
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        bv = batch["band_val"].to_numpy().view(np.uint64)
-        band = batch["band"].to_numpy().astype(np.uint64)
-        batch = batch.copy()
-        batch["part"] = ((bv * _POLY + band) % np.uint64(num_partitions)).astype(
-            np.int32
-        )
-        return batch
+    num_partitions = _auto_pair_parts()
 
     rows = docs_ds.map_batches(
         explode, batch_format="pandas", batch_size=None
-    ).map_batches(add_part, batch_format="pandas", batch_size=None)
+    ).map_batches(
+        lambda b: _hash_mod_part(b, ["band_val", "band"], num_partitions),
+        batch_format="pandas",
+        batch_size=None,
+    )
 
     def partition_pairs(grp: pd.DataFrame) -> pd.DataFrame:
         """ALL bit-band buckets of a hash partition at once: sort by

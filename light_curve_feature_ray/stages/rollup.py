@@ -88,6 +88,19 @@ class RollupConfig:
     def extractor(self) -> FeatureExtractor:
         return FeatureExtractor.from_config(list(self.features))
 
+    def resolved(self, n_rows: int, num_cpus: int | None = None) -> "RollupConfig":
+        """Copy with ``num_partitions`` resolved by the auto rule if unset.
+        The single place the resolution rule lives — it is part of the
+        worker-cache and checkpoint-lineage identity."""
+        if self.num_partitions is not None:
+            return self
+        from dataclasses import replace
+
+        return replace(
+            self,
+            num_partitions=auto_num_partitions(n_rows, num_cpus=num_cpus),
+        )
+
     def to_dict(self) -> dict[str, Any]:
         # fill_value must be part of the identity: worker caches and
         # checkpoint lineage key on this dict (NaN isn't portable JSON,

@@ -115,21 +115,36 @@ def run_rollup_job(
 
     config = config or RollupConfig()
     ds = read_transcripts(input_path)
-    if config.num_partitions is None:
-        # resolve the auto partition count BEFORE the lineage manifest is
-        # written: the resolved value is part of the resume identity (and
-        # is deterministic for a given input — metadata row count)
-        from dataclasses import replace
-
-        from ..stages.rollup import auto_num_partitions
-
-        config = replace(
-            config, num_partitions=auto_num_partitions(ds.count())
-        )
     os.makedirs(out_dir, exist_ok=True)
     done = completed_partitions(out_dir)
+    job_path = os.path.join(out_dir, "_job.json")
+    prior = None
+    if os.path.exists(job_path):
+        with open(job_path) as f:
+            prior = json.load(f)
+    if config.num_partitions is None:
+        if prior is not None and prior.get("input") == input_path:
+            # a RESUME must reuse the original partition modulus: the auto
+            # rule depends on cluster size, and mixing two moduli across
+            # one output directory silently drops/duplicates conversations
+            from dataclasses import replace
+
+            config = replace(
+                config,
+                num_partitions=int(prior["config"]["num_partitions"]),
+            )
+        else:
+            config = config.resolved(ds.count())
+    if done and prior is not None and (
+        prior.get("input") != input_path or prior.get("config") != config.to_dict()
+    ):
+        raise ValueError(
+            "refusing to resume: existing _job.json lineage in "
+            f"{out_dir!r} records a different input or config than this "
+            "run; use a fresh out_dir or pass the original config"
+        )
     lineage = {"input": input_path, "config": config.to_dict()}
-    with open(os.path.join(out_dir, "_job.json"), "w") as f:
+    with open(job_path, "w") as f:
         json.dump(lineage, f)
 
     hot_ref, hot = None, None

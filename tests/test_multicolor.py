@@ -280,6 +280,7 @@ def test_grouped_multicolor_matches_scalar():
         GroupedMultiColor,
         MultiColorBins,
         MultiColorExtractor,
+        MultiColorPeriodogram,
         PerBandFeature,
         _MCSegments,
     )
@@ -321,6 +322,13 @@ def test_grouped_multicolor_matches_scalar():
                 ],
                 window=100.0,
                 offset=0.0,
+            ),
+            # no vectorized kernel -> exercises the per-series _fallback
+            MultiColorPeriodogram(
+                ["assistant", "user"],
+                peaks=1,
+                phase_bands=["assistant"],
+                phase_features=["mean"],
             ),
         ]
     )
