@@ -18,7 +18,11 @@ Scale notes (100-TB posture):
   are logged;
 - candidate *verification* stays distributed: only candidate doc ids are
   broadcast (``ray.put``); texts ship through a keyed shuffle of candidate
-  docs only, never via a driver-side corpus scan.
+  docs only, never via a driver-side corpus scan — and both the
+  text-attach and the exact-Jaccard verify are partition-level vectorized
+  (searchsorted scatter; per-pair intersection = adjacent-duplicate count
+  in the (pair, shingle)-sorted flat array). No per-doc or per-pair
+  Python anywhere in the dedup family.
 """
 
 from __future__ import annotations
@@ -538,44 +542,102 @@ def minhash_lsh_dups(
 
     sides = pairs.map_batches(pair_sides, batch_format="pandas", batch_size=None)
 
-    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
-        txt = g[g["is_text"] == 1]
-        if txt.empty:
-            return pd.DataFrame(
-                {"doc_a": [], "doc_b": [], "side_id": [], "text": []}
-            )
-        text = txt["text"].iloc[0]
-        asn = g[g["is_text"] == 0]
+    def attach_partition(grp: pd.DataFrame) -> pd.DataFrame:
+        """ALL candidate docs of a hash partition at once: scatter each
+        doc's text onto its incident pair-side rows via searchsorted (the
+        text rows and side rows of a doc hash to the same partition).
+        No per-doc Python."""
+        is_text = grp["is_text"].to_numpy() == 1
+        tk = grp["doc_id"].to_numpy()[is_text]
+        tv = grp["text"].to_numpy()[is_text]
+        order = np.argsort(tk, kind="stable")
+        tk, tv = tk[order], tv[order]
+        sides_g = grp[~is_text]
+        sk = sides_g["doc_id"].to_numpy()
+        pos = np.searchsorted(tk, sk)
+        # every pair endpoint has a text row (pairs derive from docs_ds)
         return pd.DataFrame(
             {
-                "doc_a": asn["doc_a"].to_numpy(),
-                "doc_b": asn["doc_b"].to_numpy(),
-                "side_id": asn["doc_id"].to_numpy(),
-                "text": np.full(len(asn), text, dtype=object),
+                "doc_a": sides_g["doc_a"].to_numpy(),
+                "doc_b": sides_g["doc_b"].to_numpy(),
+                "side_id": sk,
+                "text": tv[pos],
             }
         )
 
-    attached = cand_texts.union(sides).groupby("doc_id").map_groups(
-        attach_text, batch_format="pandas"
+    attached = (
+        cand_texts.union(sides)
+        .map_batches(
+            lambda b: _hash_mod_part(b, ["doc_id"], num_partitions),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .groupby("part")
+        .map_groups(attach_partition, batch_format="pandas")
     )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-        g = g.sort_values("side_id")
-        j = jaccard_words(g["text"].iloc[0], g["text"].iloc[1], shingle_k)
-        if j < threshold:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    def verify_pair_partition(grp: pd.DataFrame) -> pd.DataFrame:
+        da = grp["doc_a"].to_numpy()
+        db = grp["doc_b"].to_numpy()
+        texts = grp["text"].to_numpy()
+        # pair id per side row (both sides of a pair share the partition)
+        order0 = np.lexsort((grp["side_id"].to_numpy(), db, da))
+        da, db, texts = da[order0], db[order0], texts[order0]
+        new_pair = np.r_[True, (da[1:] != da[:-1]) | (db[1:] != db[:-1])]
+        pair_id = np.cumsum(new_pair) - 1
+        h, lens = _word_hashes_flat(texts)
+        if lens.shape[0] == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "jaccard": pd.Series([], dtype=np.float64),
+                }
+            )
+        sh, counts = _shingle_hashes_flat(h, lens, shingle_k)
+        row_of = np.repeat(np.arange(len(grp)), counts)
+        # dedup shingles per SIDE row
+        order = np.lexsort((sh, row_of))
+        r, s = row_of[order], sh[order]
+        keep = np.r_[True, (r[1:] != r[:-1]) | (s[1:] != s[:-1])]
+        r, s = r[keep], s[keep]
+        p = pair_id[r]
+        # sort by (pair, shingle): a shingle shared by both sides becomes
+        # one adjacent duplicate within the pair run
+        order2 = np.lexsort((s, p))
+        p2, s2 = p[order2], s[order2]
+        dup = np.zeros(p2.shape[0], dtype=np.int64)
+        dup[1:] = ((p2[1:] == p2[:-1]) & (s2[1:] == s2[:-1])).astype(np.int64)
+        npairs = int(pair_id[-1]) + 1 if pair_id.size else 0
+        inter = np.bincount(p2, weights=dup, minlength=npairs)
+        total = np.bincount(p2, minlength=npairs).astype(np.float64)
+        union = total - inter
+        with np.errstate(invalid="ignore"):
+            j = inter / union
+        first = np.flatnonzero(new_pair)
+        out_a, out_b = da[first], db[first]
+        sel = j >= threshold
         return pd.DataFrame(
             {
-                "doc_a": [g["doc_a"].iloc[0]],
-                "doc_b": [g["doc_b"].iloc[0]],
-                "jaccard": [j],
+                "doc_a": out_a[sel],
+                "doc_b": out_b[sel],
+                "jaccard": j[sel],
             }
         )
 
-    return attached.groupby(["doc_a", "doc_b"]).map_groups(
-        verify, batch_format="pandas"
+    return (
+        attached.map_batches(
+            lambda b: _hash_mod_part(b, ["doc_a", "doc_b"], num_partitions),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .groupby("part")
+        .map_groups(verify_pair_partition, batch_format="pandas")
+        .map_batches(
+            lambda b: b[["doc_a", "doc_b", "jaccard"]],
+            batch_format="pandas",
+            batch_size=None,
+        )
     )
 
 
