@@ -169,7 +169,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # documents ops at the given sf testdata (small side ops)
     docs_path = f"{sf_dir}/documents.parquet"
     if os.path.exists(docs_path):
-        from light_curve_feature_ray.pipelines.text import exact_dedup, text_stats
+        from light_curve_feature_ray.pipelines.text import (
+            exact_dedup,
+            minhash_lsh_dups,
+            text_stats,
+        )
 
         docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
         t0 = time.perf_counter()
@@ -178,6 +182,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         exact_dedup(docs).count()
         timings["doc_exact_dedup"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        minhash_lsh_dups(docs, threshold=0.5).count()
+        timings["doc_minhash_dups"] = round(time.perf_counter() - t0, 3)
+
+    events_path = f"{sf_dir}/events.parquet"
+    if os.path.exists(events_path):
+        from light_curve_feature_ray.pipelines.windows import (
+            sliding_window_agg,
+            tumbling_window_agg,
+        )
+
+        events = rd.read_parquet(
+            events_path, columns=["user_id", "ts", "value"]
+        )
+        t0 = time.perf_counter()
+        tumbling_window_agg(events).count()
+        timings["events_tumbling_window"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        sliding_window_agg(events).count()
+        timings["events_sliding_window"] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "rollup_throughput",
