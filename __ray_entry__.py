@@ -1569,6 +1569,85 @@ def q_knn_ivf(sf_dir: str):
     )
 
 
+def q_events_asof_join(sf_dir: str):
+    """Backward as-of join (pipelines/joins.py): every event gets the most
+    recent click VALUE of the same user at or before its timestamp —
+    oracled by DuckDB's native ASOF LEFT JOIN. The right side is
+    pre-aggregated to one row per (user, ts) on BOTH sides so the picked
+    row is deterministic."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def prep_left(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": b["ts"].cast(pa.int64()),
+                "value": b["value"],
+            }
+        )
+
+    def prep_right(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b["event_type"], "click")
+        sel = b.filter(mask)
+        return pa.table(
+            {
+                "user_id": sel["user_id"],
+                "ts_us": sel["ts"].cast(pa.int64()),
+                "value": sel["value"],
+            }
+        )
+
+    left = ev.map_batches(prep_left, batch_format="pyarrow", batch_size=None)
+    clicks = ev.map_batches(prep_right, batch_format="pyarrow", batch_size=None)
+    right = (
+        clicks.groupby(["user_id", "ts_us"])
+        .max("value")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "ts_us": t["ts_us"],
+                    "click_value": t["max(value)"],
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    res = asof_join(
+        left,
+        right,
+        key_col="user_id",
+        ts_col="ts_us",
+        right_value_cols=["click_value"],
+    )
+    return _finalize(res, skip=("event_id", "user_id", "ts_us"))
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+),
+r AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS click_value
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts_us,
+       round(e.value, 6) AS value,
+       round(r.click_value, 6) AS click_value
+FROM e ASOF LEFT JOIN r
+    ON e.user_id = r.user_id AND e.ts_us >= r.ts_us
+"""
+
+
 def q_multimodal_decode(sf_dir: str):
     """Full decode output, oracle-checked: the 8-dim embedding list is
     flattened to emb_0..emb_7 scalar columns (the driver compare hashes
@@ -1703,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": q_events_sliding_window,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessions": q_events_sessions,
+        "events_asof_join": q_events_asof_join,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
@@ -1750,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
         "events_sessions": SQL_EVENTS_SESSIONS,
+        "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
         "doc_text_stats": SQL_DOC_TEXT_STATS,
         "doc_lang_id": SQL_DOC_LANG_ID,

@@ -1,0 +1,150 @@
+"""As-of join — a custom operator Ray Data lacks, expressed Ray-Data-first.
+
+``asof_join`` attaches, to every LEFT row, the latest RIGHT row of the
+same key with ``right.ts <= left.ts`` (backward as-of — the standard
+"most recent state at event time" join of time-series stores; DuckDB's
+native ``ASOF JOIN`` is the SQL oracle).
+
+Shape: ONE hash shuffle co-locating both sides by ``hash(key) %
+num_partitions``, then a partition-level vectorized merge: the right
+side sorts by (key, ts) once per partition, and the match for ALL left
+rows at once is ``np.searchsorted`` over a structured (key, ts) array —
+lexicographic "last right row <= (key, ts)" with a key-equality mask for
+misses. No per-key or per-row Python.
+
+Partitioning assumption (documented per the custom-operator contract):
+all rows of one key fit in one partition's task memory — the same
+conv-locality assumption the rollup makes; salt hot keys upstream if a
+single key outgrows that.
+
+Determinism: the right side must be unique per (key, ts) or the picked
+row is arbitrary — pre-aggregate duplicates (e.g. ``groupby(key,
+ts).max()``) exactly as the SQL oracle must.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .text import _hash_mod_part
+
+
+def _nullable_dtype(arrow_type) -> str | None:
+    """Pandas NULLABLE dtype matching an arrow type, so left-only columns
+    can carry NA on right-side rows without changing the Arrow schema."""
+    if pa.types.is_integer(arrow_type):
+        return "Int64"
+    if pa.types.is_floating(arrow_type):
+        return "Float64"
+    if pa.types.is_boolean(arrow_type):
+        return "boolean"
+    if pa.types.is_string(arrow_type) or pa.types.is_large_string(arrow_type):
+        return "string"
+    return None
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    num_partitions: int = 32,
+):
+    """Backward as-of join of two Datasets on ``key_col`` ordered by
+    ``ts_col`` (both int64-comparable; cast timestamps to epoch integers
+    upstream). Returns the left rows with ``right_value_cols`` attached
+    (NA where the key has no right row at or before the left timestamp).
+    Left payload columns must be int/float/bool/string (they travel as
+    pandas nullable columns through the co-partitioning union)."""
+    schema = left_ds.schema()
+    left_payload = [n for n in schema.names if n not in (key_col, ts_col)]
+    payload_dtypes = {}
+    for n, t in zip(schema.names, schema.types):
+        if n in (key_col, ts_col):
+            continue
+        d = _nullable_dtype(t)
+        if d is None:
+            raise TypeError(
+                f"asof_join left column {n!r} has unsupported type {t} — "
+                "int/float/bool/string payloads only"
+            )
+        payload_dtypes[n] = d
+    cols = [key_col, ts_col, "_side"] + left_payload + list(right_value_cols)
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_numpy(dtype=np.int64),
+                ts_col: batch[ts_col].to_numpy(dtype=np.int64),
+                "_side": np.zeros(len(batch), dtype=np.int8),
+            }
+        )
+        for c in left_payload:
+            out[c] = batch[c].astype(payload_dtypes[c])
+        for c in right_value_cols:
+            out[c] = np.full(len(batch), np.nan)
+        return out[cols]
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_numpy(dtype=np.int64),
+                ts_col: batch[ts_col].to_numpy(dtype=np.int64),
+                "_side": np.ones(len(batch), dtype=np.int8),
+            }
+        )
+        for c in left_payload:
+            out[c] = pd.array([pd.NA] * len(batch), dtype=payload_dtypes[c])
+        for c in right_value_cols:
+            out[c] = batch[c].to_numpy(dtype=np.float64)
+        return out[cols]
+
+    left_t = left_ds.map_batches(tag_left, batch_format="pandas", batch_size=None)
+    right_t = right_ds.map_batches(
+        tag_right, batch_format="pandas", batch_size=None
+    )
+
+    def merge_partition(grp: pd.DataFrame) -> pd.DataFrame:
+        side = grp["_side"].to_numpy()
+        k = grp[key_col].to_numpy(dtype=np.int64)
+        t = grp[ts_col].to_numpy(dtype=np.int64)
+        is_r = side == 1
+        dt = np.dtype([("k", np.int64), ("t", np.int64)])
+        rs = np.empty(int(is_r.sum()), dtype=dt)
+        rs["k"], rs["t"] = k[is_r], t[is_r]
+        order_r = np.argsort(rs, kind="stable")
+        rs = rs[order_r]
+        ls = np.empty(int((~is_r).sum()), dtype=dt)
+        ls["k"], ls["t"] = k[~is_r], t[~is_r]
+        # last right row with (k, t) <= left (k, t) lexicographically; a
+        # hit on a smaller key means "no right row for this key yet".
+        # A partition can hold zero right rows (keys with no right side).
+        if rs.shape[0]:
+            pos = np.searchsorted(rs, ls, side="right") - 1
+            ok = pos >= 0
+            ok &= np.where(ok, rs["k"][np.maximum(pos, 0)] == ls["k"], False)
+        else:
+            pos = np.full(ls.shape[0], -1, dtype=np.int64)
+            ok = np.zeros(ls.shape[0], dtype=bool)
+        out = grp.loc[~is_r, [key_col, ts_col] + left_payload].copy()
+        for c in right_value_cols:
+            rv = grp[c].to_numpy(dtype=np.float64)[is_r][order_r]
+            vals = np.full(ls.shape[0], np.nan)
+            vals[ok] = rv[pos[ok]]
+            out[c] = vals
+        return out
+
+    return (
+        left_t.union(right_t)
+        .map_batches(
+            lambda b: _hash_mod_part(b, [key_col], num_partitions),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .groupby("part")
+        .map_groups(merge_partition, batch_format="pandas")
+    )

@@ -1,0 +1,98 @@
+"""asof_join (pipelines/joins.py): backward as-of semantics vs a naive
+per-row reference, incl. inclusive-timestamp matches, missing keys, and
+partition-count invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def naive_asof(left, right, key, ts, vcol):
+    out = []
+    for _, lr in left.iterrows():
+        cand = right[(right[key] == lr[key]) & (right[ts] <= lr[ts])]
+        out.append(cand.sort_values(ts).iloc[-1][vcol] if len(cand) else np.nan)
+    return np.array(out, dtype=np.float64)
+
+
+def test_asof_join_matches_naive(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import asof_join
+
+    rng = np.random.default_rng(13)
+    n_l, n_r = 300, 120
+    left = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 20, n_l),
+            "ts_us": rng.integers(0, 1000, n_l).astype(np.int64),
+            "event_id": np.arange(n_l, dtype=np.int64),
+            "value": rng.uniform(0, 10, n_l),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 15, n_r),  # users 15-19 unmatched
+                "ts_us": rng.integers(0, 1000, n_r).astype(np.int64),
+                "click_value": rng.uniform(0, 5, n_r),
+            }
+        )
+        .groupby(["user_id", "ts_us"], as_index=False)
+        .max()  # deterministic: unique per (key, ts)
+    )
+    # force an inclusive-timestamp (==) match
+    left.loc[0, ["user_id", "ts_us"]] = [
+        right.iloc[0]["user_id"],
+        right.iloc[0]["ts_us"],
+    ]
+    expect = naive_asof(left, right, "user_id", "ts_us", "click_value")
+
+    for nparts in (4, 32):
+        got = (
+            asof_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                key_col="user_id",
+                ts_col="ts_us",
+                right_value_cols=["click_value"],
+                num_partitions=nparts,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == n_l
+        np.testing.assert_allclose(
+            got["click_value"].to_numpy(dtype=np.float64), expect, equal_nan=True
+        )
+        # the == match is inclusive
+        assert not np.isnan(got.loc[got["event_id"] == 0, "click_value"]).any()
+        # left payload survives untouched
+        np.testing.assert_allclose(
+            got.sort_values("event_id")["value"].to_numpy(),
+            left.sort_values("event_id")["value"].to_numpy(),
+        )
+
+
+def test_asof_join_rejects_exotic_payload(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import asof_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "t": pa.array([1], pa.int64()),
+                "payload": pa.array([[1.0]], pa.list_(pa.float64())),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "t": pa.array([0], pa.int64()),
+                  "v": pa.array([2.0])})
+    )
+    with pytest.raises(TypeError):
+        asof_join(left, right, key_col="k", ts_col="t", right_value_cols=["v"])
