@@ -1648,6 +1648,79 @@ FROM e ASOF LEFT JOIN r
 """
 
 
+def q_events_interval_join(sf_dir: str):
+    """Range join (pipelines/joins.py interval_join): each event matched to
+    the session window CONTAINING its timestamp (non-overlapping intervals
+    per user — the operator's documented assumption), carrying the
+    session's sum_value. Oracle: sessionization CTE + BETWEEN join."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import interval_join
+    from light_curve_feature_ray.pipelines.windows import session_windows
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def prep_left(b: pa.Table) -> pa.Table:
+        t = pc.divide(b["ts"].cast(pa.int64()), 1_000_000)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "t": t.cast(pa.int64()),
+                "value": b["value"],
+            }
+        )
+
+    left = ev.map_batches(prep_left, batch_format="pyarrow", batch_size=None)
+    sessions = session_windows(ev, gap_s=1800)
+    res = interval_join(
+        left,
+        sessions,
+        key_col="user_id",
+        ts_col="t",
+        start_col="session_start",
+        end_col="session_end",
+        right_value_cols=["sum_value"],
+    )
+    return _finalize(res, skip=("event_id", "user_id", "t"))
+
+
+SQL_EVENTS_INTERVAL_JOIN = """
+WITH e AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value, event_id
+    FROM events
+),
+d AS (
+    SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+                   THEN 1 ELSE 0 END AS brk
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+s AS (
+    SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+              AS session_idx
+    FROM d
+),
+sess AS (
+    SELECT user_id, session_idx,
+           min(t) AS session_start, max(t) AS session_end,
+           sum(value) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+)
+SELECT e.event_id, e.user_id, e.t,
+       round(e.value, 6) AS value,
+       round(CAST(sess.session_start AS DOUBLE), 6) AS session_start,
+       round(CAST(sess.session_end AS DOUBLE), 6) AS session_end,
+       round(sess.sum_value, 6) AS sum_value
+FROM e JOIN sess
+    ON e.user_id = sess.user_id
+    AND e.t BETWEEN sess.session_start AND sess.session_end
+"""
+
+
 def q_multimodal_decode(sf_dir: str):
     """Full decode output, oracle-checked: the 8-dim embedding list is
     flattened to emb_0..emb_7 scalar columns (the driver compare hashes
@@ -1783,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessions": q_events_sessions,
         "events_asof_join": q_events_asof_join,
+        "events_interval_join": q_events_interval_join,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
@@ -1831,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+        "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
         "doc_text_stats": SQL_DOC_TEXT_STATS,
         "doc_lang_id": SQL_DOC_LANG_ID,

@@ -148,3 +148,125 @@ def asof_join(
         .groupby("part")
         .map_groups(merge_partition, batch_format="pandas")
     )
+
+
+def interval_join(
+    left_ds,
+    intervals_ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    right_value_cols: list[str],
+    num_partitions: int = 32,
+):
+    """Range join: attach to each left row the interval of the same key
+    that CONTAINS its timestamp (``start <= ts <= end``, both int64).
+    Intervals must be NON-OVERLAPPING per key (session windows, retention
+    tiers, validity ranges) — the documented partitioning/semantic
+    assumption; with non-overlap, "the containing interval" is exactly
+    "the latest interval starting at or before ts, if its end covers ts",
+    so the merge is the same one-shuffle structured-searchsorted shape as
+    :func:`asof_join`. Left rows outside every interval get NA."""
+    schema = left_ds.schema()
+    left_payload = [n for n in schema.names if n not in (key_col, ts_col)]
+    payload_dtypes = {}
+    for n, t in zip(schema.names, schema.types):
+        if n in (key_col, ts_col):
+            continue
+        d = _nullable_dtype(t)
+        if d is None:
+            raise TypeError(
+                f"interval_join left column {n!r} has unsupported type {t}"
+            )
+        payload_dtypes[n] = d
+    carried = [c for c in right_value_cols if c != end_col]
+    cols = (
+        [key_col, ts_col, "_side", "_end"] + left_payload + carried
+    )
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_numpy(dtype=np.int64),
+                ts_col: batch[ts_col].to_numpy(dtype=np.int64),
+                "_side": np.zeros(len(batch), dtype=np.int8),
+                "_end": np.zeros(len(batch), dtype=np.int64),
+            }
+        )
+        for c in left_payload:
+            out[c] = batch[c].astype(payload_dtypes[c])
+        for c in carried:
+            out[c] = np.full(len(batch), np.nan)
+        return out[cols]
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_numpy(dtype=np.int64),
+                ts_col: batch[start_col].to_numpy(dtype=np.int64),
+                "_side": np.ones(len(batch), dtype=np.int8),
+                "_end": batch[end_col].to_numpy(dtype=np.int64),
+            }
+        )
+        for c in left_payload:
+            out[c] = pd.array([pd.NA] * len(batch), dtype=payload_dtypes[c])
+        for c in carried:
+            out[c] = batch[c].to_numpy(dtype=np.float64)
+        return out[cols]
+
+    left_t = left_ds.map_batches(tag_left, batch_format="pandas", batch_size=None)
+    right_t = intervals_ds.map_batches(
+        tag_right, batch_format="pandas", batch_size=None
+    )
+
+    def merge_partition(grp: pd.DataFrame) -> pd.DataFrame:
+        side = grp["_side"].to_numpy()
+        k = grp[key_col].to_numpy(dtype=np.int64)
+        t = grp[ts_col].to_numpy(dtype=np.int64)
+        ends = grp["_end"].to_numpy(dtype=np.int64)
+        is_r = side == 1
+        dt = np.dtype([("k", np.int64), ("t", np.int64)])
+        rs = np.empty(int(is_r.sum()), dtype=dt)
+        rs["k"], rs["t"] = k[is_r], t[is_r]
+        order_r = np.argsort(rs, kind="stable")
+        rs = rs[order_r]
+        r_end = ends[is_r][order_r]
+        ls = np.empty(int((~is_r).sum()), dtype=dt)
+        ls["k"], ls["t"] = k[~is_r], t[~is_r]
+        if rs.shape[0]:
+            pos = np.searchsorted(rs, ls, side="right") - 1
+            ok = pos >= 0
+            safe = np.maximum(pos, 0)
+            ok &= np.where(ok, rs["k"][safe] == ls["k"], False)
+            # containment: the candidate interval must still cover ts
+            ok &= np.where(ok, r_end[safe] >= ls["t"], False)
+        else:
+            ok = np.zeros(ls.shape[0], dtype=bool)
+            pos = np.full(ls.shape[0], -1, dtype=np.int64)
+        out = grp.loc[~is_r, [key_col, ts_col] + left_payload].copy()
+        for c in carried:
+            rv = grp[c].to_numpy(dtype=np.float64)[is_r][order_r]
+            vals = np.full(ls.shape[0], np.nan)
+            vals[ok] = rv[pos[ok]]
+            out[c] = vals
+        # interval bounds of the match (start/end), NA when unmatched
+        st = np.full(ls.shape[0], np.nan)
+        en = np.full(ls.shape[0], np.nan)
+        st[ok] = rs["t"][pos[ok]].astype(np.float64)
+        en[ok] = r_end[pos[ok]].astype(np.float64)
+        out[start_col] = st
+        out[end_col] = en
+        return out
+
+    return (
+        left_t.union(right_t)
+        .map_batches(
+            lambda b: _hash_mod_part(b, [key_col], num_partitions),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .groupby("part")
+        .map_groups(merge_partition, batch_format="pandas")
+    )

@@ -96,3 +96,59 @@ def test_asof_join_rejects_exotic_payload(ray_session):
     )
     with pytest.raises(TypeError):
         asof_join(left, right, key_col="k", ts_col="t", right_value_cols=["v"])
+
+
+def test_interval_join_matches_naive(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import interval_join
+
+    rng = np.random.default_rng(21)
+    # non-overlapping intervals per key with gaps between them
+    rows = []
+    for k in range(8):
+        t0 = 0
+        for i in range(5):
+            start = t0 + rng.integers(5, 20)
+            end = start + rng.integers(0, 15)  # zero-length allowed
+            rows.append((k, int(start), int(end), float(k * 10 + i)))
+            t0 = end + rng.integers(3, 10)  # gap
+    iv = pd.DataFrame(rows, columns=["k", "lo", "hi", "payload"])
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, 400),  # keys 8-9 have no intervals
+            "t": rng.integers(0, 150, 400).astype(np.int64),
+            "row_id": np.arange(400, dtype=np.int64),
+        }
+    )
+
+    def naive(lk, lt):
+        m = iv[(iv["k"] == lk) & (iv["lo"] <= lt) & (iv["hi"] >= lt)]
+        return m["payload"].iloc[0] if len(m) else np.nan
+
+    expect = np.array([naive(a, b) for a, b in zip(left["k"], left["t"])])
+
+    for nparts in (4, 32):
+        got = (
+            interval_join(
+                rd.from_pandas(left),
+                rd.from_pandas(iv),
+                key_col="k",
+                ts_col="t",
+                start_col="lo",
+                end_col="hi",
+                right_value_cols=["payload"],
+                num_partitions=nparts,
+            )
+            .to_pandas()
+            .sort_values("row_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == 400
+        np.testing.assert_allclose(
+            got["payload"].to_numpy(dtype=np.float64), expect, equal_nan=True
+        )
+        # matched rows carry their interval bounds; unmatched carry NaN
+        matched = ~np.isnan(expect)
+        assert not got.loc[matched, "lo"].isna().any()
+        assert got.loc[~matched, "hi"].isna().all()
