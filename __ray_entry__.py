@@ -1721,6 +1721,28 @@ FROM e JOIN sess
 """
 
 
+def q_events_hll_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event_type via the
+    HyperLogLog aggregate (pipelines/sketches.py) — rows-only (DuckDB's
+    approx_count_distinct is a different HLL/hash); accuracy and exact
+    partition invariance are pinned by pytest."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sketches import hll_distinct
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    ds = hll_distinct(ev, "user_id", group_col="event_type")
+    import pandas as pd
+
+    return ds.map_batches(
+        lambda b: b.sort_values("event_type").reset_index(drop=True),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Full decode output, oracle-checked: the 8-dim embedding list is
     flattened to emb_0..emb_7 scalar columns (the driver compare hashes
@@ -1857,6 +1879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
+        "events_hll_users": q_events_hll_users,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,

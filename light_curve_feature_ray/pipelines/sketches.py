@@ -1,0 +1,129 @@
+"""Mergeable sketches as Ray-Data aggregates.
+
+HyperLogLog (Flajolet et al. 2007, with the standard small-range
+correction) as a distributed distinct-count: each block computes partial
+REGISTER MAXIMA vectorized (one polars hash + one ``np.maximum.reduceat``
+class of scatter per batch), partials merge by element-wise max through a
+``groupby().map_groups`` whose input is tiny (one register row per
+(group, block)), and the estimate is evaluated once per group. The
+register-max lattice is commutative/associative/idempotent, so the result
+is EXACTLY independent of partitioning, block order and retries — the
+property the tests pin.
+
+Not SQL-oracle-able (DuckDB's approx_count_distinct is a different HLL
+with a different hash), so the driver carries a rows-only check; accuracy
+is pinned by pytest against exact counts (rel. error << 3 * 1.04/sqrt(m))
+and by an exact-merge associativity test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_HLL_SEED = 77
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_partial(values, p: int) -> np.ndarray:
+    """Register maxima (length 2**p, uint8) of one batch of values."""
+    import polars as pl
+
+    m = 1 << p
+    s = pl.Series("v", values).cast(pl.String).fill_null("")
+    h = s.hash(seed=_HLL_SEED).to_numpy().astype(np.uint64)
+    if h.shape[0] == 0:
+        return np.zeros(m, dtype=np.uint8)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining 64-p bits, top-aligned
+    # rank = leading zeros of the remaining bits + 1 (capped at 64-p+1)
+    # vectorized leading-zero count via float64 exponent is unsafe at the
+    # tails; use a log2-free loop over the 8 byte positions instead
+    lz = np.full(h.shape[0], 64 - p, dtype=np.int64)
+    found = np.zeros(h.shape[0], dtype=bool)
+    for byte_i in range(8):
+        b = ((rest >> np.uint64(56 - 8 * byte_i)) & np.uint64(0xFF)).astype(
+            np.int64
+        )
+        nz = (~found) & (b > 0)
+        if nz.any():
+            # leading zeros within this byte: 8 - bit_length(b)
+            bl = np.zeros(b.shape[0], dtype=np.int64)
+            bb = b[nz]
+            for shift in (4, 2, 1):
+                hi = bb >> shift
+                bl[nz] = np.where(hi > 0, bl[nz] + shift, bl[nz])
+                bb = np.where(hi > 0, hi, bb)
+            bl[nz] += 1  # bit_length
+            lz[nz] = 8 * byte_i + (8 - bl[nz])
+            found |= nz
+    rank = np.minimum(lz, 64 - p) + 1
+    regs = np.zeros(m, dtype=np.int64)
+    np.maximum.at(regs, idx, rank)
+    return regs.astype(np.uint8)
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = regs.shape[0]
+    est = _alpha(m) * m * m / np.sum(2.0 ** -regs.astype(np.float64))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range (linear counting)
+    return float(est)
+
+
+def hll_distinct(ds, value_col: str, group_col: str | None = None, p: int = 12):
+    """Approximate COUNT(DISTINCT value) [per ``group_col``] via a
+    2**p-register HyperLogLog. Returns (group?, approx_distinct: float).
+    Only one register row per (group, block) crosses the shuffle —
+    the classic sketch trade: O(groups * 2**p) exchange regardless of
+    row count."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if group_col is None:
+            regs = _hll_partial(batch[value_col].to_numpy(), p)
+            return pd.DataFrame({"g": ["_all"], "regs": [regs.tobytes()]})
+        out_g, out_r = [], []
+        # vectorized per-group partials: sort once, slice group runs
+        order = np.argsort(batch[group_col].to_numpy(), kind="stable")
+        g = batch[group_col].to_numpy()[order]
+        v = batch[value_col].to_numpy()[order]
+        bounds = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[bounds[1:], g.shape[0]]
+        for s0, s1 in zip(bounds, ends):
+            out_g.append(g[s0])
+            out_r.append(_hll_partial(v[s0:s1], p).tobytes())
+        return pd.DataFrame({"g": out_g, "regs": out_r})
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(grp: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in grp["regs"]]
+        )
+        est = _hll_estimate(mat.max(axis=0))
+        return pd.DataFrame(
+            {"g": [grp["g"].iloc[0]], "approx_distinct": [est]}
+        )
+
+    out = partials.groupby("g").map_groups(merge, batch_format="pandas")
+    if group_col is None:
+        return out.map_batches(
+            lambda b: b[["approx_distinct"]],
+            batch_format="pandas",
+            batch_size=None,
+        )
+    return out.map_batches(
+        lambda b: b.rename(columns={"g": group_col}),
+        batch_format="pandas",
+        batch_size=None,
+    )

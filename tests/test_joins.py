@@ -152,3 +152,59 @@ def test_interval_join_matches_naive(ray_session):
         matched = ~np.isnan(expect)
         assert not got.loc[matched, "lo"].isna().any()
         assert got.loc[~matched, "hi"].isna().all()
+
+
+def test_hll_distinct_accuracy_and_invariance(ray_session):
+    """HLL sketch: rank computation matches int.bit_length, estimates are
+    within the 3-sigma HLL bound of exact counts, and the register-max
+    lattice makes output EXACTLY partition-invariant."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sketches import (
+        _hll_estimate,
+        _hll_partial,
+        hll_distinct,
+    )
+
+    # rank kernel vs a scalar reference
+    import polars as pl
+
+    vals = np.array([f"v{i}" for i in range(5000)], dtype=object)
+    p = 12
+    regs = _hll_partial(vals, p)
+    h = pl.Series(vals).cast(pl.String).hash(seed=77).to_numpy().astype(np.uint64)
+    expect_regs = np.zeros(1 << p, dtype=np.uint8)
+    for hv in h:
+        idx = int(hv >> np.uint64(64 - p))
+        rest = int(hv << np.uint64(p)) & ((1 << 64) - 1)
+        lz = 64 - p if rest == 0 else (64 - rest.bit_length())
+        rank = min(lz, 64 - p) + 1
+        expect_regs[idx] = max(expect_regs[idx], rank)
+    np.testing.assert_array_equal(regs, expect_regs)
+
+    # accuracy: 2**p registers -> sigma ~ 1.04/sqrt(m) = 1.6%
+    est = _hll_estimate(regs)
+    assert abs(est - 5000) / 5000 < 0.05
+
+    # dataset surface: grouped estimate, exact partition invariance
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 30_000),
+            "v": rng.integers(0, 4000, 30_000),
+        }
+    )
+    exact = df.groupby("k")["v"].nunique()
+    outs = []
+    for nblocks in (2, 16):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = (
+            hll_distinct(ds, "v", group_col="k")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+        for _, r in out.iterrows():
+            assert abs(r["approx_distinct"] - exact[r["k"]]) / exact[r["k"]] < 0.05
+    pd.testing.assert_frame_equal(outs[0], outs[1])
