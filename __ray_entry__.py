@@ -1743,6 +1743,37 @@ def q_events_hll_users(sf_dir: str):
     )
 
 
+def q_events_top_users(sf_dir: str):
+    """Exact top-20 users by event count — exercises the Dataset
+    groupby-count -> sort(desc) -> limit surface with a deterministic
+    total order (count desc, user_id asc for ties)."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counted = ev.groupby("user_id").count()
+
+    def neg(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "n_events": b["count()"].cast(pa.int64()),
+            }
+        )
+
+    counted = counted.map_batches(neg, batch_format="pyarrow", batch_size=None)
+    top = counted.sort(["n_events", "user_id"], descending=[True, False]).limit(20)
+    return top
+
+
+SQL_EVENTS_TOP_USERS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 20
+"""
+
+
 def q_multimodal_decode(sf_dir: str):
     """Full decode output, oracle-checked: the 8-dim embedding list is
     flattened to emb_0..emb_7 scalar columns (the driver compare hashes
@@ -1880,6 +1911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
         "events_hll_users": q_events_hll_users,
+        "events_top_users": q_events_top_users,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
@@ -1929,6 +1961,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
+        "events_top_users": SQL_EVENTS_TOP_USERS,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
         "doc_text_stats": SQL_DOC_TEXT_STATS,
         "doc_lang_id": SQL_DOC_LANG_ID,

@@ -135,3 +135,47 @@ def test_turns_conflicting_duplicates_deterministic(ray_session, tmp_path):
     a, b = run("ab"), run("ba")
     pd.testing.assert_frame_equal(a, b)
     assert not (a["text"] == "zzz-conflict").any()
+
+
+def test_jsonl_source_matches_parquet(ray_session, tmp_path):
+    """read_transcripts_jsonl normalizes epoch-seconds JSONL to the
+    canonical schema; the rollup over it equals the parquet-path rollup."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.rollup import rollup_dataset, rollup_table
+    from light_curve_feature_ray.sources.jsonl import read_transcripts_jsonl
+    from light_curve_feature_ray.sources.synth import synth_transcripts_table
+    from light_curve_feature_ray.stages.rollup import RollupConfig
+
+    tbl = synth_transcripts_table(n_convs=20, seed=9)
+    jl = tmp_path / "turns.jsonl"
+    with open(jl, "w") as f:
+        for row in tbl.to_pylist():
+            row["ts"] = row["ts"].timestamp()  # epoch SECONDS float
+            row["extra_key"] = "ignored"      # extra keys are dropped
+            f.write(_json.dumps(row) + "\n")
+
+    cfg = RollupConfig(
+        features=("observation_count", "mean", "amplitude"),
+        tiers=("1h",), gap_fill="none", hot_threshold=None,
+        store_points=False, num_partitions=8,
+    )
+    expect = (
+        pa.Table.to_pandas(rollup_table(tbl, cfg))
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    ds = read_transcripts_jsonl(str(jl))
+    got = (
+        rollup_dataset(ds, cfg)
+        .to_pandas()
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[expect.columns], expect)
