@@ -1664,7 +1664,12 @@ def q_events_interval_join(sf_dir: str):
     )
 
     def prep_left(b: pa.Table) -> pa.Table:
-        t = pc.divide(b["ts"].cast(pa.int64()), 1_000_000)
+        # floor (not truncate-toward-zero) to match session_windows'
+        # _epoch_seconds `// 1_000_000` and the oracle's floor(epoch(ts)):
+        # they disagree for negative (pre-1970) timestamps.
+        t = pc.floor(
+            pc.divide(b["ts"].cast(pa.int64()).cast(pa.float64()), 1e6)
+        )
         return pa.table(
             {
                 "event_id": b["event_id"],

@@ -1,9 +1,14 @@
-"""As-of join — a custom operator Ray Data lacks, expressed Ray-Data-first.
+"""As-of and interval (range) joins — custom operators Ray Data lacks,
+expressed Ray-Data-first.
 
 ``asof_join`` attaches, to every LEFT row, the latest RIGHT row of the
 same key with ``right.ts <= left.ts`` (backward as-of — the standard
 "most recent state at event time" join of time-series stores; DuckDB's
-native ``ASOF JOIN`` is the SQL oracle).
+native ``ASOF JOIN`` is the SQL oracle). ``interval_join`` attaches the
+NON-OVERLAPPING interval of the same key containing the left timestamp
+(``start <= ts <= end``) — with non-overlap, "the containing interval"
+is exactly "the latest interval starting at or before ts, if its end
+still covers ts", so both joins share one merge core.
 
 Shape: ONE hash shuffle co-locating both sides by ``hash(key) %
 num_partitions``, then a partition-level vectorized merge: the right
@@ -17,9 +22,10 @@ all rows of one key fit in one partition's task memory — the same
 conv-locality assumption the rollup makes; salt hot keys upstream if a
 single key outgrows that.
 
-Determinism: the right side must be unique per (key, ts) or the picked
-row is arbitrary — pre-aggregate duplicates (e.g. ``groupby(key,
-ts).max()``) exactly as the SQL oracle must.
+Determinism: the right side must be unique per (key, ts) (as-of) or
+non-overlapping per key (interval) or the picked row is arbitrary —
+pre-aggregate duplicates (e.g. ``groupby(key, ts).max()``) exactly as
+the SQL oracle must.
 """
 
 from __future__ import annotations
@@ -45,21 +51,22 @@ def _nullable_dtype(arrow_type) -> str | None:
     return None
 
 
-def asof_join(
+def _merge_join(
     left_ds,
     right_ds,
     *,
     key_col: str,
     ts_col: str,
+    right_ts_col: str,
+    end_col: str | None,
     right_value_cols: list[str],
-    num_partitions: int = 32,
+    num_partitions: int,
+    op_name: str,
 ):
-    """Backward as-of join of two Datasets on ``key_col`` ordered by
-    ``ts_col`` (both int64-comparable; cast timestamps to epoch integers
-    upstream). Returns the left rows with ``right_value_cols`` attached
-    (NA where the key has no right row at or before the left timestamp).
-    Left payload columns must be int/float/bool/string (they travel as
-    pandas nullable columns through the co-partitioning union)."""
+    """Shared tagged-union merge core of asof_join / interval_join.
+    ``end_col=None`` means no containment check (pure backward as-of);
+    otherwise the matched interval must still cover the left timestamp,
+    and the matched start/end bounds are emitted as float columns."""
     schema = left_ds.schema()
     left_payload = [n for n in schema.names if n not in (key_col, ts_col)]
     payload_dtypes = {}
@@ -69,122 +76,12 @@ def asof_join(
         d = _nullable_dtype(t)
         if d is None:
             raise TypeError(
-                f"asof_join left column {n!r} has unsupported type {t} — "
+                f"{op_name} left column {n!r} has unsupported type {t} — "
                 "int/float/bool/string payloads only"
             )
         payload_dtypes[n] = d
-    cols = [key_col, ts_col, "_side"] + left_payload + list(right_value_cols)
-
-    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                key_col: batch[key_col].to_numpy(dtype=np.int64),
-                ts_col: batch[ts_col].to_numpy(dtype=np.int64),
-                "_side": np.zeros(len(batch), dtype=np.int8),
-            }
-        )
-        for c in left_payload:
-            out[c] = batch[c].astype(payload_dtypes[c])
-        for c in right_value_cols:
-            out[c] = np.full(len(batch), np.nan)
-        return out[cols]
-
-    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                key_col: batch[key_col].to_numpy(dtype=np.int64),
-                ts_col: batch[ts_col].to_numpy(dtype=np.int64),
-                "_side": np.ones(len(batch), dtype=np.int8),
-            }
-        )
-        for c in left_payload:
-            out[c] = pd.array([pd.NA] * len(batch), dtype=payload_dtypes[c])
-        for c in right_value_cols:
-            out[c] = batch[c].to_numpy(dtype=np.float64)
-        return out[cols]
-
-    left_t = left_ds.map_batches(tag_left, batch_format="pandas", batch_size=None)
-    right_t = right_ds.map_batches(
-        tag_right, batch_format="pandas", batch_size=None
-    )
-
-    def merge_partition(grp: pd.DataFrame) -> pd.DataFrame:
-        side = grp["_side"].to_numpy()
-        k = grp[key_col].to_numpy(dtype=np.int64)
-        t = grp[ts_col].to_numpy(dtype=np.int64)
-        is_r = side == 1
-        dt = np.dtype([("k", np.int64), ("t", np.int64)])
-        rs = np.empty(int(is_r.sum()), dtype=dt)
-        rs["k"], rs["t"] = k[is_r], t[is_r]
-        order_r = np.argsort(rs, kind="stable")
-        rs = rs[order_r]
-        ls = np.empty(int((~is_r).sum()), dtype=dt)
-        ls["k"], ls["t"] = k[~is_r], t[~is_r]
-        # last right row with (k, t) <= left (k, t) lexicographically; a
-        # hit on a smaller key means "no right row for this key yet".
-        # A partition can hold zero right rows (keys with no right side).
-        if rs.shape[0]:
-            pos = np.searchsorted(rs, ls, side="right") - 1
-            ok = pos >= 0
-            ok &= np.where(ok, rs["k"][np.maximum(pos, 0)] == ls["k"], False)
-        else:
-            pos = np.full(ls.shape[0], -1, dtype=np.int64)
-            ok = np.zeros(ls.shape[0], dtype=bool)
-        out = grp.loc[~is_r, [key_col, ts_col] + left_payload].copy()
-        for c in right_value_cols:
-            rv = grp[c].to_numpy(dtype=np.float64)[is_r][order_r]
-            vals = np.full(ls.shape[0], np.nan)
-            vals[ok] = rv[pos[ok]]
-            out[c] = vals
-        return out
-
-    return (
-        left_t.union(right_t)
-        .map_batches(
-            lambda b: _hash_mod_part(b, [key_col], num_partitions),
-            batch_format="pandas",
-            batch_size=None,
-        )
-        .groupby("part")
-        .map_groups(merge_partition, batch_format="pandas")
-    )
-
-
-def interval_join(
-    left_ds,
-    intervals_ds,
-    *,
-    key_col: str,
-    ts_col: str,
-    start_col: str,
-    end_col: str,
-    right_value_cols: list[str],
-    num_partitions: int = 32,
-):
-    """Range join: attach to each left row the interval of the same key
-    that CONTAINS its timestamp (``start <= ts <= end``, both int64).
-    Intervals must be NON-OVERLAPPING per key (session windows, retention
-    tiers, validity ranges) — the documented partitioning/semantic
-    assumption; with non-overlap, "the containing interval" is exactly
-    "the latest interval starting at or before ts, if its end covers ts",
-    so the merge is the same one-shuffle structured-searchsorted shape as
-    :func:`asof_join`. Left rows outside every interval get NA."""
-    schema = left_ds.schema()
-    left_payload = [n for n in schema.names if n not in (key_col, ts_col)]
-    payload_dtypes = {}
-    for n, t in zip(schema.names, schema.types):
-        if n in (key_col, ts_col):
-            continue
-        d = _nullable_dtype(t)
-        if d is None:
-            raise TypeError(
-                f"interval_join left column {n!r} has unsupported type {t}"
-            )
-        payload_dtypes[n] = d
     carried = [c for c in right_value_cols if c != end_col]
-    cols = (
-        [key_col, ts_col, "_side", "_end"] + left_payload + carried
-    )
+    cols = [key_col, ts_col, "_side", "_end"] + left_payload + carried
 
     def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -205,9 +102,13 @@ def interval_join(
         out = pd.DataFrame(
             {
                 key_col: batch[key_col].to_numpy(dtype=np.int64),
-                ts_col: batch[start_col].to_numpy(dtype=np.int64),
+                ts_col: batch[right_ts_col].to_numpy(dtype=np.int64),
                 "_side": np.ones(len(batch), dtype=np.int8),
-                "_end": batch[end_col].to_numpy(dtype=np.int64),
+                "_end": (
+                    batch[end_col].to_numpy(dtype=np.int64)
+                    if end_col is not None
+                    else np.zeros(len(batch), dtype=np.int64)
+                ),
             }
         )
         for c in left_payload:
@@ -217,7 +118,7 @@ def interval_join(
         return out[cols]
 
     left_t = left_ds.map_batches(tag_left, batch_format="pandas", batch_size=None)
-    right_t = intervals_ds.map_batches(
+    right_t = right_ds.map_batches(
         tag_right, batch_format="pandas", batch_size=None
     )
 
@@ -235,29 +136,33 @@ def interval_join(
         r_end = ends[is_r][order_r]
         ls = np.empty(int((~is_r).sum()), dtype=dt)
         ls["k"], ls["t"] = k[~is_r], t[~is_r]
+        # last right row with (k, t) <= left (k, t) lexicographically; a
+        # hit on a smaller key means "no right row for this key yet".
+        # A partition can hold zero right rows (keys with no right side).
         if rs.shape[0]:
             pos = np.searchsorted(rs, ls, side="right") - 1
             ok = pos >= 0
             safe = np.maximum(pos, 0)
             ok &= np.where(ok, rs["k"][safe] == ls["k"], False)
-            # containment: the candidate interval must still cover ts
-            ok &= np.where(ok, r_end[safe] >= ls["t"], False)
+            if end_col is not None:
+                # containment: the candidate interval must still cover ts
+                ok &= np.where(ok, r_end[safe] >= ls["t"], False)
         else:
-            ok = np.zeros(ls.shape[0], dtype=bool)
             pos = np.full(ls.shape[0], -1, dtype=np.int64)
+            ok = np.zeros(ls.shape[0], dtype=bool)
         out = grp.loc[~is_r, [key_col, ts_col] + left_payload].copy()
         for c in carried:
             rv = grp[c].to_numpy(dtype=np.float64)[is_r][order_r]
             vals = np.full(ls.shape[0], np.nan)
             vals[ok] = rv[pos[ok]]
             out[c] = vals
-        # interval bounds of the match (start/end), NA when unmatched
-        st = np.full(ls.shape[0], np.nan)
-        en = np.full(ls.shape[0], np.nan)
-        st[ok] = rs["t"][pos[ok]].astype(np.float64)
-        en[ok] = r_end[pos[ok]].astype(np.float64)
-        out[start_col] = st
-        out[end_col] = en
+        if end_col is not None:
+            st = np.full(ls.shape[0], np.nan)
+            en = np.full(ls.shape[0], np.nan)
+            st[ok] = rs["t"][pos[ok]].astype(np.float64)
+            en[ok] = r_end[pos[ok]].astype(np.float64)
+            out[right_ts_col] = st
+            out[end_col] = en
         return out
 
     return (
@@ -269,4 +174,61 @@ def interval_join(
         )
         .groupby("part")
         .map_groups(merge_partition, batch_format="pandas")
+    )
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    num_partitions: int = 32,
+):
+    """Backward as-of join of two Datasets on ``key_col`` ordered by
+    ``ts_col`` (both int64-comparable; cast timestamps to epoch integers
+    upstream). Returns the left rows with ``right_value_cols`` attached
+    (NA where the key has no right row at or before the left timestamp).
+    Left payload columns must be int/float/bool/string (they travel as
+    pandas nullable columns through the co-partitioning union)."""
+    return _merge_join(
+        left_ds,
+        right_ds,
+        key_col=key_col,
+        ts_col=ts_col,
+        right_ts_col=ts_col,
+        end_col=None,
+        right_value_cols=right_value_cols,
+        num_partitions=num_partitions,
+        op_name="asof_join",
+    )
+
+
+def interval_join(
+    left_ds,
+    intervals_ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    right_value_cols: list[str],
+    num_partitions: int = 32,
+):
+    """Range join: attach to each left row the interval of the same key
+    that CONTAINS its timestamp (``start <= ts <= end``, both int64),
+    plus the matched interval's start/end bounds (float, NA when
+    unmatched). Intervals must be NON-OVERLAPPING per key (session
+    windows, retention tiers, validity ranges)."""
+    return _merge_join(
+        left_ds,
+        intervals_ds,
+        key_col=key_col,
+        ts_col=ts_col,
+        right_ts_col=start_col,
+        end_col=end_col,
+        right_value_cols=right_value_cols,
+        num_partitions=num_partitions,
+        op_name="interval_join",
     )

@@ -89,6 +89,14 @@ def hll_distinct(ds, value_col: str, group_col: str | None = None, p: int = 12):
     row count."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            # flatnonzero(r_[True]) below would index g[0] of an empty run
+            return pd.DataFrame(
+                {
+                    "g": pd.Series([], dtype=object),
+                    "regs": pd.Series([], dtype=object),
+                }
+            )
         if group_col is None:
             regs = _hll_partial(batch[value_col].to_numpy(), p)
             return pd.DataFrame({"g": ["_all"], "regs": [regs.tobytes()]})

@@ -555,7 +555,17 @@ def minhash_lsh_dups(
         sides_g = grp[~is_text]
         sk = sides_g["doc_id"].to_numpy()
         pos = np.searchsorted(tk, sk)
-        # every pair endpoint has a text row (pairs derive from docs_ds)
+        # pairs derive from docs_ds, so every endpoint SHOULD have a text
+        # row in this partition — but guard the lookup (bounds + exact id
+        # match) so an absent doc drops its side rows, as the pre-
+        # vectorization per-doc attach did, instead of silently attaching
+        # a neighbouring doc's text or raising IndexError.
+        ok = pos < tk.shape[0]
+        ok &= tk[np.minimum(pos, max(tk.shape[0] - 1, 0))] == sk
+        if not ok.all():
+            sides_g = sides_g[ok]
+            sk = sk[ok]
+            pos = pos[ok]
         return pd.DataFrame(
             {
                 "doc_a": sides_g["doc_a"].to_numpy(),

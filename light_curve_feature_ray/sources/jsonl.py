@@ -47,9 +47,16 @@ def _normalize(batch: pa.Table, for_rollup: bool) -> pa.Table:
         cols["ts"] = ts.cast(pa.timestamp("us"))
     elif pa.types.is_integer(t) or pa.types.is_floating(t):
         v = pc.cast(ts, pa.float64()).to_numpy(zero_copy_only=False)
-        # heuristic: values >= 1e14 are already microseconds, else seconds
-        us = np.where(np.abs(v) >= 1e14, v, v * 1e6).astype(np.int64)
-        cols["ts"] = pa.array(us).cast(pa.timestamp("us"))
+        # heuristic: values >= 1e14 are already microseconds, else seconds.
+        # rint, not astype-truncation: v*1e6 can land just below the true
+        # integer (123456789 -> 123456788.9999...) and truncation would
+        # silently shift ~1.5% of timestamps by 1 us, breaking min-ts
+        # duplicate settlement and t-min(t) parity. Nulls stay null
+        # (NaN -> masked) instead of becoming INT64_MIN garbage.
+        null_mask = np.isnan(v)
+        us_f = np.where(np.abs(v) >= 1e14, v, v * 1e6)
+        us = np.rint(np.where(null_mask, 0.0, us_f)).astype(np.int64)
+        cols["ts"] = pa.array(us, mask=null_mask).cast(pa.timestamp("us"))
     else:
         raise ValueError(f"unsupported ts type {t}")
     order = [c for c in (want if "ts" in want else want + ["ts"]) if c in cols or c == "ts"]

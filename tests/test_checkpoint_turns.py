@@ -141,6 +141,7 @@ def test_jsonl_source_matches_parquet(ray_session, tmp_path):
     """read_transcripts_jsonl normalizes epoch-seconds JSONL to the
     canonical schema; the rollup over it equals the parquet-path rollup."""
     import json as _json
+    from datetime import timezone
 
     import numpy as np
     import pyarrow as pa
@@ -155,7 +156,9 @@ def test_jsonl_source_matches_parquet(ray_session, tmp_path):
     jl = tmp_path / "turns.jsonl"
     with open(jl, "w") as f:
         for row in tbl.to_pylist():
-            row["ts"] = row["ts"].timestamp()  # epoch SECONDS float
+            # epoch SECONDS float; pin UTC — naive .timestamp() would
+            # shift by the local UTC offset under e.g. TZ=America/New_York
+            row["ts"] = row["ts"].replace(tzinfo=timezone.utc).timestamp()
             row["extra_key"] = "ignored"      # extra keys are dropped
             f.write(_json.dumps(row) + "\n")
 
@@ -179,3 +182,37 @@ def test_jsonl_source_matches_parquet(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got[expect.columns], expect)
+
+
+def test_jsonl_ts_rounds_and_keeps_nulls():
+    """Float epoch-seconds must ROUND to microseconds (truncation shifts
+    ~1.5% of values by 1us) and null ts stays null, not INT64_MIN."""
+    import numpy as np
+    import pyarrow as pa
+
+    from light_curve_feature_ray.sources.jsonl import _normalize
+
+    us = np.arange(123_456_780, 123_458_780, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c"] * len(us)),
+            "turn_idx": pa.array(np.arange(len(us), dtype=np.int32)),
+            "text": pa.array(["t"] * len(us)),
+            "ts": pa.array(us / 1e6),  # epoch seconds, float
+        }
+    )
+    out = _normalize(tbl, for_rollup=True)
+    got = out["ts"].cast(pa.int64()).to_numpy()
+    np.testing.assert_array_equal(got, us)
+
+    tbl2 = pa.table(
+        {
+            "conv_id": pa.array(["c", "c"]),
+            "turn_idx": pa.array([0, 1], type=pa.int32()),
+            "text": pa.array(["a", "b"]),
+            "ts": pa.array([1.5, None]),
+        }
+    )
+    out2 = _normalize(tbl2, for_rollup=True)
+    assert out2["ts"].null_count == 1
+    assert out2["ts"].cast(pa.int64()).to_pylist() == [1_500_000, None]

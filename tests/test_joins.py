@@ -208,3 +208,20 @@ def test_hll_distinct_accuracy_and_invariance(ray_session):
         for _, r in out.iterrows():
             assert abs(r["approx_distinct"] - exact[r["k"]]) / exact[r["k"]] < 0.05
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_hll_distinct_empty_blocks(ray_session):
+    """Empty blocks (filter leaves zero rows in some blocks) must not
+    crash the grouped partial (regression: IndexError on g[0])."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sketches import hll_distinct
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 5, "v": list(range(10))})
+    ds = rd.from_pandas(df).repartition(8).filter(lambda r: r["v"] < 3)
+    out = hll_distinct(ds, "v", group_col="k").to_pandas()
+    assert set(out["k"]) == {"a"}
+    assert abs(out["approx_distinct"].iloc[0] - 3) < 0.5
+    # fully-empty input: no groups, no crash
+    empty = rd.from_pandas(df).filter(lambda r: r["v"] > 99)
+    assert hll_distinct(empty, "v", group_col="k").count() == 0
