@@ -1498,16 +1498,86 @@ def q_doc_minhash_dups(sf_dir: str):
 
 def q_doc_simhash_dups(sf_dir: str):
     """SimHash near-dup pairs (exact recall within the Hamming radius via
-    pigeonhole banding; signatures are polars-ahash-derived, so rows-only)."""
+    pigeonhole banding). The ``poly`` hasher's exact sub-2^48 arithmetic
+    makes the signatures SQL-reproducible, so the oracle is the
+    brute-force xor-popcount join — which exact-recall banding must
+    equal."""
     from light_curve_feature_ray.pipelines.text import simhash_dups
 
-    return simhash_dups(_docs(sf_dir), max_hamming=6)
+    return _finalize(
+        simhash_dups(_docs(sf_dir), max_hamming=6, hasher="poly"),
+        skip=("doc_a", "doc_b", "hamming"),
+    )
 
 
 def q_doc_simhash(sf_dir: str):
+    """48-bit SimHash signatures with the SQL-reproducible ``poly``
+    word hasher (same (acc*31+cp) %% mod arithmetic as the winnowing
+    oracle, majority vote per bit in both engines)."""
     from light_curve_feature_ray.pipelines.text import simhash_signatures
 
-    return simhash_signatures(_docs(sf_dir))
+    return _finalize(
+        simhash_signatures(_docs(sf_dir), hasher="poly"),
+        skip=("doc_id", "simhash"),
+    )
+
+
+# Shared signature CTE: 48-bit SimHash with the sub-2^48 polynomial word
+# hash (pipelines/text.py _word_poly_hashes_flat) — bit b of the signature
+# is the majority vote of bit b across all word-occurrence hashes.
+_SQL_SIMHASH_SIG = """
+w AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS w
+    FROM documents
+),
+h0 AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(w, '(?s).'),
+                              ch -> unicode(ch))),
+               (a, x) -> (a*31 + x) % 281474976710597) AS h
+    FROM w
+),
+-- 4 affine expansion rounds (exact sub-2^63 arithmetic) mirroring
+-- _word_poly_hashes_flat's finalization
+h AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(h, [CAST(0 AS BIGINT), 0, 0, 0]),
+               (a, x) -> (a*25781 + 104729) % 281474976710597) AS h
+    FROM h0
+),
+b AS (
+    SELECT doc_id, bit,
+           sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
+    FROM h, (SELECT unnest(range(48)) AS bit) bits
+    GROUP BY doc_id, bit
+),
+sig0 AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                    ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM b GROUP BY doc_id
+),
+sig AS (
+    SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id
+)
+"""
+
+SQL_DOC_SIMHASH = f"""
+WITH {_SQL_SIMHASH_SIG}
+SELECT doc_id, simhash FROM sig
+"""
+
+SQL_DOC_SIMHASH_DUPS = f"""
+WITH {_SQL_SIMHASH_SIG}
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+WHERE bit_count(xor(a.simhash, b2.simhash)) <= 6
+"""
 
 
 def q_knn_cosine(sf_dir: str):
@@ -1976,6 +2046,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_groups": SQL_DOC_DEDUP_GROUPS,
         "doc_redact": SQL_DOC_REDACT,
         "doc_winnow": SQL_DOC_WINNOW,
+        "doc_simhash": SQL_DOC_SIMHASH,
+        "doc_simhash_dups": SQL_DOC_SIMHASH_DUPS,
         "emb_cosine_dups": SQL_EMB_COSINE_DUPS,
         "knn_cosine": SQL_KNN_COSINE,
     }

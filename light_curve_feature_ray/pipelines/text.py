@@ -651,13 +651,62 @@ def minhash_lsh_dups(
     )
 
 
+def _word_poly_hashes_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Sub-2^48 polynomial codepoint hashes of lowercased whitespace
+    tokens — deterministic AND SQL-reproducible (the same exact
+    ``(acc*31 + cp) % mod`` integer arithmetic as the winnowing oracle,
+    see ``_WINNOW_MOD``). Returns (flat int64 word hashes, per-doc word
+    counts). Vectorized: one string join + utf-32 decode for the whole
+    batch, then at most max-word-length folding rounds across ALL words."""
+    import polars as pl
+
+    s = pl.Series("t", texts, dtype=pl.String).fill_null("")
+    words = s.str.to_lowercase().str.extract_all(r"\S+")
+    lens = words.list.len().to_numpy().astype(np.int64)
+    flat = words.explode().drop_nulls()
+    wl = flat.str.len_chars().to_numpy().astype(np.int64)
+    joined = "".join(flat.to_list())
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    starts = np.r_[0, np.cumsum(wl)[:-1]]
+    acc = np.zeros(wl.shape[0], dtype=np.int64)
+    for j in range(int(wl.max(initial=0))):
+        has = wl > j
+        acc[has] = (acc[has] * 31 + cps[starts[has] + j]) % _WINNOW_MOD
+    # finalization: the raw fold leaves short words in the low bits only
+    # (a 5-char word never reaches bit ~32), which would zero the high
+    # SimHash bits for every doc. Four affine expansion rounds (multiplier
+    # < 2^15 keeps every product < 2^63 — exact in int64 AND BIGINT)
+    # spread the vocabulary across all 48 bits.
+    for _ in range(4):
+        acc = (acc * 25781 + 104729) % _WINNOW_MOD
+    return acc, lens
+
+
 class SimHasher:
-    """64-bit SimHash over word unigrams, vectorized: explode + hash words
+    """SimHash over word unigrams, vectorized: explode + hash words
     once per batch, unpack bits to a (n_words, 64) sign matrix, per-doc
-    ``add.reduceat``, re-pack the positive-sum bits."""
+    ``add.reduceat``, re-pack the positive-sum bits.
+
+    ``hasher="ahash"`` (default): polars 64-bit hash — fast, but not
+    reproducible outside this process family. ``hasher="poly"``: exact
+    sub-2^48 polynomial codepoint hash (48 effective signature bits,
+    emitted as int64) — bit-for-bit reproducible by the DuckDB SQL
+    oracle, trading some bit mixing for verifiability."""
+
+    def __init__(self, hasher: str = "ahash"):
+        if hasher not in ("ahash", "poly"):
+            raise ValueError(f"unknown simhash hasher {hasher!r}")
+        self.hasher = hasher
+        self.bits = 48 if hasher == "poly" else 64
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        h, lens = _word_hashes_flat(batch["text"].to_numpy())
+        if self.hasher == "poly":
+            hp, lens = _word_poly_hashes_flat(batch["text"].to_numpy())
+            h = hp.astype(np.uint64)  # < 2^48: bits 48..63 are 0
+        else:
+            h, lens = _word_hashes_flat(batch["text"].to_numpy())
         ndocs = lens.shape[0]
         out = np.zeros(ndocs, dtype=np.uint64)
         nz = np.flatnonzero(lens > 0)
@@ -673,14 +722,19 @@ class SimHasher:
                 (acc > 0).astype(np.uint8), axis=1, bitorder="little"
             )
             out[nz] = packed.view(np.uint64).ravel()
+        sig = out.view(np.int64) if self.hasher == "poly" else out
         return pd.DataFrame(
-            {"doc_id": batch["doc_id"].to_numpy(), "simhash": out}
+            {"doc_id": batch["doc_id"].to_numpy(), "simhash": sig}
         )
 
 
-def simhash_signatures(docs_ds):
+def simhash_signatures(docs_ds, hasher: str = "ahash"):
     return docs_ds.map_batches(
-        SimHasher, batch_format="pandas", concurrency=(1, 8), batch_size=None
+        SimHasher,
+        fn_constructor_kwargs={"hasher": hasher},
+        batch_format="pandas",
+        concurrency=(1, 8),
+        batch_size=None,
     )
 
 
@@ -965,7 +1019,12 @@ def winnow_fingerprints(docs_ds, k: int = 5, w: int = 4):
     return docs_ds.map_batches(f, batch_format="pandas", batch_size=None)
 
 
-def simhash_dups(docs_ds, max_hamming: int = 6, max_bucket: int = 256):
+def simhash_dups(
+    docs_ds,
+    max_hamming: int = 6,
+    max_bucket: int = 256,
+    hasher: str = "ahash",
+):
     """SimHash near-duplicate pairs with EXACT recall for the given radius:
     the 64-bit signature is sliced into ``max_hamming + 1`` bit-bands, so
     any pair within the Hamming radius shares at least one identical band
@@ -977,11 +1036,14 @@ def simhash_dups(docs_ds, max_hamming: int = 6, max_bucket: int = 256):
     pair dedup. Hamming is verified inside the bucket task (signatures
     travel with the rows), so no second lookup pass exists."""
     nbands = max_hamming + 1
-    # band bit boundaries: 64 bits split as evenly as possible
-    edges = np.linspace(0, 64, nbands + 1).astype(np.int64)
+    # band bit boundaries: the EFFECTIVE signature bits (48 for the poly
+    # hasher — its top 16 bits are constant-zero and would collapse high
+    # bands into one giant bucket) split as evenly as possible
+    sig_bits = SimHasher(hasher).bits
+    edges = np.linspace(0, sig_bits, nbands + 1).astype(np.int64)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        sig_df = SimHasher()(batch)
+        sig_df = SimHasher(hasher)(batch)
         sigs = sig_df["simhash"].to_numpy().astype(np.uint64)
         n = sigs.shape[0]
         frames = []

@@ -308,6 +308,56 @@ def test_simhash_dups_pairs(docs_ds):
         assert true <= 6
 
 
+def test_simhash_poly_hasher_deterministic_and_exact_recall(docs_ds):
+    """The SQL-reproducible ``poly`` hasher: signatures fit in 48 bits,
+    match a scalar mod-arithmetic reference, and banding still has exact
+    recall (pairs == brute force over signatures)."""
+    from light_curve_feature_ray.pipelines.text import (
+        _WINNOW_MOD,
+        simhash_dups,
+        simhash_signatures,
+    )
+
+    sigs = (
+        simhash_signatures(docs_ds, hasher="poly")
+        .to_pandas()
+        .set_index("doc_id")["simhash"]
+        .sort_index()
+    )
+    assert (sigs >= 0).all() and (sigs < (1 << 48)).all()
+
+    # scalar reference for one doc
+    docs = docs_ds.to_pandas().set_index("doc_id")["text"]
+    did = sigs.index[0]
+    words = docs[did].lower().split()
+    votes = [0] * 48
+    for w in words:
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % _WINNOW_MOD
+        for _ in range(4):
+            h = (h * 25781 + 104729) % _WINNOW_MOD
+        for b in range(48):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    expect = sum(1 << b for b in range(48) if votes[b] > 0)
+    assert int(sigs[did]) == expect
+
+    # exact recall: banded pairs == brute force xor-popcount
+    out = simhash_dups(docs_ds, max_hamming=6, hasher="poly").to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    ids = sigs.index.to_numpy()
+    sv = sigs.to_numpy().astype(np.int64)
+    brute = set()
+    for i in range(len(ids)):
+        x = sv[i] ^ sv[i + 1 :]
+        ham = np.zeros(x.shape[0], dtype=np.int64)
+        for b in range(48):
+            ham += (x >> b) & 1
+        for j in np.flatnonzero(ham <= 6):
+            brute.add((min(ids[i], ids[i + 1 + j]), max(ids[i], ids[i + 1 + j])))
+    assert got == brute
+
+
 def test_knn_ivf_recall(emb_ds):
     from light_curve_feature_ray.pipelines.similarity import (
         ivf_knn_cosine,
