@@ -1798,9 +1798,11 @@ FROM e JOIN sess
 
 def q_events_hll_users(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via the
-    HyperLogLog aggregate (pipelines/sketches.py) — rows-only (DuckDB's
-    approx_count_distinct is a different HLL/hash); accuracy and exact
-    partition invariance are pinned by pytest."""
+    HyperLogLog aggregate (pipelines/sketches.py) with the
+    SQL-reproducible ``poly`` hasher: the DuckDB oracle re-derives the
+    whole sketch (48-bit poly hash -> register index/rank -> exact-integer
+    S -> one float division) bit-for-bit, so the approximate estimate is
+    hash-checked, not just row-counted."""
     import ray.data as rd
 
     from light_curve_feature_ray.pipelines.sketches import hll_distinct
@@ -1808,14 +1810,64 @@ def q_events_hll_users(sf_dir: str):
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
-    ds = hll_distinct(ev, "user_id", group_col="event_type")
-    import pandas as pd
+    ds = hll_distinct(ev, "user_id", group_col="event_type", hasher="poly")
+    return _finalize(ds)
 
-    return ds.map_batches(
-        lambda b: b.sort_values("event_type").reset_index(drop=True),
-        batch_format="pandas",
-        batch_size=None,
-    )
+
+# HLL re-derived in SQL: same poly hash (codepoint fold + 3
+# xorshift-multiply rounds, all sub-2^63 exact), register maxima via
+# GROUP BY, bit-length via smear+bit_count, and the estimate from the
+# exact-integer S with identical float association (sketches.py
+# _hll_estimate_exact). p=12, m=4096, R=48-12+1=37.
+SQL_EVENTS_HLL_USERS = """
+WITH h0 AS (
+    SELECT event_type,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(
+                   coalesce(CAST(user_id AS VARCHAR), ''), '(?s).'),
+                   ch -> unicode(ch))),
+               (a, x) -> (a*31 + x) % 281474976710597) AS h
+    FROM events),
+h1 AS (SELECT event_type, (xor(h, h >> 21) * 25781) % 281474976710597 AS h FROM h0),
+h2 AS (SELECT event_type, (xor(h, h >> 21) * 13007) % 281474976710597 AS h FROM h1),
+h3 AS (SELECT event_type, (xor(h, h >> 21) * 30011) % 281474976710597 AS h FROM h2),
+ranks AS (
+    SELECT event_type, h >> 36 AS idx,
+           h & ((CAST(1 AS BIGINT) << 36) - 1) AS rest
+    FROM h3),
+sm1 AS (SELECT event_type, idx, rest, rest | (rest >> 1) AS s FROM ranks),
+sm2 AS (SELECT event_type, idx, rest, s | (s >> 2) AS s FROM sm1),
+sm3 AS (SELECT event_type, idx, rest, s | (s >> 4) AS s FROM sm2),
+sm4 AS (SELECT event_type, idx, rest, s | (s >> 8) AS s FROM sm3),
+sm5 AS (SELECT event_type, idx, rest, s | (s >> 16) AS s FROM sm4),
+bl AS (
+    SELECT event_type, idx,
+           CASE WHEN rest = 0 THEN 0
+                ELSE bit_count(s | (s >> 32)) END AS bitlen
+    FROM sm5),
+regs AS (
+    SELECT event_type, idx, max(36 - bitlen + 1) AS rank
+    FROM bl GROUP BY event_type, idx),
+agg AS (
+    SELECT event_type,
+           sum(CAST(1 AS BIGINT) << (37 - rank)) AS s_present,
+           count(*) AS n_present
+    FROM regs GROUP BY event_type),
+est AS (
+    SELECT event_type,
+           s_present + (4096 - n_present) * (CAST(1 AS BIGINT) << 37) AS S,
+           4096 - n_present AS zeros
+    FROM agg)
+SELECT event_type,
+       round(CASE WHEN 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096
+                       * 137438953472.0 / S <= 2.5 * 4096 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros)
+                  ELSE 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096
+                       * 137438953472.0 / S
+             END, 6) AS approx_distinct
+FROM est
+ORDER BY event_type
+"""
 
 
 def q_events_top_users(sf_dir: str):
@@ -2037,6 +2089,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
         "events_top_users": SQL_EVENTS_TOP_USERS,
+        "events_hll_users": SQL_EVENTS_HLL_USERS,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
         "doc_text_stats": SQL_DOC_TEXT_STATS,
         "doc_lang_id": SQL_DOC_LANG_ID,

@@ -10,10 +10,14 @@ register-max lattice is commutative/associative/idempotent, so the result
 is EXACTLY independent of partitioning, block order and retries — the
 property the tests pin.
 
-Not SQL-oracle-able (DuckDB's approx_count_distinct is a different HLL
-with a different hash), so the driver carries a rows-only check; accuracy
-is pinned by pytest against exact counts (rel. error << 3 * 1.04/sqrt(m))
-and by an exact-merge associativity test.
+With the default ``ahash`` hasher the result is not SQL-oracle-able
+(DuckDB's approx_count_distinct is a different HLL with a different
+hash); the ``poly`` hasher re-derives the whole sketch — hash, register
+index, rank, and estimate — in exact sub-2^63 integer arithmetic that a
+DuckDB SQL oracle reproduces bit-for-bit (the driver's
+``events_hll_users`` query). Accuracy is pinned by pytest against exact
+counts (rel. error << 3 * 1.04/sqrt(m)) and by an exact-merge
+associativity test.
 """
 
 from __future__ import annotations
@@ -22,6 +26,41 @@ import numpy as np
 import pandas as pd
 
 _HLL_SEED = 77
+# Same sub-2^48 prime as the winnow / simhash oracles (2^48 - 59): every
+# intermediate of the poly hash stays < 2^63, so DuckDB BIGINT reproduces
+# it bit-for-bit (see __ray_entry__.SQL_EVENTS_HLL_USERS).
+_POLY_MOD = 281474976710597
+_POLY_BITS = 48
+# xorshift-multiply finalization rounds: the raw codepoint fold is affine
+# (an arithmetic progression of ids maps to an arithmetic progression of
+# hashes), which would bias the register index / rank distributions; the
+# xor step makes each round nonlinear while multipliers < 2^15 keep every
+# product < 2^63 (exact in both int64 and BIGINT).
+_POLY_FINAL_MULTS = (25781, 13007, 30011)
+
+
+def _poly_value_hashes(values) -> np.ndarray:
+    """Sub-2^48 polynomial codepoint hashes of ``str(value)`` —
+    deterministic AND SQL-reproducible (exact ``(acc*31 + cp) % mod``
+    integer arithmetic plus xorshift-multiply finalization). Vectorized:
+    one string join + utf-32 decode for the whole batch, then at most
+    max-string-length folding rounds."""
+    import polars as pl
+
+    s = pl.Series("v", values).cast(pl.String).fill_null("")
+    wl = s.str.len_chars().to_numpy().astype(np.int64)
+    joined = "".join(s.to_list())
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    starts = np.r_[0, np.cumsum(wl)[:-1]]
+    acc = np.zeros(wl.shape[0], dtype=np.int64)
+    for j in range(int(wl.max(initial=0))):
+        has = wl > j
+        acc[has] = (acc[has] * 31 + cps[starts[has] + j]) % _POLY_MOD
+    for mult in _POLY_FINAL_MULTS:
+        acc = ((acc ^ (acc >> 21)) * mult) % _POLY_MOD
+    return acc
 
 
 def _alpha(m: int) -> float:
@@ -72,6 +111,24 @@ def _hll_partial(values, p: int) -> np.ndarray:
     return regs.astype(np.uint8)
 
 
+def _hll_partial_poly(values, p: int) -> np.ndarray:
+    """Register maxima over the SQL-reproducible 48-bit poly hash: top
+    ``p`` bits index the register, rank = leading zeros of the remaining
+    ``48-p`` bits + 1 (via ``np.frexp`` — the float64 exponent is EXACT
+    for integers < 2^53, and 48-p < 53)."""
+    m = 1 << p
+    h = _poly_value_hashes(values)
+    if h.shape[0] == 0:
+        return np.zeros(m, dtype=np.uint8)
+    idx = h >> (_POLY_BITS - p)
+    rest = h & ((np.int64(1) << (_POLY_BITS - p)) - 1)
+    bitlen = np.where(rest > 0, np.frexp(rest.astype(np.float64))[1], 0)
+    rank = (_POLY_BITS - p) - bitlen + 1
+    regs = np.zeros(m, dtype=np.int64)
+    np.maximum.at(regs, idx, rank)
+    return regs.astype(np.uint8)
+
+
 def _hll_estimate(regs: np.ndarray) -> float:
     m = regs.shape[0]
     est = _alpha(m) * m * m / np.sum(2.0 ** -regs.astype(np.float64))
@@ -81,12 +138,54 @@ def _hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def hll_distinct(ds, value_col: str, group_col: str | None = None, p: int = 12):
+def _hll_estimate_exact(regs: np.ndarray, p: int) -> float:
+    """Estimate via exact-integer register arithmetic, bit-identical to
+    the DuckDB oracle: S = sum over all m registers of 2^(R - rank)
+    (R = 48-p+1, empty register rank 0) is an exact int64 on both sides
+    (max m * 2^R = 2^49 < 2^53), so the single float division — and the
+    libm ``log`` in the linear-counting branch — are the only float ops,
+    evaluated with identical association in both engines."""
+    import math
+
+    m = regs.shape[0]
+    r_max = _POLY_BITS - p + 1
+    s_int = int(np.sum(np.int64(1) << (r_max - regs.astype(np.int64))))
+    zeros = int(np.sum(regs == 0))
+    est = 0.7213 / (1.0 + 1.079 / m) * m * m * float(2**r_max) / s_int
+    if est <= 2.5 * m and zeros:
+        est = float(m) * math.log(m / zeros)
+    return est
+
+
+def hll_distinct(
+    ds,
+    value_col: str,
+    group_col: str | None = None,
+    p: int = 12,
+    hasher: str = "ahash",
+):
     """Approximate COUNT(DISTINCT value) [per ``group_col``] via a
     2**p-register HyperLogLog. Returns (group?, approx_distinct: float).
     Only one register row per (group, block) crosses the shuffle —
     the classic sketch trade: O(groups * 2**p) exchange regardless of
-    row count."""
+    row count.
+
+    ``hasher="ahash"`` (default): polars 64-bit hash — fast, not
+    reproducible outside this process family. ``hasher="poly"``: exact
+    sub-2^48 polynomial codepoint hash of ``str(value)`` with
+    xorshift-multiply finalization — bit-for-bit reproducible by a DuckDB
+    SQL oracle (requires ``p >= 7`` so the alpha constant is the closed
+    formula on both sides)."""
+    if hasher not in ("ahash", "poly"):
+        raise ValueError(f"unknown hll hasher {hasher!r}")
+    if hasher == "poly" and p < 7:
+        raise ValueError("poly hasher requires p >= 7 (closed-form alpha)")
+    _partial = _hll_partial if hasher == "ahash" else _hll_partial_poly
+    _estimate = (
+        _hll_estimate
+        if hasher == "ahash"
+        else lambda regs: _hll_estimate_exact(regs, p)
+    )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -98,7 +197,7 @@ def hll_distinct(ds, value_col: str, group_col: str | None = None, p: int = 12):
                 }
             )
         if group_col is None:
-            regs = _hll_partial(batch[value_col].to_numpy(), p)
+            regs = _partial(batch[value_col].to_numpy(), p)
             return pd.DataFrame({"g": ["_all"], "regs": [regs.tobytes()]})
         out_g, out_r = [], []
         # vectorized per-group partials: sort once, slice group runs
@@ -109,7 +208,7 @@ def hll_distinct(ds, value_col: str, group_col: str | None = None, p: int = 12):
         ends = np.r_[bounds[1:], g.shape[0]]
         for s0, s1 in zip(bounds, ends):
             out_g.append(g[s0])
-            out_r.append(_hll_partial(v[s0:s1], p).tobytes())
+            out_r.append(_partial(v[s0:s1], p).tobytes())
         return pd.DataFrame({"g": out_g, "regs": out_r})
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
@@ -118,7 +217,7 @@ def hll_distinct(ds, value_col: str, group_col: str | None = None, p: int = 12):
         mat = np.stack(
             [np.frombuffer(b, dtype=np.uint8) for b in grp["regs"]]
         )
-        est = _hll_estimate(mat.max(axis=0))
+        est = _estimate(mat.max(axis=0))
         return pd.DataFrame(
             {"g": [grp["g"].iloc[0]], "approx_distinct": [est]}
         )

@@ -210,6 +210,78 @@ def test_hll_distinct_accuracy_and_invariance(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
+def test_hll_poly_hasher_sql_parity_and_accuracy(ray_session):
+    """The ``poly`` HLL path: hash/rank/estimate are bit-identical to a
+    scalar re-derivation of the SQL oracle's exact integer arithmetic,
+    estimates stay within the HLL error bound, and partition invariance
+    holds (same lattice argument as ahash)."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sketches import (
+        _POLY_FINAL_MULTS,
+        _POLY_MOD,
+        _hll_estimate_exact,
+        _hll_partial_poly,
+        _poly_value_hashes,
+        hll_distinct,
+    )
+
+    vals = np.arange(20_000) * 7 + 3
+    p = 12
+    # scalar reference of the oracle's arithmetic (BIGINT-exact ops only)
+    def scalar_hash(v) -> int:
+        acc = 0
+        for ch in str(v):
+            acc = (acc * 31 + ord(ch)) % _POLY_MOD
+        for mult in _POLY_FINAL_MULTS:
+            acc = ((acc ^ (acc >> 21)) * mult) % _POLY_MOD
+        return acc
+
+    h = _poly_value_hashes(vals)
+    assert [int(x) for x in h[:200]] == [scalar_hash(v) for v in vals[:200]]
+
+    regs = _hll_partial_poly(vals, p)
+    expect = np.zeros(1 << p, dtype=np.uint8)
+    for hv in (scalar_hash(v) for v in vals):
+        idx = hv >> (48 - p)
+        rest = hv & ((1 << (48 - p)) - 1)
+        rank = (48 - p) - rest.bit_length() + 1
+        expect[idx] = max(expect[idx], rank)
+    np.testing.assert_array_equal(regs, expect)
+
+    est = _hll_estimate_exact(regs, p)
+    assert abs(est - 20_000) / 20_000 < 0.05
+
+    # estimate formula parity with a from-scratch re-derivation
+    r_max = 48 - p + 1
+    s_int = sum(1 << (r_max - int(r)) for r in expect)
+    zeros = int((expect == 0).sum())
+    m = 1 << p
+    ref = 0.7213 / (1.0 + 1.079 / m) * m * m * float(2**r_max) / s_int
+    if ref <= 2.5 * m and zeros:
+        import math
+
+        ref = float(m) * math.log(m / zeros)
+    assert est == ref
+
+    # dataset surface: bit-identical across partitionings
+    df = pd.DataFrame(
+        {"k": ["a", "b"] * 5000, "v": np.arange(10_000, dtype=np.int64)}
+    )
+    outs = []
+    for nblocks in (2, 16):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        outs.append(
+            hll_distinct(ds, "v", group_col="k", hasher="poly")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    for _, r in outs[0].iterrows():
+        assert abs(r["approx_distinct"] - 5000) / 5000 < 0.06
+
+
 def test_hll_distinct_empty_blocks(ray_session):
     """Empty blocks (filter leaves zero rows in some blocks) must not
     crash the grouped partial (regression: IndexError on g[0])."""
