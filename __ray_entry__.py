@@ -1491,9 +1491,93 @@ FROM p WHERE cos >= 0.45
 
 
 def q_doc_minhash_dups(sf_dir: str):
+    """MinHash-LSH near-dup pairs with the SQL-reproducible ``poly``
+    hasher: sub-2^48 word/shingle hashes, two chained small-coefficient
+    affine permutations, base-31 band fold and the row_number bucket cap
+    are all exact integer arithmetic a DuckDB oracle re-derives
+    bit-for-bit, and the verification jaccard is an integer-count
+    division — so the whole candidate-generation + verification pipeline
+    is value-hash-checked."""
     from light_curve_feature_ray.pipelines.text import minhash_lsh_dups
 
-    return minhash_lsh_dups(_docs(sf_dir), threshold=0.5)
+    return _finalize(minhash_lsh_dups(_docs(sf_dir), threshold=0.5, hasher="poly"))
+
+
+def _build_sql_doc_minhash_dups() -> str:
+    """The DuckDB twin of q_doc_minhash_dups: embeds the engine's own
+    permutation coefficients (_poly_perm_coeffs, same seed) so both sides
+    evaluate identical integer arithmetic end-to-end."""
+    from light_curve_feature_ray.pipelines.text import _poly_perm_coeffs
+
+    num_perms, bands, k, maxb, thr = 64, 16, 3, 64, 0.5
+    mod = 281474976710597
+    rows = num_perms // bands
+    a1, b1, a2, b2 = _poly_perm_coeffs(num_perms, 1234)
+    perm_rows = ",".join(
+        f"({j},{a1[j]},{b1[j]},{a2[j]},{b2[j]})" for j in range(num_perms)
+    )
+    # word hash: codepoint fold + 4 affine finalization rounds (the -1
+    # sentinel appended to the codepoint list triggers the finalization
+    # inside the same list_reduce); shingle: base-31 window fold; sig:
+    # min over shingles of the chained affine perms; band_hash: base-31
+    # fold of the band's sigs in j order; bucket cap: row_number over
+    # (band, band_hash) by doc_id — mirrors partition_pairs' offsets cap.
+    return f"""
+WITH perms(j, a1, b1, a2, b2) AS (VALUES {perm_rows}),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents),
+hw AS (
+  SELECT doc_id,
+         list_transform(ws, wd ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT), list_append(
+             list_transform(regexp_extract_all(wd, '(?s).'), ch -> CAST(unicode(ch) AS BIGINT)),
+             CAST(-1 AS BIGINT))),
+             (a, x) -> CASE WHEN x >= 0 THEN (a*31 + x) % {mod}
+                            ELSE ((((a*25781 + 104729) % {mod} * 25781 + 104729) % {mod} * 25781 + 104729) % {mod} * 25781 + 104729) % {mod} END)
+         ) AS hs
+  FROM w),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN [CAST(0 AS BIGINT)]
+              WHEN len(hs) < {k} THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), hs), (a, x) -> (a*31 + x) % {mod})]
+              ELSE list_transform(range(1, len(hs) - {k} + 2),
+                     i -> ((hs[i]*31 + hs[i+1]) % {mod} * 31 + hs[i+2]) % {mod})
+         END AS shs
+  FROM hw),
+s AS (SELECT doc_id, unnest(shs) AS s FROM shl),
+sig AS (
+  SELECT doc_id, j, min(((s * a1 + b1) % {mod} * a2 + b2) % {mod}) AS sig
+  FROM s CROSS JOIN perms GROUP BY doc_id, j),
+band AS (
+  SELECT doc_id, CAST(j // {rows} AS INTEGER) AS band,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(sig ORDER BY j)),
+                     (a, x) -> (a*31 + x) % {mod}) AS band_hash
+  FROM sig GROUP BY doc_id, j // {rows}),
+bucketed AS (
+  SELECT band, band_hash, doc_id,
+         row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+  FROM band),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bucketed x JOIN bucketed y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+  WHERE x.rn <= {maxb} AND y.rn <= {maxb}),
+ss AS (SELECT DISTINCT doc_id, s FROM s),
+cnt AS (SELECT doc_id, count(*) AS c FROM ss GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS co
+  FROM cand p JOIN ss x ON x.doc_id = p.doc_a JOIN ss y ON y.doc_id = p.doc_b AND y.s = x.s
+  GROUP BY p.doc_a, p.doc_b),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(coalesce(i.co, 0) AS DOUBLE) / (ca.c + cb.c - coalesce(i.co, 0)) AS jaccard
+  FROM cand p
+  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= {thr}
+"""
 
 
 def q_doc_simhash_dups(sf_dir: str):
@@ -2101,6 +2185,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow": SQL_DOC_WINNOW,
         "doc_simhash": SQL_DOC_SIMHASH,
         "doc_simhash_dups": SQL_DOC_SIMHASH_DUPS,
+        "doc_minhash_dups": _build_sql_doc_minhash_dups(),
         "emb_cosine_dups": SQL_EMB_COSINE_DUPS,
         "knn_cosine": SQL_KNN_COSINE,
     }

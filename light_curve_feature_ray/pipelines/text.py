@@ -52,6 +52,22 @@ _POLY = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for combines
 _EMPTY_SHINGLE = np.uint64(0x9E3779B97F4A7C15)  # hash of the empty doc
 
 
+def _poly_perm_coeffs(num_perms: int, seed: int):
+    """Coefficients for SQL-reproducible minhash permutations: each
+    permutation is TWO chained affine maps x -> (a*x + b) % mod with
+    a < 2^15 (so a*x + b < 2^63 stays exact in int64 AND DuckDB BIGINT).
+    The composition has effective multiplier a1*a2 % mod — full-range
+    mixing despite the small per-round coefficients. Returns
+    (a1, b1, a2, b2) int64 arrays; __ray_entry__ embeds the same values
+    in the SQL oracle."""
+    rng = np.random.default_rng(seed)
+    a1 = rng.integers(1, 1 << 15, num_perms).astype(np.int64)
+    b1 = rng.integers(0, _WINNOW_MOD, num_perms).astype(np.int64)
+    a2 = rng.integers(1, 1 << 15, num_perms).astype(np.int64)
+    b2 = rng.integers(0, _WINNOW_MOD, num_perms).astype(np.int64)
+    return a1, b1, a2, b2
+
+
 def _md5_hex_arrow(texts) -> pa.Array:
     """md5 hex of an Arrow string column (digesting is per-row by necessity
     — no batch md5 kernel exists; the surrounding stage stays zero-copy
@@ -124,6 +140,47 @@ def _shingle_hashes_flat(
             acc[has] = acc[has] * _POLY + h[starts_s[has] + j]
         acc[lens_s == 0] = _EMPTY_SHINGLE
         sh[sj] = acc
+    return sh, counts
+
+
+def _shingle_poly_hashes_flat(
+    h: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """SQL-reproducible twin of ``_shingle_hashes_flat``: the window
+    combine is ``(acc*31 + h) % mod`` on sub-2^48 int64 word hashes
+    (every product < 2^53 — exact in int64 and BIGINT), short docs fold
+    all their words, empty docs hash to 0. Same return contract."""
+    n = h.shape[0]
+    ndocs = lens.shape[0]
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    counts = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
+    total = int(counts.sum())
+    doc_of = np.repeat(np.arange(ndocs), counts)
+    run_starts = np.r_[0, np.cumsum(counts)[:-1]]
+    offset = np.arange(total) - run_starts[doc_of]
+    pos = starts[doc_of] + offset
+
+    if n >= k:
+        r = h[: n - k + 1].copy()
+        for i in range(1, k):
+            r = (r * 31 + h[i : n - k + 1 + i]) % _WINNOW_MOD
+    else:
+        r = np.empty(0, dtype=np.int64)
+    sh = np.empty(total, dtype=np.int64)
+    full = lens[doc_of] >= k
+    if full.any():
+        sh[full] = r[np.minimum(pos[full], max(n - k, 0))]
+    short = ~full
+    if short.any():
+        sj = np.flatnonzero(short)
+        docs_s = doc_of[sj]
+        lens_s = lens[docs_s]
+        starts_s = starts[docs_s]
+        acc = np.zeros(sj.shape[0], dtype=np.int64)
+        for j in range(int(lens_s.max(initial=0))):
+            has = lens_s > j
+            acc[has] = (acc[has] * 31 + h[starts_s[has] + j]) % _WINNOW_MOD
+        sh[sj] = acc  # empty docs keep the 0 fold
     return sh, counts
 
 
@@ -349,32 +406,70 @@ class MinHasher:
     """num_perms universal-hash minhash signatures over shingle hashes.
     Stateful (permutation coefficients) => actor-pool stage. Fully
     vectorized: one ``minimum.reduceat`` pass per permutation chunk over
-    the batch's flat shingle array."""
+    the batch's flat shingle array.
 
-    def __init__(self, num_perms: int = 64, seed: int = 1234, shingle_k: int = 3):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perms, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_perms, dtype=np.uint64)
+    ``hasher="ahash"`` (default): polars word hashes + uint64-wraparound
+    permutations — fast, not reproducible outside this process family.
+    ``hasher="poly"``: sub-2^48 poly word/shingle hashes + two chained
+    small-coefficient affine permutations (``_poly_perm_coeffs``) — every
+    intermediate exact in int64 AND BIGINT, so a DuckDB oracle re-derives
+    the signatures bit-for-bit."""
+
+    def __init__(
+        self,
+        num_perms: int = 64,
+        seed: int = 1234,
+        shingle_k: int = 3,
+        hasher: str = "ahash",
+    ):
+        if hasher not in ("ahash", "poly"):
+            raise ValueError(f"unknown minhash hasher {hasher!r}")
+        self.hasher = hasher
+        if hasher == "ahash":
+            rng = np.random.default_rng(seed)
+            self.a = rng.integers(1, _MERSENNE, num_perms, dtype=np.uint64)
+            self.b = rng.integers(0, _MERSENNE, num_perms, dtype=np.uint64)
+        else:
+            self.a1, self.b1, self.a2, self.b2 = _poly_perm_coeffs(
+                num_perms, seed
+            )
         self.num_perms = num_perms
         self.shingle_k = shingle_k
 
     def signatures(self, texts) -> np.ndarray:
-        """(n_docs, num_perms) uint64 signature matrix."""
-        h, lens = _word_hashes_flat(texts)
+        """(n_docs, num_perms) signature matrix (uint64 for ahash, sub-2^48
+        int64 for poly)."""
+        poly = self.hasher == "poly"
+        dtype = np.int64 if poly else np.uint64
+        h, lens = (
+            _word_poly_hashes_flat(texts) if poly else _word_hashes_flat(texts)
+        )
         if lens.shape[0] == 0:
             # empty Ray blocks are routine; reduceat([0]) on a zero-width
             # matrix raises
-            return np.empty((0, self.num_perms), dtype=np.uint64)
-        sh, counts = _shingle_hashes_flat(h, lens, self.shingle_k)
+            return np.empty((0, self.num_perms), dtype=dtype)
+        sh, counts = (
+            _shingle_poly_hashes_flat(h, lens, self.shingle_k)
+            if poly
+            else _shingle_hashes_flat(h, lens, self.shingle_k)
+        )
         starts = np.r_[0, np.cumsum(counts)[:-1]]
         ndocs = lens.shape[0]
-        out = np.empty((ndocs, self.num_perms), dtype=np.uint64)
+        out = np.empty((ndocs, self.num_perms), dtype=dtype)
         # chunk permutations to bound the (chunk, n_shingles) temp matrix
         chunk = max(1, min(self.num_perms, (1 << 22) // max(sh.size, 1)))
         for p0 in range(0, self.num_perms, chunk):
-            a = self.a[p0 : p0 + chunk, None]
-            b = self.b[p0 : p0 + chunk, None]
-            vals = sh[None, :] * a + b  # uint64 wraparound is the mod
+            if poly:
+                a1 = self.a1[p0 : p0 + chunk, None]
+                b1 = self.b1[p0 : p0 + chunk, None]
+                a2 = self.a2[p0 : p0 + chunk, None]
+                b2 = self.b2[p0 : p0 + chunk, None]
+                vals = (sh[None, :] * a1 + b1) % _WINNOW_MOD
+                vals = (vals * a2 + b2) % _WINNOW_MOD
+            else:
+                a = self.a[p0 : p0 + chunk, None]
+                b = self.b[p0 : p0 + chunk, None]
+                vals = sh[None, :] * a + b  # uint64 wraparound is the mod
             out[:, p0 : p0 + chunk] = np.minimum.reduceat(
                 vals, starts, axis=1
             ).T
@@ -401,6 +496,19 @@ def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
     return bh
 
 
+def _band_hashes_poly(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """SQL-reproducible band combine: ``(acc*31 + sig) % mod`` over each
+    band's rows (acc < 2^48 so acc*31 + sig < 2^54 — exact in both
+    engines). Input/output int64."""
+    n, num_perms = sigs.shape
+    rows = num_perms // bands
+    banded = sigs[:, : bands * rows].reshape(n, bands, rows)
+    bh = np.zeros((n, bands), dtype=np.int64)
+    for r in range(rows):
+        bh = (bh * 31 + banded[:, :, r]) % _WINNOW_MOD
+    return bh
+
+
 def minhash_lsh_dups(
     docs_ds,
     num_perms: int = 64,
@@ -409,6 +517,7 @@ def minhash_lsh_dups(
     shingle_k: int = 3,
     max_bucket: int = 64,
     id_col: str = "doc_id",
+    hasher: str = "ahash",
 ):
     """MinHash + LSH near-duplicate pairs, fully distributed.
 
@@ -427,17 +536,26 @@ def minhash_lsh_dups(
     rows_per_band = num_perms // bands
     assert rows_per_band * bands == num_perms
 
-    hasher_kwargs = {"num_perms": num_perms, "shingle_k": shingle_k}
+    hasher_kwargs = {
+        "num_perms": num_perms,
+        "shingle_k": shingle_k,
+        "hasher": hasher,
+    }
+    poly = hasher == "poly"
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
         mh = MinHasher(**hasher_kwargs)
         sigs = mh.signatures(batch["text"].to_numpy())
-        bh = _band_hashes(sigs, bands)  # (n, bands)
+        bh = (
+            _band_hashes_poly(sigs, bands)
+            if poly
+            else _band_hashes(sigs, bands).view(np.int64)
+        )  # (n, bands)
         n = bh.shape[0]
         return pd.DataFrame(
             {
                 "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                "band_hash": bh.reshape(-1).view(np.int64),
+                "band_hash": bh.reshape(-1),
                 "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
             }
         )
@@ -595,7 +713,9 @@ def minhash_lsh_dups(
         da, db, texts = da[order0], db[order0], texts[order0]
         new_pair = np.r_[True, (da[1:] != da[:-1]) | (db[1:] != db[:-1])]
         pair_id = np.cumsum(new_pair) - 1
-        h, lens = _word_hashes_flat(texts)
+        h, lens = (
+            _word_poly_hashes_flat(texts) if poly else _word_hashes_flat(texts)
+        )
         if lens.shape[0] == 0:
             return pd.DataFrame(
                 {
@@ -604,7 +724,11 @@ def minhash_lsh_dups(
                     "jaccard": pd.Series([], dtype=np.float64),
                 }
             )
-        sh, counts = _shingle_hashes_flat(h, lens, shingle_k)
+        sh, counts = (
+            _shingle_poly_hashes_flat(h, lens, shingle_k)
+            if poly
+            else _shingle_hashes_flat(h, lens, shingle_k)
+        )
         row_of = np.repeat(np.arange(len(grp)), counts)
         # dedup shingles per SIDE row
         order = np.lexsort((sh, row_of))

@@ -63,6 +63,68 @@ def test_minhash_finds_planted_dups(docs_ds):
         assert abs(r["jaccard"] - jaccard_words(docs[r["doc_a"]], docs[r["doc_b"]])) < 1e-12
 
 
+def test_minhash_poly_hasher_planted_dups_and_scalar_parity(docs_ds):
+    """The SQL-reproducible poly minhash finds the same planted dups, and
+    its signatures equal a scalar re-derivation of the oracle's exact
+    integer arithmetic (word fold -> shingle fold -> chained affine
+    permutations, all mod 2^48-59)."""
+    import numpy as np
+
+    from light_curve_feature_ray.pipelines.text import (
+        MinHasher,
+        _WINNOW_MOD,
+        _poly_perm_coeffs,
+        minhash_lsh_dups,
+    )
+
+    out = minhash_lsh_dups(docs_ds, threshold=0.5, hasher="poly").to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 80) in pairs and (1, 81) in pairs and (2, 82) in pairs
+    row = out[(out["doc_a"] == 2) & (out["doc_b"] == 82)].iloc[0]
+    assert row["jaccard"] == 1.0
+
+    texts = ["alpha beta gamma delta", "xy", ""]
+    mh = MinHasher(num_perms=8, shingle_k=3, hasher="poly")
+    sigs = mh.signatures(np.array(texts, dtype=object))
+    assert sigs.dtype == np.int64
+
+    def word_hash(w: str) -> int:
+        acc = 0
+        for ch in w:
+            acc = (acc * 31 + ord(ch)) % _WINNOW_MOD
+        for _ in range(4):
+            acc = (acc * 25781 + 104729) % _WINNOW_MOD
+        return acc
+
+    def shingle_hashes(t: str, k: int = 3) -> list[int]:
+        hs = [word_hash(w) for w in t.lower().split()]
+        if not hs:
+            return [0]
+        if len(hs) < k:
+            acc = 0
+            for h in hs:
+                acc = (acc * 31 + h) % _WINNOW_MOD
+            return [acc]
+        out_h = []
+        for i in range(len(hs) - k + 1):
+            acc = 0
+            for h in hs[i : i + k]:
+                acc = (acc * 31 + h) % _WINNOW_MOD
+            out_h.append(acc)
+        return out_h
+
+    a1, b1, a2, b2 = _poly_perm_coeffs(8, 1234)
+    for di, t in enumerate(texts):
+        sh = shingle_hashes(t)
+        for j in range(8):
+            expect = min(
+                ((s * int(a1[j]) + int(b1[j])) % _WINNOW_MOD * int(a2[j]) + int(b2[j]))
+                % _WINNOW_MOD
+                for s in sh
+            )
+            assert sigs[di, j] == expect
+
+
 def test_simhash_near_dups_close(docs_ds):
     from light_curve_feature_ray.pipelines.text import simhash_signatures
 
