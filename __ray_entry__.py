@@ -790,8 +790,9 @@ FROM tm GROUP BY conv_id, role
 
 def q_conv_advanced(sf_dir: str):
     # no SQL oracle: special functions (incomplete gamma, ln_erfc,
-    # biweight, Lomb-Scargle) are not DuckDB-expressible -> rows-only check
-    # (OtsuSplit lives in conv_otsu below, where it IS oracle-checked)
+    # Lomb-Scargle) are not DuckDB-expressible -> rows-only check
+    # (OtsuSplit is oracle-checked in conv_otsu; biweight_scale in
+    # conv_biweight — closed-form, so it gets a full SQL oracle there)
     return _conv_features(
         sf_dir,
         (
@@ -807,6 +808,47 @@ def q_conv_advanced(sf_dir: str):
             },
         ),
     )
+
+
+def q_conv_biweight(sf_dir: str):
+    """Tukey biweight midvariance scale — closed-form (medians +
+    polynomials, no special functions), so unlike the rest of
+    conv_advanced it IS SQL-oracle-able: the engine spells the quartic
+    as (w*w)*(w*w) so both sides evaluate identical float products."""
+    return _conv_features(sf_dir, ({"name": "biweight_scale", "c": 9.0},))
+
+
+# biweight_scale.rs:134-180: u = (m - med)/(c*MAD), sums over |u| < 1,
+# zeta = sqrt(n)*sqrt(sum d^2 (1-u^2)^4)/|sum (1-u^2)(1-5u^2)|; 0 when
+# MAD == 0. median()/mad() parity with np.median established by
+# SQL_CONV_QUANTILES.
+SQL_CONV_BIWEIGHT = f"""
+WITH {_TM},
+g AS (
+    SELECT conv_id, median(m) AS med, mad(m) AS madv, count(*) AS n
+    FROM tm GROUP BY conv_id
+),
+u AS (
+    SELECT tm.conv_id, tm.m - g.med AS d,
+           (tm.m - g.med) / (9.0 * g.madv) AS uu
+    FROM tm JOIN g USING (conv_id)
+    WHERE g.madv > 0
+),
+t2 AS (
+    SELECT conv_id, d, uu, 1.0 - uu*uu AS w, uu*uu AS u2 FROM u
+),
+s AS (
+    SELECT conv_id,
+           sum(d*d * ((w*w)*(w*w))) FILTER (abs(uu) < 1.0) AS num,
+           sum(w * (1.0 - 5.0*u2)) FILTER (abs(uu) < 1.0) AS den
+    FROM t2 GROUP BY conv_id
+)
+SELECT g.conv_id,
+       round(CASE WHEN g.madv = 0 THEN 0.0
+                  ELSE sqrt(g.n) * sqrt(s.num) / abs(s.den) END, 6)
+           AS biweight_scale_9
+FROM g LEFT JOIN s USING (conv_id)
+"""
 
 
 def q_conv_otsu(sf_dir: str):
@@ -2111,6 +2153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_role_features": q_conv_role_features,
         "conv_advanced": q_conv_advanced,
         "conv_otsu": q_conv_otsu,
+        "conv_biweight": q_conv_biweight,
         "conv_bazin_fit": q_conv_bazin_fit,
         "conv_villar_linexp_fit": q_conv_villar_linexp_fit,
         "conv_colors": q_conv_colors,
@@ -2164,6 +2207,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_role_features": SQL_CONV_ROLE_FEATURES,
         "conv_multicolor_bins": SQL_CONV_MULTICOLOR_BINS,
         "conv_otsu": SQL_CONV_OTSU,
+        "conv_biweight": SQL_CONV_BIWEIGHT,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
         "conv_colors": SQL_CONV_COLORS,

@@ -113,7 +113,12 @@ class BiweightScale(Feature):
         mask = np.abs(u) < 1.0
         u2 = u[mask] * u[mask]
         dd = d[mask]
-        num = np.sqrt(np.sum(dd * dd * (1.0 - u2) ** 4))
+        # (w*w)*(w*w) rather than w**4: numpy's SIMD pow rounds
+        # differently from explicit squaring, and the SQL oracle
+        # (SQL_CONV_BIWEIGHT) needs a spelling both engines evaluate
+        # bit-identically
+        w = 1.0 - u2
+        num = np.sqrt(np.sum(dd * dd * ((w * w) * (w * w))))
         den = np.abs(np.sum((1.0 - u2) * (1.0 - 5.0 * u2)))
         return [np.sqrt(s.n) * num / den]
 
