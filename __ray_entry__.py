@@ -1277,6 +1277,95 @@ def q_doc_fingerprint(sf_dir: str):
 SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+def q_doc_hash_sample(sf_dir: str):
+    """Deterministic Bernoulli sample: keep the ~25% of documents whose
+    Lehmer hash of doc_id (seed 7) falls below an integer threshold — the
+    identical rows are kept at any parallelism / block layout / retry."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sampling import hash_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return hash_sample(docs, rate=0.25, seed=7)
+
+
+def _build_sql_doc_hash_sample() -> str:
+    from light_curve_feature_ray.pipelines.sampling import (
+        lehmer_sql,
+        sample_threshold,
+    )
+
+    h = lehmer_sql("doc_id", seed=7)
+    return f"""
+SELECT doc_id, lang, {h} AS sample_h
+FROM documents
+WHERE {h} < {sample_threshold(0.25)}
+"""
+
+
+def q_doc_stratified_sample(sf_dir: str):
+    """Per-language Bernoulli rates (en 60%, fr 30%, everything else 10%)
+    with the same deterministic doc_id hash (seed 11)."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_hash_sample(
+        docs, rates={"en": 0.6, "fr": 0.3}, group_col="lang",
+        default_rate=0.1, seed=11,
+    )
+
+
+def _build_sql_doc_stratified_sample() -> str:
+    from light_curve_feature_ray.pipelines.sampling import (
+        lehmer_sql,
+        sample_threshold,
+    )
+
+    h = lehmer_sql("doc_id", seed=11)
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {h} < CASE lang WHEN 'en' THEN {sample_threshold(0.6)}
+                      WHEN 'fr' THEN {sample_threshold(0.3)}
+                      ELSE {sample_threshold(0.1)} END
+"""
+
+
+def q_doc_top_k_per_lang(sf_dir: str):
+    """Exact longest-5-documents-per-language curation: block-local top-k
+    combiner, one hash shuffle on lang, vectorized per-partition reduce
+    emitting a dense 1-based rank (ties by ascending doc_id)."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sampling import top_k_per_group
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return top_k_per_group(
+        docs, group_col="lang", score_col="n_chars", k=5,
+        tiebreak_col="doc_id",
+    )
+
+
+SQL_DOC_TOP_K_PER_LANG = """
+SELECT doc_id, lang, n_chars, rk FROM (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents
+) WHERE rk <= 5
+"""
+
+
 SQL_DOC_DEDUP_GROUPS = r"""
 WITH RECURSIVE w AS (
     SELECT doc_id,
@@ -2171,6 +2260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_token_count": q_doc_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_hash_sample": q_doc_hash_sample,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_top_k_per_lang": q_doc_top_k_per_lang,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_groups": q_doc_dedup_groups,
         "doc_redact": q_doc_redact,
@@ -2223,6 +2315,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": SQL_DOC_LANG_ID,
         "doc_token_count": SQL_DOC_TOKEN_COUNT,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_hash_sample": _build_sql_doc_hash_sample(),
+        "doc_stratified_sample": _build_sql_doc_stratified_sample(),
+        "doc_top_k_per_lang": SQL_DOC_TOP_K_PER_LANG,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "doc_dedup_groups": SQL_DOC_DEDUP_GROUPS,
         "doc_redact": SQL_DOC_REDACT,

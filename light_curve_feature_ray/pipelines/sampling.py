@@ -1,0 +1,224 @@
+"""Deterministic sampling / curation operators for training-data pipelines.
+
+Two operators a corpus-curation pipeline needs before anything touches a
+trainer:
+
+- ``hash_sample`` — deterministic Bernoulli sampling keyed on an integer id
+  column: a Lehmer (MINSTD) hash of the id is compared against an integer
+  threshold.  Pure ``map_batches`` — no shuffle, no state, embarrassingly
+  parallel, and the SAME rows are kept regardless of partitioning, block
+  layout, cluster size, or retry (unlike ``ds.random_sample``).  All
+  arithmetic stays below 2**53 so a SQL oracle reproduces it bit-for-bit
+  (numpy int64 == DuckDB BIGINT).  ``stratified_hash_sample`` applies a
+  per-group rate with the same hash.
+
+- ``top_k_per_group`` — exact per-group top-k (e.g. "longest 5 documents
+  per language"): a block-local combiner keeps at most k rows per group
+  per block, then ONE hash shuffle on the group key and a vectorized
+  per-partition reduce emit the exact top-k with a dense ``rk`` rank.
+  The shuffle carries at most ``k * num_groups * num_blocks`` rows — not
+  the corpus — so it scales with groups, not data.
+
+Determinism contract: ties in ``score_col`` resolve by ascending
+``tiebreak_col`` (a unique id), so output is independent of parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Lehmer / MINSTD constants (Park & Miller 1988): modulus 2**31 - 1,
+# multiplier 48271.  state < 2**31 and 48271 < 2**16 keep every product
+# under 2**47 — exact in int64 on both engines.
+LEHMER_MOD = 2_147_483_647
+LEHMER_MUL = 48_271
+_SEED_MIX = 2_246_822_519  # xxhash PRIME32_2 — just a fixed odd mixer
+
+
+def sample_threshold(rate: float) -> int:
+    """Integer keep-threshold for ``hash_sample``: keep rows whose hash is
+    strictly below ``floor(rate * (2**31 - 1))``.  Computed once in Python
+    so the engine and any SQL oracle compare against the identical integer.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return int(rate * LEHMER_MOD)
+
+
+def lehmer_hash(ids: np.ndarray, seed: int = 0, rounds: int = 3) -> np.ndarray:
+    """Vectorized Lehmer hash of an integer id array -> int64 in [0, M).
+
+    ``h0 = (id mod M + s0) mod M`` with ``s0 = (1 + seed * PRIME) mod M``,
+    then ``rounds`` multiplicative steps ``h = h * 48271 mod M``.  Every
+    intermediate is < 2**47, so the identical expression evaluates exactly
+    in DuckDB BIGINT arithmetic (see ``lehmer_sql``).
+    """
+    s0 = (1 + seed * _SEED_MIX) % LEHMER_MOD
+    h = (ids.astype(np.int64) % LEHMER_MOD + s0) % LEHMER_MOD
+    for _ in range(rounds):
+        h = (h * LEHMER_MUL) % LEHMER_MOD
+    return h
+
+
+def lehmer_sql(col: str, seed: int = 0, rounds: int = 3) -> str:
+    """The DuckDB twin of :func:`lehmer_hash` as a SQL expression string."""
+    s0 = (1 + seed * _SEED_MIX) % LEHMER_MOD
+    expr = f"(({col} % {LEHMER_MOD}) + {s0}) % {LEHMER_MOD}"
+    for _ in range(rounds):
+        expr = f"(({expr}) * {LEHMER_MUL}) % {LEHMER_MOD}"
+    return expr
+
+
+def hash_sample(
+    ds,
+    rate: float,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    hash_col: str | None = "sample_h",
+):
+    """Keep rows where ``lehmer_hash(id) < floor(rate * M)``.
+
+    Deterministic in the id alone — re-running on a different cluster,
+    block layout, or subset of the data keeps exactly the same rows, which
+    is what makes it usable for resumable corpus curation at 100 TB.
+    When ``hash_col`` is set the hash is emitted so downstream stages (or
+    an oracle) can audit the decision.
+    """
+    thr = sample_threshold(rate)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            out = batch
+            if hash_col:
+                out = out.append_column(
+                    hash_col, pa.array([], type=pa.int64())
+                )
+            return out
+        h = lehmer_hash(batch.column(id_col).to_numpy(), seed)
+        out = batch
+        if hash_col:
+            out = out.append_column(hash_col, pa.array(h, type=pa.int64()))
+        return out.filter(pa.array(h < thr))
+
+    return ds.map_batches(_keep, batch_format="pyarrow", batch_size=None)
+
+
+def stratified_hash_sample(
+    ds,
+    rates: Mapping[str, float],
+    group_col: str,
+    default_rate: float = 0.0,
+    seed: int = 0,
+    id_col: str = "doc_id",
+):
+    """Per-group Bernoulli rates with the same Lehmer hash: e.g. keep 50%
+    of ``lang='en'`` docs and 10% of everything else.  ``rates`` is a small
+    driver-side dict (group value -> rate) captured by the closure — it
+    ships once per task with the serialized function, not per batch.
+    """
+    keys = list(rates)
+    # thresholds indexed by key position; the last slot is the default
+    # (index_in yields null -> fill with len(keys))
+    tvals = np.array(
+        [sample_threshold(rates[k]) for k in keys]
+        + [sample_threshold(default_rate)],
+        dtype=np.int64,
+    )
+    key_set = pa.array(keys)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        import pyarrow.compute as pc
+
+        h = lehmer_hash(batch.column(id_col).to_numpy(), seed)
+        idx = pc.fill_null(
+            pc.index_in(batch.column(group_col), value_set=key_set), len(keys)
+        ).to_numpy(zero_copy_only=False)
+        t = tvals[idx.astype(np.int64)]
+        return batch.filter(pa.array(h < t))
+
+    return ds.map_batches(_keep, batch_format="pyarrow", batch_size=None)
+
+
+def _topk_frame(
+    df: pd.DataFrame,
+    group_col: str,
+    score_col: str,
+    tiebreak_col: str,
+    k: int,
+    with_rank: bool,
+) -> pd.DataFrame:
+    """Vectorized top-k-per-group over one in-memory frame: one lexsort
+    (group asc, score desc, tiebreak asc), run boundaries, offset < k."""
+    n = len(df)
+    if n == 0:
+        out = df
+        if with_rank:
+            out = out.copy()
+            out["rk"] = np.empty(0, dtype=np.int64)
+        return out
+    g = df[group_col].to_numpy()
+    s = df[score_col].to_numpy()
+    t = df[tiebreak_col].to_numpy()
+    # np.lexsort: last key is primary.  Descending score via argsort of
+    # the negated values (numeric scores only — documented contract).
+    order = np.lexsort((t, -s, g))
+    gs = g[order]
+    new = np.r_[True, gs[1:] != gs[:-1]] if n else np.empty(0, dtype=bool)
+    run_starts = np.flatnonzero(new)
+    gid = np.cumsum(new) - 1
+    offset = np.arange(n) - run_starts[gid]
+    keep = offset < k
+    out = df.iloc[order[keep]].reset_index(drop=True)
+    if with_rank:
+        out["rk"] = offset[keep] + 1
+    return out
+
+
+def top_k_per_group(
+    ds,
+    group_col: str,
+    score_col: str,
+    k: int,
+    tiebreak_col: str = "doc_id",
+    num_partitions: int | None = None,
+    with_rank: bool = True,
+):
+    """Exact top-k rows per group by a numeric score, ties broken by
+    ascending ``tiebreak_col``; emits a dense 1-based ``rk`` per group.
+
+    Block-local combiner first (each block contributes <= k rows per
+    group), so the single ``groupby`` shuffle moves a k-bounded slice of
+    the corpus.  The reduce re-runs the identical kernel per hash
+    partition — associativity of top-k makes combiner+reduce exact.
+    """
+    from .text import _auto_pair_parts
+
+    num_partitions = num_partitions or _auto_pair_parts()
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        # string-capable hash partition key (pd.util.hash_array is a fixed-
+        # key siphash: deterministic across processes; and the reduce is
+        # exact per group regardless of which partition a group lands in)
+        v = df[group_col].to_numpy()
+        h = pd.util.hash_array(v, categorize=False)
+        df = df.copy()
+        df["part"] = (h % np.uint64(num_partitions)).astype(np.int32)
+        return df
+
+    combined = ds.map_batches(
+        lambda b: _topk_frame(b, group_col, score_col, tiebreak_col, k, False),
+        batch_format="pandas",
+        batch_size=None,
+    ).map_batches(_part, batch_format="pandas", batch_size=None)
+
+    def _reduce(part: pd.DataFrame) -> pd.DataFrame:
+        out = _topk_frame(part, group_col, score_col, tiebreak_col, k, with_rank)
+        return out.drop(columns=["part"])
+
+    return combined.groupby("part").map_groups(_reduce, batch_format="pandas")
