@@ -2011,6 +2011,55 @@ FROM e JOIN sess
 """
 
 
+def q_orders_enriched(sf_dir: str):
+    """Broadcast-hash enrichment join (pipelines/joins.py broadcast_join):
+    the orders fact stream joined to the small customer and nation
+    dimension tables with NO shuffle — each dimension is ray.put once and
+    every map task reads it zero-copy (pc.index_in + take per batch).
+    Two chained broadcast stages (orders->customer->nation)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import broadcast_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    enriched = broadcast_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    enriched = broadcast_join(
+        enriched,
+        nation,
+        left_on="c_nationkey",
+        right_on="n_nationkey",
+        right_columns=["n_name"],
+    )
+    res = enriched.map_batches(
+        lambda b: b.drop_columns(["c_nationkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return _finalize(res, skip=())
+
+
+SQL_ORDERS_ENRICHED = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice,
+       c_name, c_mktsegment, n_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
 def q_events_hll_users(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via the
     HyperLogLog aggregate (pipelines/sketches.py) with the
@@ -2253,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
+        "orders_enriched": q_orders_enriched,
         "events_hll_users": q_events_hll_users,
         "events_top_users": q_events_top_users,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2308,6 +2358,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
+        "orders_enriched": SQL_ORDERS_ENRICHED,
         "events_top_users": SQL_EVENTS_TOP_USERS,
         "events_hll_users": SQL_EVENTS_HLL_USERS,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,

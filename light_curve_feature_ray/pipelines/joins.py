@@ -232,3 +232,105 @@ def interval_join(
         num_partitions=num_partitions,
         op_name="interval_join",
     )
+
+
+class _BroadcastLookup:
+    """Actor-pool stage for ``broadcast_join``: fetches the broadcast
+    lookup table from the object store ONCE per actor (zero-copy Arrow),
+    then joins every batch with vectorized ``pc.index_in`` + ``take``."""
+
+    def __init__(self, ref, left_on: str, how: str):
+        import ray
+
+        self._keys, self._payload = ray.get(ref)
+        self._left_on = left_on
+        self._how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = batch.column(self._left_on)
+        if keys.type != self._keys.type:
+            keys = pc.cast(keys, self._keys.type)
+        idx = pc.index_in(keys, value_set=self._keys)
+        if self._how == "inner":
+            mask = idx.is_valid()
+            batch = batch.filter(mask)
+            idx = idx.filter(mask)
+        # pc.take propagates null indices -> null payload rows (left join)
+        cols = dict(zip(batch.column_names, batch.columns))
+        for name in self._payload.column_names:
+            cols[name] = self._payload.column(name).take(idx)
+        return pa.table(cols)
+
+
+def broadcast_join(
+    left_ds,
+    right,
+    *,
+    left_on: str,
+    right_on: str | None = None,
+    right_columns: list[str] | None = None,
+    how: str = "inner",
+    max_broadcast: int = 5_000_000,
+    concurrency=(1, 8),
+):
+    """Equi-join a large Dataset against a SMALL dimension table without
+    any shuffle: the right side is placed in the object store once
+    (``ray.put``) and every map task reads it zero-copy — the canonical
+    broadcast-hash-join shape for enrichment joins at 100-TB scale, where
+    shuffling the fact table on the join key would be an all-to-all
+    exchange for no reason.
+
+    ``right`` is a pyarrow Table / pandas DataFrame, or a Dataset that is
+    materialized on the driver under an explicit ``max_broadcast`` row
+    bound (loud failure beyond it — at that size use a co-partitioned
+    join instead). Right keys MUST be unique (dimension-table contract;
+    checked) so the output is deterministic at any parallelism. ``how``
+    is ``"inner"`` or ``"left"`` (missing keys -> null payload columns).
+    The right key column itself is not emitted (it equals ``left_on`` on
+    every matched row)."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    right_on = right_on or left_on
+    if hasattr(right, "count") and hasattr(right, "take_all"):  # Dataset
+        n = right.count()
+        if n > max_broadcast:
+            raise ValueError(
+                f"broadcast side has {n} rows > max_broadcast="
+                f"{max_broadcast}; use a co-partitioned join for large "
+                "right sides"
+            )
+        right = pa.concat_tables(
+            ray.get(right.to_arrow_refs()), promote_options="default"
+        )
+    elif isinstance(right, pd.DataFrame):
+        right = pa.Table.from_pandas(right, preserve_index=False)
+    if right.num_rows > max_broadcast:
+        raise ValueError(
+            f"broadcast side has {right.num_rows} rows > max_broadcast="
+            f"{max_broadcast}"
+        )
+    right = right.combine_chunks()
+    keys = right.column(right_on)
+    if keys.null_count or len(keys.unique()) != right.num_rows:
+        raise ValueError(
+            f"broadcast_join right side must have unique non-null "
+            f"{right_on!r} keys (dimension-table contract)"
+        )
+    payload_names = right_columns or [
+        c for c in right.column_names if c != right_on
+    ]
+    overlap = set(payload_names) & set(left_ds.schema().names)
+    if overlap:
+        raise ValueError(f"column collision with left side: {sorted(overlap)}")
+    ref = ray.put((keys, right.select(payload_names)))
+    return left_ds.map_batches(
+        _BroadcastLookup,
+        fn_constructor_args=(ref, left_on, how),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )
