@@ -2060,6 +2060,33 @@ JOIN nation ON c_nationkey = n_nationkey
 """
 
 
+QUANTILE_QS = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_events_value_quantiles(sf_dir: str):
+    """Corpus-wide EXACT quantiles of events.value without a global sort:
+    distributed selection (pipelines/quantiles.py) — streaming histogram
+    bisection passes narrow each rank's value bracket, a bounded final
+    pass collects only the surviving candidates. Interpolation is
+    bit-parity with DuckDB quantile_cont."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import quantile_cont
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = quantile_cont(ev, "value", QUANTILE_QS, max_candidates=4096)
+    return _round6(
+        pa.Table.from_pandas(out, preserve_index=False), skip=("q",)
+    )
+
+
+SQL_EVENTS_VALUE_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT {q} AS q, round(quantile_cont(value, {q}), 6) AS value"
+    " FROM events"
+    for q in QUANTILE_QS
+)
+
+
 def q_events_hll_users(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via the
     HyperLogLog aggregate (pipelines/sketches.py) with the
@@ -2303,6 +2330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
         "orders_enriched": q_orders_enriched,
+        "events_value_quantiles": q_events_value_quantiles,
         "events_hll_users": q_events_hll_users,
         "events_top_users": q_events_top_users,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2359,6 +2387,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
         "orders_enriched": SQL_ORDERS_ENRICHED,
+        "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
         "events_top_users": SQL_EVENTS_TOP_USERS,
         "events_hll_users": SQL_EVENTS_HLL_USERS,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,

@@ -1,0 +1,270 @@
+"""Distributed EXACT quantiles over a numeric column — multi-round
+bisection ("distributed selection"), never a global sort.
+
+A corpus-wide exact percentile at 100-TB scale cannot afford
+``ds.sort()`` (an all-to-all shuffle of every byte) or a driver-side
+``to_pandas()``.  This operator instead finds the exact k-th order
+statistics with a few *streaming, column-pruned scan passes*:
+
+1. one pass for (min, max, count) partials — one tiny row per block;
+2. refinement passes: every needed rank holds a half-open value bracket
+   ``[lo, hi)`` plus the exact count of values below ``lo``; each pass
+   histograms the column over the union of active brackets (vectorized
+   ``np.searchsorted`` against a broadcast flat edge array, one
+   ``np.bincount`` per batch) and narrows each rank to one sub-bin —
+   brackets shrink ``bins``-fold per pass, so 2-3 passes cover the
+   full double range;
+3. one final pass collects only the values inside the surviving
+   brackets (bounded by ``max_candidates``, loud failure beyond) and
+   reads the order statistics off exactly.
+
+Histogram partials are LIST columns reduced tree-style (block-local
+``np.bincount``, then a small repartition + vectorized sum), so driver
+traffic is O(bins), independent of input size.  Pathological
+duplication terminates cleanly: a bracket narrowed to two adjacent
+float64s contains exactly one representable value — that IS the order
+statistic, no collection needed.
+
+``quantile_cont`` parity: interpolation is DuckDB's
+``lo*(1-frac) + hi*frac`` with ``h = q*(n-1)`` (verified bit-exact
+against quantile_cont; the naive ``lo + frac*(hi-lo)`` differs by one
+ulp on real data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+
+def _minmax_count(ds, col: str):
+    """One streaming pass -> (min, max, n_non_null). NaN/null excluded
+    (quantile_cont semantics)."""
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pd.DataFrame({"lo": [], "hi": [], "n": []})
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()], "n": [v.size]})
+
+    rows = ds.map_batches(part, batch_format="pandas").take_all()
+    if not rows:
+        return None, None, 0
+    return (
+        min(r["lo"] for r in rows),
+        max(r["hi"] for r in rows),
+        int(sum(r["n"] for r in rows)),
+    )
+
+
+def _hist_pass(ds, col: str, edges: np.ndarray, valid_bin: np.ndarray):
+    """One streaming pass -> (counts, min, max) per flat sub-bin.
+
+    ``edges`` is the sorted concatenation of every active bracket's
+    sub-bin edges; ``valid_bin`` masks the single gap bin between
+    consecutive brackets. Brackets are half-open ``[lo, hi)``: a value
+    equal to a duplicated boundary edge lands in the LATER bracket
+    (searchsorted side='right'), and an adjacent-bracket gap bin has
+    zero width, so it can never receive a value. The per-bin min/max
+    let the caller snap each new bracket to the exact data range it
+    contains — a pure-duplicate bin (the pathological case for pure
+    bisection) then collapses to one float in a single round."""
+    nbins = len(edges) - 1
+    edges_ref = ray.put((edges, valid_bin))
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        e, valid = ray.get(edges_ref)
+        v = b[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.searchsorted(e, v, side="right") - 1
+        ok = (idx >= 0) & (idx < nbins)
+        idx, v = idx[ok], v[ok]
+        ok = valid[idx]
+        idx, v = idx[ok], v[ok]
+        mins = np.full(nbins, np.inf)
+        maxs = np.full(nbins, -np.inf)
+        np.minimum.at(mins, idx, v)
+        np.maximum.at(maxs, idx, v)
+        return pd.DataFrame(
+            {
+                "counts": [np.bincount(idx, minlength=nbins)],
+                "mins": [mins],
+                "maxs": [maxs],
+            }
+        )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"counts": [], "mins": [], "maxs": []})
+        return pd.DataFrame(
+            {
+                "counts": [np.sum(np.stack(list(b["counts"])), axis=0)],
+                "mins": [np.min(np.stack(list(b["mins"])), axis=0)],
+                "maxs": [np.max(np.stack(list(b["maxs"])), axis=0)],
+            }
+        )
+
+    rows = (
+        ds.map_batches(hist, batch_format="pandas")
+        .repartition(4)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .take_all()
+    )
+    return (
+        np.sum(np.stack([r["counts"] for r in rows]), axis=0),
+        np.min(np.stack([r["mins"] for r in rows]), axis=0),
+        np.max(np.stack([r["maxs"] for r in rows]), axis=0),
+    )
+
+
+def exact_order_stats(
+    ds,
+    col: str,
+    ranks,
+    *,
+    bins: int = 4096,
+    max_rounds: int = 8,
+    max_candidates: int = 65536,
+    minmax_count=None,
+):
+    """Exact 0-indexed ascending order statistics (NaN/null excluded) of
+    ``ds[col]`` as ``({rank: value}, n_non_null)``. Ranks outside
+    ``[0, n)`` raise. ``minmax_count`` short-circuits the first pass
+    when the caller already holds (min, max, n)."""
+    lo, hi, n = minmax_count if minmax_count else _minmax_count(ds, col)
+    ranks = sorted({int(r) for r in ranks})
+    if n == 0:
+        raise ValueError(f"no non-null values in {col!r}")
+    if ranks and (ranks[0] < 0 or ranks[-1] >= n):
+        raise ValueError(f"ranks {ranks} out of range for n={n}")
+
+    resolved: dict[int, float] = {}
+    if lo == hi:
+        return {r: lo for r in ranks}, n
+
+    # Disjoint, ascending half-open brackets: (lo, hi, n_below, n_inside,
+    # ranks_inside). The top bracket's hi is nudged above max so the
+    # maximum itself is inside.
+    brackets = [(lo, np.nextafter(hi, np.inf), 0, n, list(ranks))]
+
+    for _ in range(max_rounds):
+        brackets = [b for b in brackets if b[4]]
+        if not brackets or sum(b[3] for b in brackets) <= max_candidates:
+            break
+
+        # flat edge array: each bracket contributes its own sub-edges;
+        # the concat boundary between brackets forms one gap bin.
+        subs = []
+        for blo, bhi, _below, _cnt, _rs in brackets:
+            sub = np.unique(np.linspace(blo, bhi, bins + 1))
+            subs.append(sub)
+        edges = np.concatenate(subs)
+        if not (np.diff(edges) >= 0).all():
+            raise AssertionError("bracket edges out of order")
+        valid_arr = np.zeros(len(edges) - 1, dtype=bool)
+        spans, pos = [], 0
+        for sub in subs:
+            valid_arr[pos : pos + len(sub) - 1] = True
+            spans.append((pos, len(sub) - 1))
+            pos += len(sub)  # leaves the inter-bracket gap bin False
+        counts, bmins, bmaxs = _hist_pass(ds, col, edges, valid_arr)
+
+        new_brackets: list[list] = []
+        for (blo, bhi, below, _cnt, rs), (p0, nb), sub in zip(
+            brackets, spans, subs
+        ):
+            if nb == 1:
+                # [lo, hi) spans two adjacent floats == the single value lo
+                for r in rs:
+                    resolved[r] = blo
+                continue
+            c = counts[p0 : p0 + nb]
+            cum = np.concatenate(([0], np.cumsum(c)))
+            if int(cum[-1]) + below <= rs[0] or below > rs[-1]:
+                raise AssertionError("bracket lost its ranks")
+            for r in rs:
+                j = int(np.searchsorted(cum, r - below, side="right") - 1)
+                j = min(max(j, 0), nb - 1)
+                if c[j] == 0:
+                    raise AssertionError("rank fell in an empty bin")
+                # snap to the bin's exact data range: a pure-duplicate
+                # bin resolves immediately, anything else converges at
+                # data resolution rather than linspace resolution
+                vlo, vhi = float(bmins[p0 + j]), float(bmaxs[p0 + j])
+                if vlo == vhi:
+                    resolved[r] = vlo
+                    continue
+                nlo, nhi = vlo, np.nextafter(vhi, np.inf)
+                if new_brackets and new_brackets[-1][0] == nlo:
+                    new_brackets[-1][4].append(r)
+                else:
+                    new_brackets.append(
+                        [nlo, nhi, below + int(cum[j]), int(c[j]), [r]]
+                    )
+        brackets = [tuple(b) for b in new_brackets]
+
+    pending = [b for b in brackets if b[4]]
+    if pending:
+        total = sum(b[3] for b in pending)
+        if total > max_candidates:
+            raise ValueError(
+                f"quantile refinement left {total} candidates > "
+                f"max_candidates={max_candidates}; raise bins or max_rounds"
+            )
+        lo_a = np.array([b[0] for b in pending])
+        hi_a = np.array([b[1] for b in pending])
+        iv_ref = ray.put((lo_a, hi_a))
+
+        def collect(b: pd.DataFrame) -> pd.DataFrame:
+            blo, bhi = ray.get(iv_ref)
+            v = b[col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            keep = ((v[:, None] >= blo) & (v[:, None] < bhi)).any(axis=1)
+            return pd.DataFrame({"v": v[keep]})
+
+        chunks = [
+            b["v"].to_numpy()
+            for b in ds.map_batches(collect, batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=65536
+            )
+        ]
+        vals = np.sort(np.concatenate(chunks or [np.array([])]))
+        for blo, _bhi, below, _cnt, rs in pending:
+            base = int(np.searchsorted(vals, blo, side="left"))
+            for r in rs:
+                resolved[r] = float(vals[base + (r - below)])
+    return resolved, n
+
+
+def quantile_cont(ds, col: str, qs, **kw) -> pd.DataFrame:
+    """Exact continuous quantiles (DuckDB ``quantile_cont`` / numpy
+    'linear' semantics) of ``ds[col]`` for each q in ``qs``, as a
+    (q, value) DataFrame. Bit-parity interpolation:
+    ``lo*(1-frac) + hi*frac`` with ``h = q*(n-1)``."""
+    qs = [float(q) for q in qs]
+    if any(q < 0.0 or q > 1.0 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    mmc = _minmax_count(ds, col)
+    n = mmc[2]
+    if n == 0:
+        raise ValueError(f"no non-null values in {col!r}")
+    ranks, pos = set(), []
+    for q in qs:
+        h = q * (n - 1)
+        k = int(np.floor(h))
+        frac = h - k
+        k2 = k if frac == 0.0 else k + 1
+        ranks.update((k, k2))
+        pos.append((k, k2, frac))
+    stats, _ = exact_order_stats(ds, col, ranks, minmax_count=mmc, **kw)
+    return pd.DataFrame(
+        {
+            "q": qs,
+            "value": [
+                stats[k] * (1.0 - frac) + stats[k2] * frac
+                for (k, k2, frac) in pos
+            ],
+        }
+    )
