@@ -1277,6 +1277,31 @@ def q_doc_fingerprint(sf_dir: str):
 SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+def q_doc_top_terms(sf_dir: str):
+    """Exact corpus top-20 vocabulary terms (pipelines/text.py
+    top_terms): block-local tokenize + value_counts combiner, a
+    vocabulary-sized groupby-sum shuffle, block-local top-k partials
+    merged by one final task. Tie-break: ascending term."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import top_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_terms(docs, k=20)
+
+
+SQL_DOC_TOP_TERMS = f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_REGEX}')) AS term
+    FROM documents
+),
+agg AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+)
+SELECT term, cnt FROM agg ORDER BY cnt DESC, term LIMIT 20
+"""
+
+
 def q_doc_hash_sample(sf_dir: str):
     """Deterministic Bernoulli sample: keep the ~25% of documents whose
     Lehmer hash of doc_id (seed 7) falls below an integer threshold — the
@@ -2338,6 +2363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_token_count": q_doc_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_top_terms": q_doc_top_terms,
         "doc_hash_sample": q_doc_hash_sample,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_top_k_per_lang": q_doc_top_k_per_lang,
@@ -2395,6 +2421,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": SQL_DOC_LANG_ID,
         "doc_token_count": SQL_DOC_TOKEN_COUNT,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_top_terms": SQL_DOC_TOP_TERMS,
         "doc_hash_sample": _build_sql_doc_hash_sample(),
         "doc_stratified_sample": _build_sql_doc_stratified_sample(),
         "doc_top_k_per_lang": SQL_DOC_TOP_K_PER_LANG,

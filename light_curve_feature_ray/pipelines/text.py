@@ -331,6 +331,59 @@ def token_count(docs_ds):
     return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def top_terms(docs_ds, k: int = 20):
+    """Exact corpus-wide top-k vocabulary terms (lowercased, same token
+    regex as ``token_count``), ties broken by ascending term.
+
+    Scale shape: block-local tokenize + value_counts COMBINER (the
+    shuffle carries one row per distinct term per block, not one per
+    token), ``groupby(term).sum`` over the vocabulary-sized partials,
+    then block-local top-k partials merged by a single final task
+    (``repartition(1)`` over at most k rows per vocab block) — no
+    driver-side work, no global sort of the corpus."""
+    import polars as pl
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"]).fill_null("")
+        toks = (
+            s.str.to_lowercase()
+            .str.extract_all(_TOKEN_RE_POLARS)
+            .explode()
+            .drop_nulls()  # empty token lists explode to one null
+            .alias("term")
+        )
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "term": vc["term"].to_arrow().cast(pa.string()),
+                "cnt": pa.array(vc["count"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["cnt", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    totals = (
+        docs_ds.map_batches(
+            partial_counts, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("term")
+        .sum("cnt")
+        .map_batches(
+            lambda t: pa.table({"term": t["term"], "cnt": t["sum(cnt)"]}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    return (
+        totals.map_batches(local_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pandas", batch_size=None)
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-duplicate detection
 # ---------------------------------------------------------------------------
