@@ -1364,6 +1364,30 @@ WHERE {h} < CASE lang WHEN 'en' THEN {sample_threshold(0.6)}
 """
 
 
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic disjoint train/val/test assignment (pipelines/
+    sampling.py hash_split): Lehmer hash of doc_id bucketed by integer
+    thresholds — pure map, identical labels at any parallelism/retry."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sampling import hash_split
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return hash_split(docs, SPLITS, seed=13)
+
+
+def _build_sql_doc_split() -> str:
+    from light_curve_feature_ray.pipelines.sampling import split_sql_case
+
+    case = split_sql_case(SPLITS, "doc_id", seed=13)
+    return f"SELECT doc_id, lang, {case} AS split FROM documents"
+
+
 def q_doc_top_k_per_lang(sf_dir: str):
     """Exact longest-5-documents-per-language curation: block-local top-k
     combiner, one hash shuffle on lang, vectorized per-partition reduce
@@ -2366,6 +2390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q_doc_top_terms,
         "doc_hash_sample": q_doc_hash_sample,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_split": q_doc_split,
         "doc_top_k_per_lang": q_doc_top_k_per_lang,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_groups": q_doc_dedup_groups,
@@ -2424,6 +2449,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "doc_hash_sample": _build_sql_doc_hash_sample(),
         "doc_stratified_sample": _build_sql_doc_stratified_sample(),
+        "doc_split": _build_sql_doc_split(),
         "doc_top_k_per_lang": SQL_DOC_TOP_K_PER_LANG,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "doc_dedup_groups": SQL_DOC_DEDUP_GROUPS,

@@ -222,3 +222,60 @@ def top_k_per_group(
         return out.drop(columns=["part"])
 
     return combined.groupby("part").map_groups(_reduce, batch_format="pandas")
+
+
+def hash_split(
+    ds,
+    splits: Mapping[str, float],
+    seed: int = 0,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+):
+    """Deterministic disjoint train/val/test assignment: the Lehmer hash
+    of the id is bucketed into consecutive integer ranges sized by the
+    ``splits`` fractions (must sum to 1).  Every row gets exactly one
+    split label; the assignment is a pure map — independent of
+    partitioning, cluster size, and retries, and reproducible by a SQL
+    CASE over the same integer thresholds (:func:`split_sql_case`).
+    Fractions are cumulated in dict order, so the same dict always
+    yields the same ranges."""
+    bounds, names = split_bounds(splits)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(split_col, pa.array([], pa.string()))
+        h = lehmer_hash(batch.column(id_col).to_numpy(), seed)
+        idx = np.searchsorted(bounds, h, side="right")
+        return batch.append_column(
+            split_col, pa.array(np.array(names)[idx])
+        )
+
+    return ds.map_batches(_assign, batch_format="pyarrow", batch_size=None)
+
+
+def split_bounds(splits: Mapping[str, float]):
+    """(upper-bound thresholds[:-1], names) for ``hash_split`` — shared
+    with the SQL twin so both compare the identical integers."""
+    names = list(splits)
+    fracs = [float(splits[n]) for n in names]
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must be >=0 and sum to 1: {splits}")
+    cum = 0.0
+    bounds = []
+    for f in fracs[:-1]:
+        cum += f
+        bounds.append(sample_threshold(min(cum, 1.0)))
+    return np.array(bounds, dtype=np.int64), names
+
+
+def split_sql_case(
+    splits: Mapping[str, float], col: str, seed: int = 0
+) -> str:
+    """DuckDB CASE expression assigning the identical split labels."""
+    bounds, names = split_bounds(splits)
+    h = lehmer_sql(col, seed=seed)
+    parts = [
+        f"WHEN ({h}) < {int(b)} THEN '{n}'"
+        for b, n in zip(bounds, names[:-1])
+    ]
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"

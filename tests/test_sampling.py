@@ -160,3 +160,41 @@ def test_top_k_larger_than_group(ray_session):
         rd.from_pandas(df), "lang", "score", k=10, num_partitions=4
     ).to_pandas()
     assert len(got) == 2 and set(got["rk"]) == {1}
+
+
+def test_hash_split_disjoint_complete_invariant(ray_session):
+    import ray.data as rd
+    import pandas as pd
+    import numpy as np
+
+    from light_curve_feature_ray.pipelines.sampling import hash_split
+
+    df = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64)})
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    outs = []
+    for p in (1, 9):
+        out = (
+            hash_split(rd.from_pandas(df).repartition(p), splits, seed=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+        assert len(out) == 5000  # every row labeled exactly once
+        frac = out["split"].value_counts(normalize=True)
+        assert abs(frac["train"] - 0.8) < 0.03
+        assert abs(frac["val"] - 0.1) < 0.02
+        assert abs(frac["test"] - 0.1) < 0.02
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_hash_split_bad_fractions(ray_session):
+    import ray.data as rd
+    import pandas as pd
+    import pytest
+
+    from light_curve_feature_ray.pipelines.sampling import hash_split
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2]}))
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(ds, {"a": 0.5, "b": 0.2})
