@@ -1364,6 +1364,50 @@ WHERE {h} < CASE lang WHEN 'en' THEN {sample_threshold(0.6)}
 """
 
 
+def q_doc_tfidf(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (pipelines/text.py
+    tfidf_top_terms): df pass with block-local per-doc distinct combiner,
+    vocabulary broadcast once via ray.put, vectorized per-batch scoring
+    (polars group_by + join), exact per-doc top-k with term tie-break."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import tfidf_top_terms
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _finalize(tfidf_top_terms(docs, k=3), skip=())
+
+
+SQL_DOC_TFIDF = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{_TOKEN_REGEX}')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM toks GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS score
+    FROM tf JOIN df USING (term), n
+),
+ranked AS (
+    SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rk
+    FROM scored
+)
+SELECT doc_id, term, round(score, 6) AS score, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -2388,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": q_doc_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_top_terms": q_doc_top_terms,
+        "doc_tfidf": q_doc_tfidf,
         "doc_hash_sample": q_doc_hash_sample,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_split": q_doc_split,
@@ -2447,6 +2492,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": SQL_DOC_TOKEN_COUNT,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
+        "doc_tfidf": SQL_DOC_TFIDF,
         "doc_hash_sample": _build_sql_doc_hash_sample(),
         "doc_stratified_sample": _build_sql_doc_stratified_sample(),
         "doc_split": _build_sql_doc_split(),

@@ -384,6 +384,87 @@ def top_terms(docs_ds, k: int = 20):
     )
 
 
+def tfidf_top_terms(docs_ds, k: int = 3, max_vocab_broadcast: int = 5_000_000):
+    """Per-document top-k TF-IDF terms (score = tf * ln(N/df), ties by
+    ascending term), emitted as (doc_id, term, score, rk).
+
+    Scale shape: one pass builds the document-frequency table (block-
+    local per-doc DISTINCT terms — each doc lives in one row, so the
+    block-local distinct is globally exact — then a vocabulary-sized
+    ``groupby(term).sum``); the vocab/df table is broadcast ONCE via
+    ``ray.put`` (loud ``max_vocab_broadcast`` bound — beyond that,
+    shuffle docs by term instead); a second pass computes per-doc term
+    counts and scores fully vectorized (polars group_by + join against
+    the broadcast vocab) and keeps the exact per-doc top-k."""
+    import polars as pl
+    import ray
+
+    from .sampling import _topk_frame
+
+    n_docs = docs_ds.count()
+
+    def _doc_terms(batch: pa.Table) -> pl.DataFrame:
+        s = pl.from_arrow(batch["text"]).fill_null("").alias("text")
+        ids = pl.from_arrow(batch["doc_id"]).alias("doc_id")
+        return (
+            pl.DataFrame([ids, s])
+            .with_columns(
+                pl.col("text")
+                .str.to_lowercase()
+                .str.extract_all(_TOKEN_RE_POLARS)
+                .alias("term")
+            )
+            .drop("text")
+            .explode("term")
+            .drop_nulls("term")
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = _doc_terms(batch)
+        vc = t.unique().group_by("term").len()
+        return pa.table(
+            {
+                "term": vc["term"].to_arrow().cast(pa.string()),
+                "df": pa.array(vc["len"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    df_tbl = (
+        docs_ds.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("df")
+    )
+    vocab = pa.concat_tables(
+        ray.get(df_tbl.to_arrow_refs()), promote_options="default"
+    )
+    if vocab.num_rows > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary has {vocab.num_rows} terms > max_vocab_broadcast="
+            f"{max_vocab_broadcast}; shuffle by term instead of broadcasting"
+        )
+    vocab_pl = pl.DataFrame(
+        {
+            "term": pl.from_arrow(vocab["term"].cast(pa.string())),
+            "idf": np.log(
+                float(n_docs)
+                / vocab["sum(df)"].to_numpy(zero_copy_only=False).astype(np.float64)
+            ),
+        }
+    )
+    vocab_ref = ray.put(vocab_pl)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        voc = ray.get(vocab_ref)
+        tf = _doc_terms(batch).group_by(["doc_id", "term"]).len()
+        scored = tf.join(voc, on="term", how="inner").with_columns(
+            (pl.col("len").cast(pl.Float64) * pl.col("idf")).alias("score")
+        )
+        out = scored.select(["doc_id", "term", "score"]).to_pandas()
+        return _topk_frame(out, "doc_id", "score", "term", k, True)
+
+    return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # near-duplicate detection
 # ---------------------------------------------------------------------------

@@ -1,0 +1,74 @@
+"""tfidf_top_terms (pipelines/text.py): exactness vs a naive Python
+reference, deterministic ties, partition invariance, and the vocab
+broadcast bound."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+_PAT = re.compile(r"\w+|[^\w\s]", re.ASCII)
+
+
+def _naive(texts, k):
+    toks = [_PAT.findall((t or "").lower()) for t in texts]
+    df = Counter()
+    for ts in toks:
+        df.update(set(ts))
+    n = float(len(texts))
+    rows = []
+    for i, ts in enumerate(toks):
+        tf = Counter(ts)
+        scored = sorted(
+            ((t, c * np.log(n / df[t])) for t, c in tf.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:k]
+        rows += [(i, t, s, r + 1) for r, (t, s) in enumerate(scored)]
+    return rows
+
+
+def test_tfidf_matches_naive_and_invariant(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import tfidf_top_terms
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog ate the cat food",
+        "quantum flux capacitor flux",
+        "",
+        None,
+        "cat cat cat dog",
+        "the the the the",
+    ] * 3
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    exp = _naive(texts, 3)
+    for p in (1, 6):
+        got = (
+            tfidf_top_terms(rd.from_pandas(df).repartition(p), k=3)
+            .to_pandas()
+            .sort_values(["doc_id", "rk"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp), p
+        for (gi, gt, gs, gr), (ei, et, es, er) in zip(
+            got.itertuples(index=False), exp
+        ):
+            assert (gi, gt, gr) == (ei, et, er)
+            assert gs == pytest.approx(es, abs=1e-12)
+
+
+def test_tfidf_vocab_bound(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import tfidf_top_terms
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "d e f"]})
+    )
+    with pytest.raises(ValueError, match="max_vocab_broadcast"):
+        tfidf_top_terms(ds, k=1, max_vocab_broadcast=2)
