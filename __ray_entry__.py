@@ -2285,6 +2285,88 @@ LIMIT 20
 """
 
 
+_SQL_HEXBYTE = (
+    "((strpos('0123456789abcdef', substr(hx, {a}, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(hx, {b}, 1)) - 1))"
+)
+
+
+def q_multimodal_resize(sf_dir: str):
+    """Aspect-preserving resize stage (pipelines/multimodal.py
+    ResizeImage): actor-pool map_batches over binary payloads; the stub
+    codec is integer-only math + sha256 string chains so the oracle is
+    exact."""
+    from light_curve_feature_ray.pipelines.multimodal import (
+        attach_fake_payloads,
+        resize_images,
+    )
+
+    return resize_images(attach_fake_payloads(_docs(sf_dir)), target=32)
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+WITH h AS (
+    SELECT doc_id AS item_id, sha256(text) AS hx FROM documents
+),
+b AS (
+    SELECT item_id, hx,
+           1 + {_SQL_HEXBYTE.format(a=1, b=2)} % 64 AS w,
+           1 + {_SQL_HEXBYTE.format(a=3, b=4)} % 64 AS h
+    FROM h
+),
+r AS (
+    SELECT item_id, hx,
+           CASE WHEN greatest(w, h) > 32
+                THEN greatest(1, (w * 32) // greatest(w, h)) ELSE w END
+               AS width,
+           CASE WHEN greatest(w, h) > 32
+                THEN greatest(1, (h * 32) // greatest(w, h)) ELSE h END
+               AS height
+    FROM b
+)
+SELECT item_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       sha256(hx || '-' || CAST(width AS VARCHAR) || 'x'
+              || CAST(height AS VARCHAR)) AS resized_sha
+FROM r
+"""
+
+
+def q_multimodal_frames(sf_dir: str):
+    """Video frame-sampling stage (pipelines/multimodal.py SampleFrames):
+    each payload explodes into <=3 evenly-spaced frame rows — the 1->N
+    batch explosion plumbing is real; frame identities are sha256 string
+    chains the oracle reproduces."""
+    from light_curve_feature_ray.pipelines.multimodal import (
+        attach_fake_payloads,
+        sample_frames,
+    )
+
+    return sample_frames(attach_fake_payloads(_docs(sf_dir)), k=3)
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH h AS (
+    SELECT doc_id AS item_id, sha256(text) AS hx FROM documents
+),
+b AS (
+    SELECT item_id, hx,
+           1 + {_SQL_HEXBYTE.format(a=5, b=6)} % 16 AS nf
+    FROM h
+),
+f AS (
+    SELECT item_id, nf, hx,
+           unnest(list_distinct(
+               list_transform([0, 1, 2], i -> (i * (nf - 1)) // 2)
+           )) AS frame_idx
+    FROM b
+)
+SELECT item_id, CAST(nf AS INT) AS n_frames,
+       CAST(frame_idx AS INT) AS frame_idx,
+       sha256(hx || '-frame-' || CAST(frame_idx AS VARCHAR)) AS frame_sha
+FROM f
+"""
+
+
 def q_multimodal_decode(sf_dir: str):
     """Full decode output, oracle-checked: the 8-dim embedding list is
     flattened to emb_0..emb_7 scalar columns (the driver compare hashes
@@ -2450,6 +2532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -2476,6 +2560,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_biweight": SQL_CONV_BIWEIGHT,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
+        "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+        "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "conv_colors": SQL_CONV_COLORS,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,

@@ -186,6 +186,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         minhash_lsh_dups(docs, threshold=0.5).count()
         timings["doc_minhash_dups"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.text import (
+            tfidf_top_terms,
+            top_terms,
+        )
+
+        t0 = time.perf_counter()
+        top_terms(docs, k=20).count()
+        timings["doc_top_terms"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        tfidf_top_terms(docs, k=3).count()
+        timings["doc_tfidf"] = round(time.perf_counter() - t0, 3)
+
     events_path = f"{sf_dir}/events.parquet"
     if os.path.exists(events_path):
         from light_curve_feature_ray.pipelines.windows import (
@@ -202,6 +214,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         sliding_window_agg(events).count()
         timings["events_sliding_window"] = round(time.perf_counter() - t0, 3)
+
+        from light_curve_feature_ray.pipelines.quantiles import quantile_cont
+
+        ev_vals = rd.read_parquet(events_path, columns=["value"])
+        t0 = time.perf_counter()
+        quantile_cont(
+            ev_vals, "value", (0.01, 0.25, 0.5, 0.75, 0.9, 0.99),
+            max_candidates=4096,
+        )
+        timings["events_value_quantiles"] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "rollup_throughput",

@@ -611,3 +611,72 @@ def test_connected_components_min_label(ray_session):
     reps = set(keep.loc[keep["keep"], "doc_id"])
     assert reps == set(expect.values())
     assert (keep["rep_id"] == keep["doc_id"].map(expect)).all()
+
+
+def test_multimodal_resize_stub(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.multimodal import (
+        attach_fake_payloads,
+        resize_images,
+    )
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["hello", "world", "a longer text"]}
+    )
+    out = (
+        resize_images(attach_fake_payloads(rd.from_pandas(df)), target=32)
+        .to_pandas()
+        .sort_values("item_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    for _, row in out.iterrows():
+        text = df.loc[df.doc_id == row.item_id, "text"].iloc[0]
+        hx = hashlib.sha256(text.encode()).hexdigest()
+        d = bytes.fromhex(hx)
+        w, h = 1 + d[0] % 64, 1 + d[1] % 64
+        m = max(w, h)
+        ew = max(1, w * 32 // m) if m > 32 else w
+        eh = max(1, h * 32 // m) if m > 32 else h
+        assert (row.width, row.height) == (ew, eh)
+        assert max(row.width, row.height) <= 32
+        assert (
+            row.resized_sha
+            == hashlib.sha256(f"{hx}-{ew}x{eh}".encode()).hexdigest()
+        )
+
+
+def test_multimodal_frame_sampling(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.multimodal import (
+        attach_fake_payloads,
+        sample_frames,
+    )
+
+    df = pd.DataFrame(
+        {"doc_id": list(range(10)), "text": [f"doc {i}" for i in range(10)]}
+    )
+    out = (
+        sample_frames(attach_fake_payloads(rd.from_pandas(df)), k=3)
+        .to_pandas()
+    )
+    for item_id, g in out.groupby("item_id"):
+        text = f"doc {item_id}"
+        hx = hashlib.sha256(text.encode()).hexdigest()
+        n = 1 + bytes.fromhex(hx)[2] % 16
+        exp_idx = sorted({i * (n - 1) // 2 for i in range(3)})
+        assert sorted(g["frame_idx"]) == exp_idx
+        assert set(g["n_frames"]) == {n}
+        for _, row in g.iterrows():
+            assert (
+                row.frame_sha
+                == hashlib.sha256(
+                    f"{hx}-frame-{row.frame_idx}".encode()
+                ).hexdigest()
+            )
