@@ -2153,6 +2153,33 @@ JOIN nation ON c_nationkey = n_nationkey
 """
 
 
+def q_lineitem_orders_join(sf_dir: str):
+    """LARGE x LARGE equi-join via Ray Data's native hash-shuffle
+    Dataset.join (both sides exchange on the key) — the right tool when
+    neither side fits a broadcast; contrast with orders_enriched's
+    shuffle-free broadcast_join for small dimensions."""
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    j = li.join(od, "inner", 32, on=("l_orderkey",), right_on=("o_orderkey",))
+    return _finalize(j, skip=())
+
+
+SQL_LINEITEM_ORDERS_JOIN = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 6) AS l_extendedprice,
+       o_orderstatus, round(o_totalprice, 6) AS o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
 QUANTILE_QS = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -2505,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
         "orders_enriched": q_orders_enriched,
+        "lineitem_orders_join": q_lineitem_orders_join,
         "events_value_quantiles": q_events_value_quantiles,
         "events_hll_users": q_events_hll_users,
         "events_top_users": q_events_top_users,
@@ -2569,6 +2597,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
         "orders_enriched": SQL_ORDERS_ENRICHED,
+        "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
         "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
         "events_top_users": SQL_EVENTS_TOP_USERS,
         "events_hll_users": SQL_EVENTS_HLL_USERS,

@@ -1,5 +1,12 @@
-"""As-of and interval (range) joins — custom operators Ray Data lacks,
-expressed Ray-Data-first.
+"""Join operators, sized to the data:
+
+- plain equi-join, LARGE x LARGE: use Ray Data's native hash-shuffle
+  ``Dataset.join`` (both sides exchange on the key) — nothing to build;
+- plain equi-join, LARGE x SMALL dimension: :func:`broadcast_join`
+  below — the small side ships once via ``ray.put`` and the fact table
+  never shuffles;
+- as-of / interval (range) joins: custom operators Ray Data lacks,
+  expressed Ray-Data-first below.
 
 ``asof_join`` attaches, to every LEFT row, the latest RIGHT row of the
 same key with ``right.ts <= left.ts`` (backward as-of — the standard
