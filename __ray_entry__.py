@@ -379,6 +379,38 @@ FROM filled GROUP BY conv_id, h//24
 """
 
 
+def q_rollup_incremental(sf_dir: str):
+    """Continuous-aggregate UPDATE path (pipelines/update.py): the turn
+    stream is split at turn_idx 12 — the first slice builds the initial
+    tier store (1m tier keeps Gorilla points as state), rollup_update
+    folds the suffix delta in (passthrough for untouched convs, decode +
+    re-run of the unmodified kernel for affected ones) — and the updated
+    1h projection must match the SAME SQL oracle as the full cascade."""
+    from light_curve_feature_ray.pipelines.rollup import rollup_dataset
+    from light_curve_feature_ray.pipelines.update import rollup_update
+    from light_curve_feature_ray.stages.rollup import RollupConfig
+
+    cfg = RollupConfig(
+        features=_STATS_FEATURES,
+        tiers=("1m", "1h"),
+        gap_fill="none",
+        store_points=True,
+        num_partitions=16,
+        hot_threshold=None,
+    )
+    turns = _turns(sf_dir)
+    old_tiers = rollup_dataset(turns.filter(expr="turn_idx < 12"), cfg)
+    updated = rollup_update(
+        old_tiers, turns.filter(expr="turn_idx >= 12"), cfg
+    )
+    hour = updated.filter(expr="tier == '1h'").map_batches(
+        lambda b: b.drop_columns(["tier", "points"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return _finalize(hour)
+
+
 def q_rollup_retention(sf_dir: str):
     """All three tiers + per-tier TTL retention (the 'retention' half of
     the engine contract): 1m kept 2 days, 1h kept 5 days, 1d forever.
@@ -2510,6 +2542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1d_gapfill_prev": q_rollup_1d_gapfill_prev,
         "rollup_1d_gapfill_linear": q_rollup_1d_gapfill_linear,
         "rollup_retention": q_rollup_retention,
+        "rollup_incremental": q_rollup_incremental,
         "rollup_full_tiers": q_rollup_full_tiers,
         "conv_moments": q_conv_moments,
         "conv_time": q_conv_time,
@@ -2576,6 +2609,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d_gapfill_prev": SQL_ROLLUP_1D_GAPFILL_PREV,
         "rollup_1d_gapfill_linear": SQL_ROLLUP_1D_GAPFILL_LINEAR,
         "rollup_retention": SQL_ROLLUP_RETENTION,
+        "rollup_incremental": SQL_ROLLUP_1H_CASCADE,
         "conv_moments": SQL_CONV_MOMENTS,
         "conv_time": SQL_CONV_TIME,
         "conv_shape": SQL_CONV_SHAPE,

@@ -1,0 +1,270 @@
+"""Incremental continuous-aggregate update: fold a DELTA of new turns
+into an existing tier store without recomputing untouched conversations.
+
+The tier cascade derives 1h/1d from the per-minute series, and the 1m
+tier stores each bucket's raw (ts, m) points Gorilla-compressed — so the
+1m tier IS the engine's state store.  ``rollup_update`` therefore:
+
+1. derives the delta exactly like the full pipeline (``DeriveAssign``:
+   text -> m, salted partition assignment);
+2. computes the affected conversation set (distinct delta conv_ids,
+   broadcast once via ``ray.put`` under a loud ``max_update_convs``
+   bound);
+3. streams the old tier rows once as pure PASSTHROUGH for unaffected
+   conversations (no decode, no recompute — at 100 TB this is the vast
+   majority of rows, moving straight from read to write);
+4. streams the old 1m rows of affected conversations a second time,
+   decoding their Gorilla points back into (ts, m) rows that join the
+   delta in the SAME salted hash exchange the full pipeline uses;
+5. re-runs the unmodified ``RollupWorker`` kernel per partition, so
+   every invariant (dedup settle rule, salt-window gap-fill truncation,
+   partition invariance) holds by construction, and recomputed bytes —
+   including the Gorilla points column — are identical to a full run.
+
+Update contract (documented, tested):
+
+- ``config.store_points`` must be True (the 1m points are the state);
+- append semantics: delta ``turn_idx`` must be NEW turns, strictly
+  greater than every already-ingested turn_idx of that conversation
+  (late *timestamps* are fine — the kernel re-sorts by time bucket; and
+  duplicate turn_idx WITHIN the delta settles by the normal
+  (min ts, min m) rule). Old points are replayed with synthesized
+  turn_idx ranks below 2**31; delta turn_idx is offset by 2**31 so the
+  two ranges can never collide in the kernel's dedup;
+- the whole update must happen within the 1m retention horizon: upper
+  tiers of an affected conversation are recomputed from its SURVIVING
+  1m buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..codec import gorilla
+from ..stages.rollup import (
+    DeriveAssign,
+    RollupConfig,
+    RollupWorker,
+    assign_parts,
+    hash_strings,
+)
+
+US_PER_MIN = 60 * 1_000_000
+_DELTA_OFFSET = np.int64(2) ** 31
+_POS_BITS = 21  # max 2**21 points per (conv, minute) bucket in okey
+
+
+def _exchange_schema(batch_like: dict) -> pa.Table:
+    return pa.table(batch_like)
+
+
+def _delta_prep(batch: pa.Table) -> pa.Table:
+    """DeriveAssign output -> exchange rows (src=1, okey=turn_idx)."""
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if turn.size and (turn.min() < 0 or turn.max() >= _DELTA_OFFSET):
+        raise ValueError("delta turn_idx must be in [0, 2**31)")
+    return _exchange_schema(
+        {
+            "conv_id": batch["conv_id"],
+            "ts_us": batch["ts_us"],
+            "m": batch["m"],
+            "part": batch["part"],
+            "src": pa.array(np.ones(len(turn), dtype=np.int8)),
+            "okey": pa.array(turn),
+        }
+    )
+
+
+def _passthrough_fn(conv_ref):
+    def fn(batch: pa.Table) -> pa.Table:
+        convs = ray.get(conv_ref)
+        keep = pc.invert(pc.is_in(batch["conv_id"], value_set=convs))
+        return batch.filter(keep)
+
+    return fn
+
+
+def _extract_points_fn(conv_ref, config: RollupConfig, hot_ref):
+    """Old 1m rows of affected convs -> decoded exchange rows (src=0,
+    okey = minute_slot * 2**21 + in-bucket position: unique per conv and
+    ordered exactly like the original turn order, since points are
+    encoded in turn order within each slot-sorted bucket)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        convs = ray.get(conv_ref)
+        hot = set(ray.get(hot_ref)) if hot_ref is not None else set()
+        mask = pc.and_(
+            pc.equal(batch["tier"], "1m"),
+            pc.is_in(batch["conv_id"], value_set=convs),
+        )
+        sel = batch.filter(mask)
+        empty = {
+            "conv_id": pc.dictionary_encode(pa.array([], pa.string())),
+            "ts_us": pa.array([], pa.int64()),
+            "m": pa.array([], pa.float64()),
+            "part": pa.array([], pa.int32()),
+            "src": pa.array([], pa.int8()),
+            "okey": pa.array([], pa.int64()),
+        }
+        if sel.num_rows == 0:
+            return _exchange_schema(empty)
+        conv_col = sel["conv_id"].cast(pa.string())
+        bucket_us = sel["bucket_ts"].cast(pa.int64()).to_numpy()
+        blobs = sel["points"].to_pylist()
+        ts_parts, m_parts, conv_idx, okeys = [], [], [], []
+        for i, blob in enumerate(blobs):
+            ts, m = gorilla.decode(blob)
+            if ts.size >= (1 << _POS_BITS):
+                raise ValueError(
+                    f"bucket with {ts.size} points exceeds the okey "
+                    f"position budget (2**{_POS_BITS})"
+                )
+            slot = bucket_us[i] // US_PER_MIN
+            ts_parts.append(ts)
+            m_parts.append(m)
+            conv_idx.append(np.full(ts.size, i, dtype=np.int64))
+            okeys.append(
+                (slot << _POS_BITS) + np.arange(ts.size, dtype=np.int64)
+            )
+        ts_all = np.concatenate(ts_parts)
+        m_all = np.concatenate(m_parts)
+        idx = np.concatenate(conv_idx)
+        conv_out = conv_col.combine_chunks().take(pa.array(idx))
+        h = hash_strings(conv_out)
+        part = assign_parts(
+            conv_out.to_numpy(zero_copy_only=False) if hot else np.empty(0),
+            h,
+            ts_all,
+            config,
+            hot,
+        )
+        return _exchange_schema(
+            {
+                # dictionary-encoded to match DeriveAssign's delta schema
+                # (union requires identical types) and to shrink the
+                # exchange payload the same way
+                "conv_id": pc.dictionary_encode(conv_out),
+                "ts_us": pa.array(ts_all.astype(np.int64)),
+                "m": pa.array(m_all.astype(np.float64)),
+                "part": pa.array(part, type=pa.int32()),
+                "src": pa.array(np.zeros(ts_all.size, dtype=np.int8)),
+                "okey": pa.array(np.concatenate(okeys)),
+            }
+        )
+
+    return fn
+
+
+def _update_worker_fn(config: RollupConfig, hot_ref):
+    """Per-partition: synthesize turn_idx (old rows ranked per conv by
+    okey below 2**31, delta rows offset above it), then delegate to the
+    UNMODIFIED RollupWorker kernel."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hot = list(ray.get(hot_ref)) if hot_ref is not None else None
+        worker = RollupWorker(config, hot_list=hot)
+        if batch.num_rows == 0:
+            return worker(
+                pa.table(
+                    {
+                        "conv_id": pa.array([], pa.string()),
+                        "turn_idx": pa.array([], pa.int64()),
+                        "ts_us": pa.array([], pa.int64()),
+                        "m": pa.array([], pa.float64()),
+                    }
+                )
+            )
+        conv_dict = pc.dictionary_encode(
+            batch["conv_id"].cast(pa.string()).combine_chunks()
+        )
+        codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        okey = batch["okey"].to_numpy(zero_copy_only=False)
+        turn = np.empty(len(codes), dtype=np.int64)
+        old = src == 0
+        if old.any():
+            oi = np.flatnonzero(old)
+            order = np.lexsort((okey[oi], codes[oi]))
+            oc = codes[oi][order]
+            starts = np.r_[0, np.flatnonzero(oc[1:] != oc[:-1]) + 1]
+            seg_id = np.cumsum(
+                np.r_[False, oc[1:] != oc[:-1]]
+            )
+            rank = np.arange(oc.size) - starts[seg_id]
+            turn[oi[order]] = rank
+        turn[~old] = _DELTA_OFFSET + okey[~old]
+        merged = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": pa.array(turn),
+                "ts_us": batch["ts_us"],
+                "m": batch["m"],
+            }
+        )
+        return worker(merged)
+
+    return fn
+
+
+def rollup_update(
+    old_tiers_ds,
+    delta_ds,
+    config: RollupConfig,
+    *,
+    hot_list=None,
+    max_update_convs: int = 2_000_000,
+):
+    """Fold a delta of new turns into an existing tier-row Dataset.
+
+    Returns the UPDATED full tier Dataset: unaffected conversations pass
+    through untouched (streamed, never decoded); affected conversations
+    are recomputed bit-identically to a full rollup over
+    (old turns + delta) under the append contract in the module docs.
+    ``config`` must match the one that produced ``old_tiers_ds``
+    (``num_partitions`` resolved, ``store_points=True``)."""
+    if not config.store_points:
+        raise ValueError(
+            "rollup_update needs store_points=True: the 1m Gorilla points "
+            "are the state the update replays"
+        )
+    if config.num_partitions is None:
+        raise ValueError("pass the resolved config (num_partitions set)")
+
+    convs = delta_ds.unique("conv_id")
+    if len(convs) > max_update_convs:
+        raise ValueError(
+            f"delta touches {len(convs)} conversations > max_update_convs="
+            f"{max_update_convs}; split the delta or raise the bound"
+        )
+    conv_ref = ray.put(pa.array(sorted(convs), type=pa.string()))
+    hot_ref = ray.put(list(hot_list)) if hot_list else None
+
+    derived = delta_ds.map_batches(
+        DeriveAssign(config, hot_list=hot_list),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    ).map_batches(_delta_prep, batch_format="pyarrow", batch_size=None)
+
+    old_points = old_tiers_ds.map_batches(
+        _extract_points_fn(conv_ref, config, hot_ref),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    recomputed = (
+        derived.union(old_points)
+        .groupby("part")
+        .map_groups(_update_worker_fn(config, hot_ref), batch_format="pyarrow")
+    )
+
+    passthrough = old_tiers_ds.map_batches(
+        _passthrough_fn(conv_ref), batch_format="pyarrow", batch_size=None
+    )
+    return passthrough.union(recomputed)

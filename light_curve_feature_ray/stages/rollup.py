@@ -168,6 +168,31 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def assign_parts(
+    conv: np.ndarray,
+    h: np.ndarray,
+    ts_us: np.ndarray,
+    config: "RollupConfig",
+    hot: set,
+) -> np.ndarray:
+    """Partition assignment shared by DeriveAssign and the incremental
+    update path (pipelines/update.py): plain ``hash % P`` for normal
+    conversations, day-window-salted mixing for hot ones — rows of a hot
+    conv spread over partitions by time window, and the worker's
+    salt-window-truncated gap-fill keeps results partition-invariant."""
+    part = (h % np.uint64(config.num_partitions)).astype(np.int32)
+    if hot:
+        is_hot = np.isin(conv, list(hot))
+        if is_hot.any():
+            days = (ts_us // (86_400 * 1_000_000)).astype(np.uint64)
+            salt = days // np.uint64(config.salt_window_days)
+            mixed = (h ^ (salt * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(
+                config.num_partitions
+            )
+            part = np.where(is_hot, mixed.astype(np.int32), part)
+    return part
+
+
 class DeriveAssign:
     """Stateless-per-batch map_batches callable: derive (t, m, w) and assign
     the (salted) partition key. The hot-conv list is broadcast once via
@@ -185,19 +210,15 @@ class DeriveAssign:
             pc.fill_null(pc.utf8_length(batch["text"]), 0), pa.float64()
         )
         h = hash_strings(batch["conv_id"])
-        part = (h % np.uint64(cfg.num_partitions)).astype(np.int32)
-        if self.hot:
-            conv = batch["conv_id"].to_numpy(zero_copy_only=False)
-            is_hot = np.isin(conv, list(self.hot))
-            if is_hot.any():
-                days = (
-                    ts_us.to_numpy(zero_copy_only=False) // (86_400 * 1_000_000)
-                ).astype(np.uint64)
-                salt = days // np.uint64(cfg.salt_window_days)
-                mixed = (h ^ (salt * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(
-                    cfg.num_partitions
-                )
-                part = np.where(is_hot, mixed.astype(np.int32), part)
+        part = assign_parts(
+            batch["conv_id"].to_numpy(zero_copy_only=False)
+            if self.hot
+            else np.empty(0),
+            h,
+            ts_us.to_numpy(zero_copy_only=False),
+            cfg,
+            self.hot,
+        )
         return pa.table(
             {
                 # dictionary-encoded: the conv_id strings dominate the
