@@ -159,55 +159,54 @@ def _extract_points_fn(conv_ref, config: RollupConfig, hot_ref):
     return fn
 
 
-def _update_worker_fn(config: RollupConfig, hot_ref):
-    """Per-partition: synthesize turn_idx (old rows ranked per conv by
-    okey below 2**31, delta rows offset above it), then delegate to the
-    UNMODIFIED RollupWorker kernel."""
+def _recompute_partition(batch: pa.Table, worker: RollupWorker) -> pa.Table:
+    """One exchange partition of merged (old-point + delta) rows:
+    synthesize turn_idx (old rows ranked per conv by okey below 2**31,
+    delta rows offset above it), then delegate to the UNMODIFIED
+    RollupWorker kernel."""
+    if batch.num_rows == 0:
+        return worker(
+            pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.float64()),
+                }
+            )
+        )
+    conv_dict = pc.dictionary_encode(
+        batch["conv_id"].cast(pa.string()).combine_chunks()
+    )
+    codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    src = batch["src"].to_numpy(zero_copy_only=False)
+    okey = batch["okey"].to_numpy(zero_copy_only=False)
+    turn = np.empty(len(codes), dtype=np.int64)
+    old = src == 0
+    if old.any():
+        oi = np.flatnonzero(old)
+        order = np.lexsort((okey[oi], codes[oi]))
+        oc = codes[oi][order]
+        starts = np.r_[0, np.flatnonzero(oc[1:] != oc[:-1]) + 1]
+        seg_id = np.cumsum(np.r_[False, oc[1:] != oc[:-1]])
+        rank = np.arange(oc.size) - starts[seg_id]
+        turn[oi[order]] = rank
+    turn[~old] = _DELTA_OFFSET + okey[~old]
+    merged = pa.table(
+        {
+            "conv_id": batch["conv_id"],
+            "turn_idx": pa.array(turn),
+            "ts_us": batch["ts_us"],
+            "m": batch["m"],
+        }
+    )
+    return worker(merged)
 
+
+def _update_worker_fn(config: RollupConfig, hot_ref):
     def fn(batch: pa.Table) -> pa.Table:
         hot = list(ray.get(hot_ref)) if hot_ref is not None else None
-        worker = RollupWorker(config, hot_list=hot)
-        if batch.num_rows == 0:
-            return worker(
-                pa.table(
-                    {
-                        "conv_id": pa.array([], pa.string()),
-                        "turn_idx": pa.array([], pa.int64()),
-                        "ts_us": pa.array([], pa.int64()),
-                        "m": pa.array([], pa.float64()),
-                    }
-                )
-            )
-        conv_dict = pc.dictionary_encode(
-            batch["conv_id"].cast(pa.string()).combine_chunks()
-        )
-        codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        src = batch["src"].to_numpy(zero_copy_only=False)
-        okey = batch["okey"].to_numpy(zero_copy_only=False)
-        turn = np.empty(len(codes), dtype=np.int64)
-        old = src == 0
-        if old.any():
-            oi = np.flatnonzero(old)
-            order = np.lexsort((okey[oi], codes[oi]))
-            oc = codes[oi][order]
-            starts = np.r_[0, np.flatnonzero(oc[1:] != oc[:-1]) + 1]
-            seg_id = np.cumsum(
-                np.r_[False, oc[1:] != oc[:-1]]
-            )
-            rank = np.arange(oc.size) - starts[seg_id]
-            turn[oi[order]] = rank
-        turn[~old] = _DELTA_OFFSET + okey[~old]
-        merged = pa.table(
-            {
-                "conv_id": batch["conv_id"],
-                "turn_idx": pa.array(turn),
-                "ts_us": batch["ts_us"],
-                "m": batch["m"],
-            }
-        )
-        return worker(merged)
+        return _recompute_partition(batch, RollupWorker(config, hot_list=hot))
 
     return fn
 
@@ -268,3 +267,169 @@ def rollup_update(
         _passthrough_fn(conv_ref), batch_format="pyarrow", batch_size=None
     )
     return passthrough.union(recomputed)
+
+
+def update_rollup_job(
+    out_dir: str,
+    delta_path: str,
+    *,
+    max_update_convs: int = 2_000_000,
+):
+    """Fold a delta of new turns into a CHECKPOINTED tier store on disk
+    (the ``run_rollup_job`` output layout), rewriting ONLY the partitions
+    that contain affected conversations plus any partitions the delta
+    newly creates — unaffected partition files are never read beyond
+    their conv_id column, never rewritten.
+
+    Resumable + idempotent per partition: each rewritten partition's
+    manifest lineage records the applied delta chain; re-running the same
+    delta skips partitions that already carry it (atomic temp+rename
+    writes, manifest last — a crash mid-update leaves a store where every
+    partition is either fully old or fully updated, and a rerun finishes
+    the rest).
+
+    The stored ``_job.json`` lineage supplies the original config and hot
+    set, so partition assignment replays identically."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..pipelines.rollup import read_transcripts
+    from ..state.checkpoint import (
+        _manifest_path,
+        _write_partition,
+        completed_partitions,
+    )
+
+    job_path = os.path.join(out_dir, "_job.json")
+    with open(job_path) as f:
+        prior = json.load(f)
+    config = RollupConfig.from_dict(prior["config"])
+    if not config.store_points:
+        raise ValueError(
+            "update_rollup_job needs a store built with store_points=True"
+        )
+    hot = prior.get("hot") or []
+    delta = read_transcripts(delta_path)
+    convs = delta.unique("conv_id")
+    if len(convs) > max_update_convs:
+        raise ValueError(
+            f"delta touches {len(convs)} conversations > max_update_convs="
+            f"{max_update_convs}"
+        )
+    conv_ref = ray.put(pa.array(sorted(convs), type=pa.string()))
+    hot_ref = ray.put(list(hot)) if hot else None
+
+    def _file(p: int) -> str:
+        return os.path.join(out_dir, f"part={p}", "data.parquet")
+
+    done = sorted(completed_partitions(out_dir))
+
+    # which existing partitions contain affected conversations? One
+    # column-pruned conv_id scan per partition file, fanned out as tasks.
+    @ray.remote
+    def _scan(part: int, path: str, conv_set):
+        # conv_set arrives deref'd: Ray resolves ObjectRef args in tasks
+        import pyarrow.compute as pcc
+        import pyarrow.parquet as pqq
+
+        col = pqq.read_table(path, columns=["conv_id"])["conv_id"]
+        hit = pcc.any(pcc.is_in(col, value_set=conv_set)).as_py()
+        return part if hit else None
+
+    hits = ray.get([_scan.remote(p, _file(p), conv_ref) for p in done])
+    affected_old = {p for p in hits if p is not None}
+
+    # idempotency: skip partitions whose manifest already carries this delta
+    applied, prior_deltas = set(), {}
+    for p in affected_old:
+        with open(_manifest_path(out_dir, p)) as f:
+            mf = json.load(f)
+        chain = mf.get("lineage", {}).get("deltas", [])
+        prior_deltas[p] = chain
+        if delta_path in chain:
+            applied.add(p)
+    pending_old = sorted(affected_old - applied)
+
+    derived = delta.map_batches(
+        DeriveAssign(config, hot_list=hot or None),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    ).map_batches(_delta_prep, batch_format="pyarrow", batch_size=None)
+    if applied:
+        appl_arr = pa.array(sorted(applied), type=pa.int32())
+
+        def drop_applied(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.invert(pc.is_in(b["part"], value_set=appl_arr))
+            )
+
+        derived = derived.map_batches(
+            drop_applied, batch_format="pyarrow", batch_size=None
+        )
+    merged = derived
+    if pending_old:
+        old_points = rd.read_parquet(
+            [_file(p) for p in pending_old]
+        ).map_batches(
+            _extract_points_fn(conv_ref, config, hot_ref),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        merged = derived.union(old_points)
+
+    lineage_base = {"input": prior["input"], "config": prior["config"]}
+    deltas_ref = ray.put(prior_deltas)
+
+    def write_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "partition": pa.array([], type=pa.int32()),
+                    "rows": pa.array([], type=pa.int64()),
+                }
+            )
+        part = int(batch["part"][0].as_py())
+        hot_l = list(ray.get(hot_ref)) if hot_ref is not None else None
+        rec = _recompute_partition(batch, RollupWorker(config, hot_list=hot_l))
+        path = _file(part)
+        if os.path.exists(path):
+            oldt = pq.read_table(path)
+            keep = pc.invert(
+                pc.is_in(oldt["conv_id"], value_set=ray.get(conv_ref))
+            )
+            combined = pa.concat_tables([oldt.filter(keep), rec])
+        else:
+            combined = rec
+        lineage = dict(lineage_base)
+        lineage["deltas"] = ray.get(deltas_ref).get(part, []) + [delta_path]
+        manifest = _write_partition(combined, out_dir, part, lineage)
+        return pa.table(
+            {
+                "partition": pa.array([part], type=pa.int32()),
+                "rows": pa.array([manifest["rows"]], type=pa.int64()),
+            }
+        )
+
+    manifests = merged.groupby("part").map_groups(
+        write_part, batch_format="pyarrow"
+    ).to_pandas()
+    chain = prior.get("deltas", [])
+    if delta_path not in chain:
+        prior["deltas"] = chain + [delta_path]
+        tmp = job_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(prior, f)
+        os.replace(tmp, job_path)
+    written = (
+        sorted(manifests["partition"].tolist()) if len(manifests) else []
+    )
+    return {
+        "partitions_rewritten": written,
+        "partitions_skipped_applied": sorted(applied),
+        "partitions_untouched": sorted(set(done) - set(written) - applied),
+        "rows_written": int(manifests["rows"].sum()) if len(manifests) else 0,
+    }

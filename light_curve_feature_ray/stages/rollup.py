@@ -101,6 +101,17 @@ class RollupConfig:
             num_partitions=auto_num_partitions(n_rows, num_cpus=num_cpus),
         )
 
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "RollupConfig":
+        """Inverse of :meth:`to_dict` (checkpoint-lineage round-trip)."""
+        d = dict(d)
+        for k in ("features", "tiers", "fill_levels"):
+            if k in d:
+                d[k] = tuple(d[k])
+        if d.get("fill_value") == "nan":
+            d["fill_value"] = float("nan")
+        return cls(**d)
+
     def to_dict(self) -> dict[str, Any]:
         # fill_value must be part of the identity: worker caches and
         # checkpoint lineage key on this dict (NaN isn't portable JSON,

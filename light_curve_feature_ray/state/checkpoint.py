@@ -143,15 +143,20 @@ def run_rollup_job(
             f"{out_dir!r} records a different input or config than this "
             "run; use a fresh out_dir or pass the original config"
         )
-    lineage = {"input": input_path, "config": config.to_dict()}
-    with open(job_path, "w") as f:
-        json.dump(lineage, f)
-
     hot_ref, hot = None, None
     if config.hot_threshold is not None:
         hot = detect_hot_convs(ds, config.hot_threshold)
         if hot:
             hot_ref = ray.put(hot)
+    # the hot set is part of the partition-assignment identity — the
+    # incremental update job (pipelines/update.py) must replay it
+    lineage = {
+        "input": input_path,
+        "config": config.to_dict(),
+        "hot": sorted(hot) if hot else [],
+    }
+    with open(job_path, "w") as f:
+        json.dump(lineage, f)
     derived = ds.map_batches(
         _derive_fn(config, hot_ref),
         batch_format="pyarrow",

@@ -150,3 +150,63 @@ def test_update_guards(ray_session):
         rollup_update(ds, ds, _cfg(store_points=False))
     with pytest.raises(ValueError, match="max_update_convs"):
         rollup_update(ds, ds, _cfg(), max_update_convs=1)
+
+
+def test_update_rollup_job(ray_session, tmp_path):
+    """Job-level incremental update: only affected partitions rewritten
+    (byte-untouched otherwise), result equals a full recompute, rerunning
+    the same delta is a no-op (idempotent via manifest delta chains)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.rollup import rollup_dataset
+    from light_curve_feature_ray.pipelines.update import update_rollup_job
+    from light_curve_feature_ray.state.checkpoint import (
+        read_rollup_output,
+        run_rollup_job,
+    )
+
+    tbl = synth_transcripts_table(
+        n_convs=12, mean_turns=30, hot_convs=0, seed=33
+    )
+    df = tbl.to_pandas()
+    mask = _suffix_mask(df, 0.3, only_even_convs=True)
+    old_path = str(tmp_path / "old.parquet")
+    delta_path = str(tmp_path / "delta.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(df[~mask], preserve_index=False), old_path
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df[mask], preserve_index=False), delta_path
+    )
+    out_dir = str(tmp_path / "store")
+    cfg = _cfg()
+    run_rollup_job(old_path, out_dir, cfg)
+
+    before = {
+        p: open(f"{out_dir}/part={p}/data.parquet", "rb").read()
+        for p in range(cfg.num_partitions)
+        if os.path.exists(f"{out_dir}/part={p}/data.parquet")
+    }
+    res = update_rollup_job(out_dir, delta_path)
+    assert res["partitions_rewritten"]
+    assert not res["partitions_skipped_applied"]
+    for p in res["partitions_untouched"]:
+        after = open(f"{out_dir}/part={p}/data.parquet", "rb").read()
+        assert after == before[p], f"partition {p} should be byte-untouched"
+
+    # read_rollup_output carries a hive-inferred `part` path column
+    updated = read_rollup_output(out_dir).to_pandas().drop(columns=["part"])
+    full = rollup_dataset(rd.from_arrow(tbl).repartition(4), cfg).to_pandas()
+    _assert_same(full, updated)
+
+    # idempotent rerun: same delta -> nothing rewritten
+    res2 = update_rollup_job(out_dir, delta_path)
+    assert res2["partitions_rewritten"] == []
+    assert sorted(res2["partitions_skipped_applied"]) == sorted(
+        res["partitions_rewritten"]
+    )
+    again = read_rollup_output(out_dir).to_pandas().drop(columns=["part"])
+    _assert_same(full, again)
