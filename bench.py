@@ -166,6 +166,49 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     clean_turns(read_transcripts(path, for_rollup=False), 64).count()
     timings["turns_clean"] = round(time.perf_counter() - t0, 3)
 
+    # ---- incremental update (job level): fold a ~0.1%-of-convs suffix
+    # delta into an on-disk checkpointed store; only the partitions that
+    # contain affected conversations are read beyond their conv_id column
+    # or rewritten, so update_time << rollup_full is the whole point ----
+    import shutil
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from light_curve_feature_ray.pipelines.update import update_rollup_job
+    from light_curve_feature_ray.state.checkpoint import run_rollup_job
+
+    def _is_delta(b):
+        return _pc.and_(
+            _pc.ends_with(b["conv_id"], "000"), _pc.greater(b["turn_idx"], 1)
+        )
+
+    upd_base = f"/tmp/lcf_ray_bench/upd_sf{sf}"
+    old_path = f"{upd_base}/old.parquet"
+    delta_path = f"{upd_base}/delta.parquet"
+    if not os.path.exists(delta_path):
+        os.makedirs(upd_base, exist_ok=True)
+        base = _pq.read_table(path)
+        mask = _is_delta(base)
+        _pq.write_table(base.filter(_pc.invert(mask)), old_path + ".tmp")
+        os.replace(old_path + ".tmp", old_path)
+        _pq.write_table(base.filter(mask), delta_path + ".tmp")
+        os.replace(delta_path + ".tmp", delta_path)
+        del base
+    store_dir = f"{upd_base}/store"
+    shutil.rmtree(store_dir, ignore_errors=True)  # fresh store: the update
+    t0 = time.perf_counter()                      # is idempotent per delta
+    run_rollup_job(old_path, store_dir, cfg)
+    # the FAIR baseline for the update: a full checkpointed job, parquet
+    # writes included (rollup_full above is the compute pipeline only)
+    timings["rollup_job_full"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    upd_res = update_rollup_job(store_dir, delta_path)
+    timings["rollup_update_delta"] = round(time.perf_counter() - t0, 3)
+    timings["rollup_update_untouched_parts"] = len(
+        upd_res["partitions_untouched"]
+    )
+
     # documents ops at the given sf testdata (small side ops)
     docs_path = f"{sf_dir}/documents.parquet"
     if os.path.exists(docs_path):

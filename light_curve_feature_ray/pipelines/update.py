@@ -218,6 +218,7 @@ def rollup_update(
     *,
     hot_list=None,
     max_update_convs: int = 2_000_000,
+    exchange_partitions: int | None = None,
 ):
     """Fold a delta of new turns into an existing tier-row Dataset.
 
@@ -226,7 +227,13 @@ def rollup_update(
     are recomputed bit-identically to a full rollup over
     (old turns + delta) under the append contract in the module docs.
     ``config`` must match the one that produced ``old_tiers_ds``
-    (``num_partitions`` resolved, ``store_points=True``)."""
+    (``num_partitions`` resolved, ``store_points=True``).
+
+    ``exchange_partitions`` sizes the update's OWN exchange — the output
+    is partition-invariant (tested), so a small delta should use far
+    fewer partitions than the store was built with; the store modulus
+    only matters at the job level (update_rollup_job), where rewritten
+    files must align with existing ones."""
     if not config.store_points:
         raise ValueError(
             "rollup_update needs store_points=True: the 1m Gorilla points "
@@ -244,15 +251,21 @@ def rollup_update(
     conv_ref = ray.put(pa.array(sorted(convs), type=pa.string()))
     hot_ref = ray.put(list(hot_list)) if hot_list else None
 
+    ex_cfg = config
+    if exchange_partitions is not None:
+        from dataclasses import replace
+
+        ex_cfg = replace(config, num_partitions=int(exchange_partitions))
+
     derived = delta_ds.map_batches(
-        DeriveAssign(config, hot_list=hot_list),
+        DeriveAssign(ex_cfg, hot_list=hot_list),
         batch_format="pyarrow",
         batch_size=None,
         zero_copy_batch=True,
     ).map_batches(_delta_prep, batch_format="pyarrow", batch_size=None)
 
     old_points = old_tiers_ds.map_batches(
-        _extract_points_fn(conv_ref, config, hot_ref),
+        _extract_points_fn(conv_ref, ex_cfg, hot_ref),
         batch_format="pyarrow",
         batch_size=None,
     )
@@ -260,7 +273,7 @@ def rollup_update(
     recomputed = (
         derived.union(old_points)
         .groupby("part")
-        .map_groups(_update_worker_fn(config, hot_ref), batch_format="pyarrow")
+        .map_groups(_update_worker_fn(ex_cfg, hot_ref), batch_format="pyarrow")
     )
 
     passthrough = old_tiers_ds.map_batches(

@@ -210,3 +210,23 @@ def test_update_rollup_job(ray_session, tmp_path):
     )
     again = read_rollup_output(out_dir).to_pandas().drop(columns=["part"])
     _assert_same(full, again)
+
+
+def test_update_exchange_partitions_invariant(ray_session):
+    """A small exchange modulus for the update produces identical rows."""
+    tbl = synth_transcripts_table(n_convs=10, mean_turns=30, hot_convs=0, seed=7)
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.rollup import rollup_dataset
+    from light_curve_feature_ray.pipelines.update import rollup_update
+
+    df = tbl.to_pandas()
+    mask = _suffix_mask(df, 0.3, only_even_convs=True)
+    old = rollup_dataset(
+        rd.from_arrow(pa.Table.from_pandas(df[~mask], preserve_index=False)),
+        _cfg(),
+    ).materialize()
+    delta = rd.from_arrow(pa.Table.from_pandas(df[mask], preserve_index=False))
+    a = rollup_update(old, delta, _cfg()).to_pandas()
+    b = rollup_update(old, delta, _cfg(), exchange_partitions=3).to_pandas()
+    _assert_same(a, b)
