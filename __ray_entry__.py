@@ -2239,6 +2239,34 @@ SQL_EVENTS_VALUE_QUANTILES = "\nUNION ALL\n".join(
 )
 
 
+def q_events_type_quantiles(sf_dir: str):
+    """Exact per-group quantiles (pipelines/quantiles.py
+    grouped_quantile_cont): one hash shuffle on event_type, vectorized
+    per-partition order statistics — no per-group Python, no global
+    sort. Same bit-parity interpolation as events_value_quantiles."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import (
+        grouped_quantile_cont,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = grouped_quantile_cont(
+        ev, "event_type", "value", QUANTILE_QS, num_partitions=8
+    )
+    return _finalize(out, skip=("q",))
+
+
+SQL_EVENTS_TYPE_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT event_type, {q} AS q,"
+    f" round(quantile_cont(value, {q}), 6) AS value"
+    " FROM events GROUP BY event_type"
+    for q in QUANTILE_QS
+)
+
+
 def q_events_hll_users(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via the
     HyperLogLog aggregate (pipelines/sketches.py) with the
@@ -2567,6 +2595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_enriched": q_orders_enriched,
         "lineitem_orders_join": q_lineitem_orders_join,
         "events_value_quantiles": q_events_value_quantiles,
+        "events_type_quantiles": q_events_type_quantiles,
         "events_hll_users": q_events_hll_users,
         "events_top_users": q_events_top_users,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2633,6 +2662,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_enriched": SQL_ORDERS_ENRICHED,
         "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
         "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
+        "events_type_quantiles": SQL_EVENTS_TYPE_QUANTILES,
         "events_top_users": SQL_EVENTS_TOP_USERS,
         "events_hll_users": SQL_EVENTS_HLL_USERS,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,

@@ -268,3 +268,77 @@ def quantile_cont(ds, col: str, qs, **kw) -> pd.DataFrame:
             ],
         }
     )
+
+
+def grouped_quantile_cont(
+    ds,
+    group_col: str,
+    col: str,
+    qs,
+    num_partitions: int | None = None,
+):
+    """Exact per-group continuous quantiles: ONE hash shuffle on the
+    group key, then a fully vectorized per-partition kernel (one lexsort
+    over (group, value), segment offsets, gather) — no per-group Python,
+    no global sort. Same bit-parity interpolation as
+    :func:`quantile_cont`.
+
+    Partitioning assumption (documented per the custom-operator
+    contract): one group's rows fit in one partition's task memory —
+    the same key-locality assumption the rollup makes. NaN values are
+    excluded per group; groups with only NaN are dropped."""
+    from .text import _auto_pair_parts
+
+    qs = np.array([float(q) for q in qs])
+    if ((qs < 0) | (qs > 1)).any():
+        raise ValueError("quantiles must be in [0, 1]")
+    num_partitions = num_partitions or _auto_pair_parts()
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        # string-capable deterministic hash (fixed-key siphash), the same
+        # spelling top_k_per_group uses
+        h = pd.util.hash_array(b[group_col].to_numpy(), categorize=False)
+        b = b.copy()
+        b["part"] = (h % np.uint64(num_partitions)).astype(np.int32)
+        return b
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part[group_col].to_numpy()
+        v = part[col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        g, v = g[ok], v[ok]
+        if g.size == 0:
+            return pd.DataFrame({group_col: [], "q": [], "value": []})
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        new = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, g.size])
+        ngroups = starts.size
+        out_g, out_q, out_v = [], [], []
+        for q in qs:
+            h = q * (counts - 1.0)
+            k = np.floor(h).astype(np.int64)
+            frac = h - k
+            k2 = np.where(frac == 0.0, k, k + 1)
+            lo = v[starts + k]
+            hi = v[starts + np.minimum(k2, counts - 1)]
+            out_g.append(g[starts])
+            out_q.append(np.full(ngroups, q))
+            out_v.append(lo * (1.0 - frac) + hi * frac)
+        return pd.DataFrame(
+            {
+                group_col: np.concatenate(out_g),
+                "q": np.concatenate(out_q),
+                "value": np.concatenate(out_v),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pandas", batch_size=None)
+        .groupby("part")
+        .map_groups(
+            lambda p: per_part(p.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )

@@ -90,3 +90,42 @@ def test_bounds_and_errors(ray_session):
     ).repartition(5)
     got = quantile_cont(dup, "x", [0.25, 0.75], max_candidates=50)
     assert list(got["value"]) == [1.0, 2.0]
+
+
+def test_grouped_quantiles_bitexact_and_invariant(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import (
+        grouped_quantile_cont,
+    )
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "dup"], 8000),
+            "x": rng.normal(0, 50, 8000),
+        }
+    )
+    df.loc[df["g"] == "dup", "x"] = 7.0  # whole-group duplicates
+    df.loc[rng.random(8000) < 0.05, "x"] = np.nan
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    outs = []
+    for p in (2, 7):
+        got = (
+            grouped_quantile_cont(
+                rd.from_pandas(df).repartition(9), "g", "x", qs,
+                num_partitions=p,
+            )
+            .to_pandas()
+            .sort_values(["g", "q"])
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+        for (gname, q), row in got.groupby(["g", "q"]):
+            e = duckdb.sql(
+                f"select quantile_cont(x, {q!r}) from df "
+                f"where g = '{gname}' and not isnan(x)"
+            ).fetchone()[0]
+            v = row["value"].iloc[0]
+            assert v == e, (gname, q, v, e)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
