@@ -1623,6 +1623,53 @@ def q_doc_dedup_groups(sf_dir: str):
     return ds.map_batches(cast_cols, batch_format="pandas", batch_size=None)
 
 
+def q_doc_canonical(sf_dir: str):
+    """Canonical-document selection: dedup clusters (connected components
+    over n-gram Jaccard pairs) -> native hash join to each doc's quality
+    (n_chars) -> exact top-1 per cluster (top_k_per_group) — keep the
+    BEST document per near-dup cluster, not merely the min-id one. Pure
+    composition of three existing operators."""
+    from light_curve_feature_ray.pipelines.graph import (
+        dedup_keep_representatives,
+    )
+    from light_curve_feature_ray.pipelines.sampling import top_k_per_group
+    from light_curve_feature_ray.pipelines.text import ngram_jaccard_dups
+
+    import pandas as pd
+    import ray.data as rd
+
+    pairs = ngram_jaccard_dups(_docs(sf_dir), k=5, threshold=0.3, max_df=100)
+    comps = dedup_keep_representatives(pairs).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "rep_id": b["rep_id"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    quality = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    joined = comps.join(quality, "inner", 8, on=("doc_id",))
+    return top_k_per_group(
+        joined, group_col="rep_id", score_col="n_chars", k=1,
+        tiebreak_col="doc_id",
+    )
+
+
+def _build_sql_doc_canonical() -> str:
+    return f"""
+SELECT doc_id, rep_id, n_chars, rk FROM (
+    SELECT c.doc_id, c.rep_id, d.n_chars,
+           row_number() OVER (PARTITION BY c.rep_id
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rk
+    FROM ({SQL_DOC_DEDUP_GROUPS}) c JOIN documents d USING (doc_id)
+) WHERE rk = 1
+"""
+
+
 SQL_DOC_NGRAM_JACCARD = r"""
 WITH w AS (
     SELECT doc_id,
@@ -2611,6 +2658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_k_per_lang": q_doc_top_k_per_lang,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_groups": q_doc_dedup_groups,
+        "doc_canonical": q_doc_canonical,
         "doc_redact": q_doc_redact,
         "doc_winnow": q_doc_winnow,
         "emb_cosine_dups": q_emb_cosine_dups,
@@ -2678,6 +2726,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_k_per_lang": SQL_DOC_TOP_K_PER_LANG,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "doc_dedup_groups": SQL_DOC_DEDUP_GROUPS,
+        "doc_canonical": _build_sql_doc_canonical(),
         "doc_redact": SQL_DOC_REDACT,
         "doc_winnow": SQL_DOC_WINNOW,
         "doc_simhash": SQL_DOC_SIMHASH,
