@@ -1464,6 +1464,64 @@ def _build_sql_doc_split() -> str:
     return f"SELECT doc_id, lang, {case} AS split FROM documents"
 
 
+PACK_BUDGET = 512
+
+
+def q_doc_pack(sf_dir: str):
+    """GPT-style concat-and-chunk sequence packing (pipelines/scan.py):
+    documents laid out in doc_id order and cut into fixed 512-token
+    packs via the distributed two-phase prefix scan — pack_id/pack_offset
+    are a pure function of the exclusive token prefix sum."""
+    from light_curve_feature_ray.pipelines.scan import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), budget=PACK_BUDGET)
+
+
+SQL_DOC_PACK = f"""
+WITH tok AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_REGEX}')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+), pre AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+    FROM tok
+)
+SELECT doc_id, n_tokens,
+       p // {PACK_BUDGET} AS pack_id,
+       p % {PACK_BUDGET} AS pack_offset
+FROM pre
+"""
+
+
+def q_doc_shuffle(sf_dir: str):
+    """Deterministic global training shuffle (pipelines/scan.py
+    shuffle_rank): 0-based rank in (lehmer_hash(doc_id), doc_id) order
+    via the distributed prefix scan in count mode — the identical
+    permutation at any parallelism, reproducible by ROW_NUMBER in SQL."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.scan import shuffle_rank
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shuffle_rank(docs, seed=7)
+
+
+def _build_sql_doc_shuffle() -> str:
+    from light_curve_feature_ray.pipelines.sampling import lehmer_sql
+
+    return f"""
+WITH h AS (
+    SELECT doc_id, {lehmer_sql("doc_id", seed=7)} AS shuffle_h FROM documents
+)
+SELECT doc_id, shuffle_h,
+       ROW_NUMBER() OVER (ORDER BY shuffle_h, doc_id) - 1 AS shuffle_rank
+FROM h
+"""
+
+
 def q_doc_top_k_per_lang(sf_dir: str):
     """Exact longest-5-documents-per-language curation: block-local top-k
     combiner, one hash shuffle on lang, vectorized per-partition reduce
@@ -2655,6 +2713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_sample": q_doc_hash_sample,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_split": q_doc_split,
+        "doc_pack": q_doc_pack,
+        "doc_shuffle": q_doc_shuffle,
         "doc_top_k_per_lang": q_doc_top_k_per_lang,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_groups": q_doc_dedup_groups,
@@ -2723,6 +2783,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_sample": _build_sql_doc_hash_sample(),
         "doc_stratified_sample": _build_sql_doc_stratified_sample(),
         "doc_split": _build_sql_doc_split(),
+        "doc_pack": SQL_DOC_PACK,
+        "doc_shuffle": _build_sql_doc_shuffle(),
         "doc_top_k_per_lang": SQL_DOC_TOP_K_PER_LANG,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "doc_dedup_groups": SQL_DOC_DEDUP_GROUPS,

@@ -1,0 +1,217 @@
+"""Distributed ordered prefix scan + the curation operators built on it.
+
+Ray Data has no running-total / window-function primitive; a global
+``SUM(x) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)`` looks inherently
+sequential, but it is the classic two-phase parallel scan (Blelloch 1990):
+
+1. **Partial pass** — every block bins its rows into contiguous key-range
+   buckets (a range partition of the order key) and emits one partial sum
+   per bucket it touches.  A vocabulary-sized ``groupby(bucket).sum``
+   reduces those to ONE row per bucket; only that tiny table (``<=
+   num_buckets`` rows) is collected on the driver, where the exclusive
+   scan over bucket totals is a numpy one-liner.
+2. **Scan pass** — rows shuffle ONCE on their bucket (a range exchange,
+   balanced whenever the order key is dense or a uniform hash), each
+   bucket sorts locally by the full order key and adds its in-bucket
+   exclusive cumsum to the driver-computed bucket offset.
+
+The result is exactly the sequential prefix sum, independent of block
+layout / parallelism / retries (pytest asserts this), with one small
+aggregate pass + one range shuffle — the same cost class as a sort.
+
+Built on it:
+
+- :func:`pack_sequences` — GPT-style training-sequence packing: documents
+  are concatenated in ``doc_id`` order and chunked into fixed
+  ``budget``-token packs (documents may straddle pack boundaries — the
+  concat-and-chunk layout used for LM pretraining). ``pack_id`` /
+  ``pack_offset`` for every document follow directly from the exclusive
+  prefix sum of token counts.
+- :func:`shuffle_rank` — deterministic global training shuffle: rank in
+  ``(lehmer_hash(id), id)`` order.  Unlike ``ds.random_shuffle()`` the
+  permutation is a pure function of the ids — reproducible across
+  clusters, resumable, and SQL-checkable (``ROW_NUMBER() OVER (ORDER BY
+  hash, id)``).
+
+Scale notes: the driver only ever holds ``num_buckets`` partial rows;
+everything else is ``map_batches`` + one ``groupby``.  Buckets are
+contiguous key ranges, so skew follows the key distribution — dense ids
+and Lehmer hashes are uniform; pass a larger ``num_buckets`` for lumpy
+keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .sampling import LEHMER_MOD, lehmer_hash
+
+
+def _bucket_of(key: np.ndarray, lo: int, hi: int, num_buckets: int) -> np.ndarray:
+    """Fixed-width range bucket of an int64 order key in [lo, hi]."""
+    span = max(int(hi) - int(lo) + 1, 1)
+    width = -(-span // num_buckets)  # ceil
+    b = (key.astype(np.int64) - lo) // width
+    return np.clip(b, 0, num_buckets - 1)
+
+
+def ordered_prefix_sum(
+    ds,
+    *,
+    order_cols: list[str],
+    value_col: str | None = None,
+    key_lo: int | None = None,
+    key_hi: int | None = None,
+    num_buckets: int = 256,
+    out_col: str = "prefix",
+):
+    """Append the EXCLUSIVE running sum of ``value_col`` (or the 0-based
+    row rank when ``value_col`` is None) in ``order_cols`` lexicographic
+    order.  ``order_cols[0]`` must be an int64 column; ``key_lo``/``key_hi``
+    bound it (discovered with a cheap min/max aggregate when omitted —
+    pass them to skip that pass).  Output row order is not significant
+    (the prefix travels as a column); sums must stay below 2**53.
+    """
+    key_col = order_cols[0]
+    if key_lo is None:
+        key_lo = int(ds.min(key_col))
+    if key_hi is None:
+        key_hi = int(ds.max(key_col))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy(zero_copy_only=False)
+        b = _bucket_of(key, key_lo, key_hi, num_buckets)
+        if value_col is None:
+            v = np.ones(batch.num_rows, dtype=np.int64)
+        else:
+            v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.zeros(num_buckets, dtype=np.int64)
+        np.add.at(sums, b, v)
+        touched = np.flatnonzero(sums)
+        return pa.table(
+            {
+                "bucket": pa.array(touched.astype(np.int64)),
+                "psum": pa.array(sums[touched]),
+            }
+        )
+
+    bucket_rows = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .sum("psum")
+        .take_all()
+    )  # <= num_buckets rows — the only driver-side collection
+    totals = np.zeros(num_buckets, dtype=np.int64)
+    for r in bucket_rows:
+        totals[int(r["bucket"])] = int(r["sum(psum)"])
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy(zero_copy_only=False)
+        b = _bucket_of(key, key_lo, key_hi, num_buckets)
+        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def scan_bucket(grp: pd.DataFrame) -> pd.DataFrame:
+        cols = [grp[c].to_numpy() for c in order_cols]
+        order = np.lexsort(tuple(reversed(cols)))
+        grp = grp.iloc[order].reset_index(drop=True)
+        if value_col is None:
+            v = np.ones(len(grp), dtype=np.int64)
+        else:
+            v = grp[value_col].to_numpy().astype(np.int64)
+        excl = np.concatenate(([0], np.cumsum(v)[:-1]))
+        base = int(offsets[int(grp["bucket"].iloc[0])]) if len(grp) else 0
+        grp[out_col] = base + excl
+        return grp.drop(columns=["bucket"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
+
+
+def pack_sequences(
+    docs_ds,
+    *,
+    budget: int,
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+    key_lo: int | None = None,
+    key_hi: int | None = None,
+):
+    """Concat-and-chunk sequence packing: documents are laid out in
+    ``id_col`` order and cut into fixed ``budget``-token packs.  Emits
+    ``(doc_id, n_tokens, pack_id, pack_offset)`` where ``pack_id`` is the
+    pack containing the document's FIRST token and ``pack_offset`` its
+    position inside that pack.  Tokenization is :func:`..text.token_count`
+    (SQL-oracle parity).  A document longer than ``budget`` simply spans
+    ``>1`` packs — concat-and-chunk semantics, no greedy repacking."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from .text import token_count
+
+    toks = token_count(docs_ds)
+    with_prefix = ordered_prefix_sum(
+        toks,
+        order_cols=[id_col],
+        value_col="n_tokens",
+        key_lo=key_lo,
+        key_hi=key_hi,
+        num_buckets=num_buckets,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pre = batch.column("prefix").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": batch.column("n_tokens"),
+                "pack_id": pa.array((pre // budget).astype(np.int64)),
+                "pack_offset": pa.array((pre % budget).astype(np.int64)),
+            }
+        )
+
+    return with_prefix.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def shuffle_rank(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_buckets: int = 256,
+    out_col: str = "shuffle_rank",
+    hash_col: str | None = "shuffle_h",
+):
+    """Deterministic global shuffle order: 0-based rank of each row in
+    ``(lehmer_hash(id, seed), id)`` order.  A pure function of the ids —
+    the identical permutation at any parallelism, on any cluster, after
+    any retry — which is what a resumable 100-TB training-data pipeline
+    needs from its shuffle (``ds.random_shuffle`` gives none of that).
+    Consumers sort/range-read by the rank column."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = lehmer_hash(ids.astype(np.int64), seed)
+        return batch.append_column("_h", pa.array(h, type=pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
+    ranked = ordered_prefix_sum(
+        hashed,
+        order_cols=["_h", id_col],
+        value_col=None,
+        key_lo=0,
+        key_hi=LEHMER_MOD - 1,
+        num_buckets=num_buckets,
+        out_col=out_col,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if hash_col:
+            batch = batch.append_column(hash_col, batch.column("_h"))
+        return batch.drop_columns(["_h"])
+
+    return ranked.map_batches(finish, batch_format="pyarrow", batch_size=None)
