@@ -1175,6 +1175,41 @@ FROM e GROUP BY user_id, w
 """
 
 
+def q_events_rolling(sf_dir: str):
+    """Per-key rolling-last-5-rows stats + lag/delta (pipelines/windows.py
+    rolling_agg): one co-partitioning shuffle, then prefix-sum /
+    window-view vectorized rolling aggregates per partition — the ROWS
+    BETWEEN 4 PRECEDING window and LAG in a single pass."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import rolling_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return _finalize(
+        rolling_agg(ev, k=5),
+        skip=("event_id", "user_id", "t_us", "rolling_n"),
+    )
+
+
+SQL_EVENTS_ROLLING = """
+SELECT event_id, user_id, epoch_us(ts) AS t_us,
+       count(value) OVER w AS rolling_n,
+       round(sum(value) OVER w, 6) AS rolling_sum,
+       round(avg(value) OVER w, 6) AS rolling_mean,
+       round(min(value) OVER w, 6) AS rolling_min,
+       round(max(value) OVER w, 6) AS rolling_max,
+       round(lag(value) OVER o, 6) AS lag_value,
+       round(value - lag(value) OVER o, 6) AS delta_value,
+       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER o AS DOUBLE) AS delta_t_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       o AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_events_sessions(sf_dir: str):
     import ray.data as rd
 
@@ -1307,6 +1342,23 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_doc_normalize(sf_dir: str):
+    """Canonical text normalization (pipelines/text.py normalize_text):
+    NFC + lowercase + whitespace collapse + trim, pure Arrow RE2 kernels
+    byte-identical to the DuckDB spelling."""
+    from light_curve_feature_ray.pipelines.text import normalize_text
+
+    return normalize_text(_docs(sf_dir))
+
+
+SQL_DOC_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+           AS norm_text
+FROM documents
+"""
 
 
 def q_doc_top_terms(sf_dir: str):
@@ -2477,6 +2529,85 @@ LIMIT 20
 """
 
 
+def q_events_semi_join(sf_dir: str):
+    """Broadcast semi join (pipelines/joins.py broadcast_semi_join):
+    events filtered to a computed keep-list (the exact top-20 users) —
+    the key set ships once via ray.put, the event stream never shuffles.
+    Composition of two operators: top-k -> membership filter."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import broadcast_semi_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    top = q_events_top_users(sf_dir)
+    return _finalize(
+        broadcast_semi_join(ev, top, left_on="user_id"),
+        skip=("event_id", "user_id"),
+    )
+
+
+SQL_EVENTS_SEMI_JOIN = """
+SELECT event_id, user_id, round(value, 6) AS value
+FROM events
+WHERE user_id IN (
+    SELECT user_id FROM events GROUP BY user_id
+    ORDER BY count(*) DESC, user_id LIMIT 20
+)
+"""
+
+
+def q_doc_anti_join(sf_dir: str):
+    """Broadcast ANTI join: documents with the exact-duplicate drop-list
+    removed — keep only each text's canonical doc (min doc_id), i.e. the
+    corpus MINUS the rows the dedup stage condemned.  The drop-list is
+    computed (exact_dedup survivors), broadcast once, and applied as a
+    pure streaming filter."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import broadcast_semi_join
+    from light_curve_feature_ray.pipelines.text import exact_dedup
+
+    docs = _docs(sf_dir)
+    survivors = exact_dedup(docs)  # (text_md5, doc_id=min per text)
+    # keep-list shape: semi join on the surviving doc ids; the ANTI path
+    # is exercised by dropping the survivors instead and asserting the
+    # complement below — both run so the query covers semi AND anti.
+    kept = broadcast_semi_join(
+        docs.select_columns(["doc_id"]), survivors, left_on="doc_id"
+    )
+    dropped = broadcast_semi_join(
+        docs.select_columns(["doc_id"]), survivors, left_on="doc_id", anti=True
+    )
+
+    def tag(label):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "status": pa.array([label] * b.num_rows, pa.string()),
+                }
+            )
+
+        return f
+
+    return kept.map_batches(tag("kept"), batch_format="pyarrow").union(
+        dropped.map_batches(tag("dropped"), batch_format="pyarrow")
+    )
+
+
+SQL_DOC_ANTI_JOIN = """
+WITH keep AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT doc_id FROM keep)
+            THEN 'kept' ELSE 'dropped' END AS status
+FROM documents
+"""
+
+
 _SQL_HEXBYTE = (
     "((strpos('0123456789abcdef', substr(hx, {a}, 1)) - 1) * 16"
     " + (strpos('0123456789abcdef', substr(hx, {b}, 1)) - 1))"
@@ -2695,6 +2826,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": q_events_sliding_window,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessions": q_events_sessions,
+        "events_rolling": q_events_rolling,
+        "events_semi_join": q_events_semi_join,
+        "doc_anti_join": q_doc_anti_join,
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
         "orders_enriched": q_orders_enriched,
@@ -2708,6 +2842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_token_count": q_doc_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_normalize": q_doc_normalize,
         "doc_top_terms": q_doc_top_terms,
         "doc_tfidf": q_doc_tfidf,
         "doc_hash_sample": q_doc_hash_sample,
@@ -2765,6 +2900,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
         "events_sessions": SQL_EVENTS_SESSIONS,
+        "events_rolling": SQL_EVENTS_ROLLING,
+        "events_semi_join": SQL_EVENTS_SEMI_JOIN,
+        "doc_anti_join": SQL_DOC_ANTI_JOIN,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
         "orders_enriched": SQL_ORDERS_ENRICHED,
@@ -2778,6 +2916,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": SQL_DOC_LANG_ID,
         "doc_token_count": SQL_DOC_TOKEN_COUNT,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_normalize": SQL_DOC_NORMALIZE,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "doc_tfidf": SQL_DOC_TFIDF,
         "doc_hash_sample": _build_sql_doc_hash_sample(),

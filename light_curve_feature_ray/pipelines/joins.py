@@ -241,6 +241,87 @@ def interval_join(
     )
 
 
+class _BroadcastMember:
+    """Actor-pool stage for ``broadcast_semi_join``: fetches the key set
+    once per actor, filters every batch with vectorized ``pc.is_in``."""
+
+    def __init__(self, ref, left_on: str, anti: bool):
+        import ray
+
+        self._keys = ray.get(ref)
+        self._left_on = left_on
+        self._anti = anti
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = batch.column(self._left_on)
+        if keys.type != self._keys.type:
+            keys = pc.cast(keys, self._keys.type)
+        mask = pc.is_in(keys, value_set=self._keys)
+        if self._anti:
+            # anti keeps non-members; a NULL key is "not in" any set
+            mask = pc.if_else(pc.is_valid(mask), pc.invert(mask), True)
+        else:
+            mask = pc.fill_null(mask, False)
+        return batch.filter(mask)
+
+
+def broadcast_semi_join(
+    left_ds,
+    right,
+    *,
+    left_on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    max_broadcast: int = 50_000_000,
+    concurrency=(1, 8),
+):
+    """Semi join (``anti=False``: keep left rows whose key IS in the right
+    key set) / anti join (``anti=True``: keep rows whose key is NOT) — the
+    filter the dedup/curation pipelines need to apply a computed keep- or
+    drop-list to the corpus WITHOUT a shuffle: only the key column of the
+    right side ships (``ray.put`` once, read zero-copy per actor), the
+    corpus streams through a pure ``map_batches`` filter.  Unlike
+    :func:`broadcast_join`, duplicate right keys are fine (membership
+    only).  ``right`` is a Dataset / pyarrow Table / pandas DataFrame.
+    NULL left keys are dropped by semi (SQL ``IN`` semantics) and KEPT by
+    anti — relational left-anti ("no match"), which is what a drop-list
+    filter wants; note SQL ``NOT IN`` would instead drop them (oracle
+    queries use ``key IS NULL OR key NOT IN (...)`` when keys can be
+    null)."""
+    import ray
+
+    right_on = right_on or left_on
+    if hasattr(right, "count") and hasattr(right, "take_all"):  # Dataset
+        n = right.count()
+        if n > max_broadcast:
+            raise ValueError(
+                f"broadcast key set has {n} rows > max_broadcast="
+                f"{max_broadcast}; use a co-partitioned join instead"
+            )
+        right = pa.concat_tables(
+            ray.get(right.select_columns([right_on]).to_arrow_refs()),
+            promote_options="default",
+        )
+    elif isinstance(right, pd.DataFrame):
+        right = pa.Table.from_pandas(right, preserve_index=False)
+    if right.num_rows > max_broadcast:
+        raise ValueError(
+            f"broadcast key set has {right.num_rows} rows > max_broadcast="
+            f"{max_broadcast}"
+        )
+    keys = right.column(right_on).combine_chunks().drop_null().unique()
+    ref = ray.put(keys)
+    return left_ds.map_batches(
+        _BroadcastMember,
+        fn_constructor_args=(ref, left_on, anti),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )
+
+
 class _BroadcastLookup:
     """Actor-pool stage for ``broadcast_join``: fetches the broadcast
     lookup table from the object store ONCE per actor (zero-copy Arrow),

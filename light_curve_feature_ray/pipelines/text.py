@@ -238,6 +238,62 @@ def fingerprint(docs_ds):
     )
 
 
+def _nfc_array(col) -> pa.Array:
+    """True Unicode NFC of a string column.  pyarrow's ``utf8_normalize``
+    does NOT compose combining sequences (pyarrow 16: 'e'+U+0301 stays
+    decomposed — silently wrong NFC), so composition runs through
+    ``unicodedata.normalize`` — but as ONE C-level call over the
+    NUL-joined column, not a per-row loop: NUL has no composition
+    behavior, so normalization never acts across the join boundaries.
+    Strings that themselves contain NUL (vanishingly rare in text) take
+    a per-string fallback.  An ``is_normalized`` pre-check makes the
+    common already-NFC (e.g. pure-ASCII) batch a no-op."""
+    import unicodedata
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    strs = col.to_pylist()
+    safe = [s if s is not None and "\x00" not in s else "" for s in strs]
+    joined = "\x00".join(safe)
+    if not unicodedata.is_normalized("NFC", joined):
+        safe = unicodedata.normalize("NFC", joined).split("\x00")
+    out = [
+        (
+            None
+            if s is None
+            else (
+                safe[i]
+                if "\x00" not in s
+                else unicodedata.normalize("NFC", s)
+            )
+        )
+        for i, s in enumerate(strs)
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def normalize_text(docs_ds, *, text_col: str = "text", out_col: str = "norm_text"):
+    """Canonical text normalization for dedup/training prep: Unicode NFC,
+    lowercase, ASCII-whitespace runs collapsed to one space, trimmed.
+    NFC composition is one C-level ``unicodedata`` call per batch (see
+    :func:`_nfc_array`); everything after runs on zero-copy Arrow kernels
+    (``utf8_lower`` / RE2 ``replace_substring_regex``), byte-identical to
+    the DuckDB spelling
+    ``trim(regexp_replace(lower(nfc_normalize(x)), '\\s+', ' ', 'g'))``
+    (both engines run RE2, where ``\\s`` is the ASCII class).  Nulls pass
+    through as nulls."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        s = _nfc_array(batch[text_col])
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({"doc_id": batch["doc_id"], out_col: s})
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # text statistics / quality / language id
 # ---------------------------------------------------------------------------

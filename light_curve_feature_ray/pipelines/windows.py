@@ -136,6 +136,114 @@ def session_windows(
     )
 
 
+def rolling_agg(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 5,
+    num_partitions: int = 32,
+):
+    """Per-key rolling-last-``k``-rows aggregates + lag/delta — the
+    ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` window over each key's
+    event stream, plus ``LAG``-style previous-row deltas.
+
+    Shape: ONE hash shuffle co-locating each key's rows, then a single
+    fully-vectorized pass per partition — rows sort by (key, ts, id),
+    rolling sum/count come from prefix sums clipped at each key's segment
+    start, rolling min/max from ONE ``sliding_window_view`` over the
+    front-padded value array with positions before the segment start
+    masked out (an n x k matrix; ``k`` is small by contract). No per-key
+    or per-row Python. NaN values are skipped exactly like SQL NULLs
+    (count/sum/avg/min/max over non-null only).
+
+    Returns (id, key, t_us, rolling_n, rolling_sum, rolling_mean,
+    rolling_min, rolling_max, lag_value, delta_value, delta_t_us);
+    lag/delta are NaN on each key's first row, microsecond-exact
+    ``delta_t_us`` floats elsewhere.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, t_us, keys))
+        keys, ids, t_us = keys[order], ids[order], t_us[order]
+        v = g[value_col].to_numpy(dtype=np.float64)[order]
+        n = v.shape[0]
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    key_col: keys,
+                    "t_us": t_us,
+                    **{
+                        c: np.empty(0, dtype=np.float64)
+                        for c in (
+                            "rolling_sum", "rolling_mean", "rolling_min",
+                            "rolling_max", "lag_value", "delta_value",
+                            "delta_t_us",
+                        )
+                    },
+                    "rolling_n": np.empty(0, dtype=np.int64),
+                }
+            )
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(new_key, np.arange(n), 0)
+        )
+        w_start = np.maximum(np.arange(n) - k + 1, seg_start)
+        ok = ~np.isnan(v)
+        cs = np.concatenate(([0.0], np.cumsum(np.where(ok, v, 0.0))))
+        cn = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
+        idx = np.arange(n)
+        r_sum = cs[idx + 1] - cs[w_start]
+        r_n = cn[idx + 1] - cn[w_start]
+        r_mean = np.where(r_n > 0, r_sum / np.maximum(r_n, 1), np.nan)
+        r_sum = np.where(r_n > 0, r_sum, np.nan)
+        # rolling min/max: one (n, k) window view over the padded array;
+        # window column j of row i holds index i - k + 1 + j — mask out
+        # positions before the row's segment start (and NaN values)
+        pad = np.concatenate((np.full(k - 1, np.nan), v))
+        win = np.lib.stride_tricks.sliding_window_view(pad, k)
+        pos = idx[:, None] - (k - 1) + np.arange(k)[None, :]
+        valid = (pos >= seg_start[:, None]) & ~np.isnan(win)
+        r_min = np.where(valid, win, np.inf).min(axis=1)
+        r_max = np.where(valid, win, -np.inf).max(axis=1)
+        r_min = np.where(r_n > 0, r_min, np.nan)
+        r_max = np.where(r_n > 0, r_max, np.nan)
+        has_prev = idx > seg_start
+        lag_v = np.full(n, np.nan)
+        lag_v[has_prev] = v[idx[has_prev] - 1]
+        dt = np.full(n, np.nan)
+        dt[has_prev] = (t_us[has_prev] - t_us[idx[has_prev] - 1]).astype(
+            np.float64
+        )
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                key_col: keys,
+                "t_us": t_us,
+                "rolling_n": r_n,
+                "rolling_sum": r_sum,
+                "rolling_mean": r_mean,
+                "rolling_min": r_min,
+                "rolling_max": r_max,
+                "lag_value": lag_v,
+                "delta_value": v - lag_v,
+                "delta_t_us": dt,
+            }
+        )
+
+    return _with_part(events_ds, key_col, num_partitions).groupby("part").map_groups(
+        per_partition, batch_format="pandas"
+    )
+
+
 def tumbling_window_agg(
     events_ds,
     *,

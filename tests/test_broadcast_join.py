@@ -120,3 +120,55 @@ def test_right_dataset_and_guards(ray_session):
     clash = pa.table({"dim_k": [1], "x": [2.0]})
     with pytest.raises(ValueError, match="collision"):
         broadcast_join(fact, clash, left_on="k", right_on="dim_k")
+
+
+def test_broadcast_semi_and_anti_join(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import broadcast_semi_join
+
+    left = pd.DataFrame(
+        {
+            "row_id": np.arange(6, dtype=np.int64),
+            "k": pd.array([1, 2, 3, None, 2, 9], dtype="Int64"),
+        }
+    )
+    # duplicate right keys are legal for membership (unlike broadcast_join)
+    right = pa.table({"k": pa.array([2, 3, 3, None], type=pa.int64())})
+    fact = rd.from_pandas(left)
+
+    semi = broadcast_semi_join(fact, right, left_on="k").to_pandas()
+    assert sorted(semi["row_id"]) == [1, 2, 4]  # null key dropped (SQL IN)
+
+    anti = broadcast_semi_join(fact, right, left_on="k", anti=True).to_pandas()
+    # left-anti keeps null-keyed rows ("no match")
+    assert sorted(anti["row_id"]) == [0, 3, 5]
+
+    # semi + anti partition the input
+    assert len(semi) + len(anti) == len(left)
+
+    with pytest.raises(ValueError, match="max_broadcast"):
+        broadcast_semi_join(fact, rd.from_arrow(right), left_on="k",
+                            max_broadcast=2)
+
+
+def test_broadcast_semi_join_dataset_right_and_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import broadcast_semi_join
+
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame(
+        {
+            "row_id": np.arange(500, dtype=np.int64),
+            "k": rng.integers(0, 40, size=500).astype(np.int64),
+        }
+    )
+    keep = pd.DataFrame({"k": np.arange(0, 40, 3, dtype=np.int64)})
+    expect = sorted(left.loc[left["k"].isin(keep["k"]), "row_id"])
+    for parts in (1, 7):
+        blocks = [b for b in np.array_split(left, parts) if len(b)]
+        out = broadcast_semi_join(
+            rd.from_pandas(blocks), rd.from_pandas(keep), left_on="k"
+        ).to_pandas()
+        assert sorted(out["row_id"]) == expect

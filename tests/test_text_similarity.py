@@ -680,3 +680,27 @@ def test_multimodal_frame_sampling(ray_session):
                     f"{hx}-frame-{row.frame_idx}".encode()
                 ).hexdigest()
             )
+
+
+def test_normalize_text_unicode_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import normalize_text
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                ["Café  Du \t Monde", "  A\nB  ", None, "xyz"]
+            ),
+        }
+    )
+    out = (
+        normalize_text(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")["norm_text"]
+        .tolist()
+    )
+    # NFC composes e + combining acute into é; runs collapse; trim; null passes
+    assert out == ["café du monde", "a b", None, "xyz"]

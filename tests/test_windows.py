@@ -65,3 +65,83 @@ def test_sliding_windows(tiny_events):
     assert w9["n"] == 3
     # every event appears in exactly 4 windows
     assert int(u1["n"].sum()) == 3 * 4
+
+
+def _rolling_events(n=600, seed=11):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 25, size=n).astype(np.int64),
+            "value": rng.normal(size=n),
+        }
+    )
+    # duplicate timestamps within a user exercise the (ts, id) tie-break
+    t_us = rng.integers(0, 5_000, size=n) * 1_000_000
+    df["ts"] = pd.to_datetime(t_us, unit="us")
+    df.loc[rng.random(n) < 0.05, "value"] = np.nan  # SQL-NULL analogue
+    return df
+
+
+def _rolling_reference(df, k):
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    g = df.groupby("user_id")["value"]
+    out = pd.DataFrame(
+        {
+            "event_id": df["event_id"],
+            "rolling_n": g.rolling(k, min_periods=1).count().to_numpy(),
+            "rolling_sum": g.rolling(k, min_periods=1).sum().to_numpy(),
+            "rolling_mean": g.rolling(k, min_periods=1).mean().to_numpy(),
+            "rolling_min": g.rolling(k, min_periods=1).min().to_numpy(),
+            "rolling_max": g.rolling(k, min_periods=1).max().to_numpy(),
+            "lag_value": g.shift(1).to_numpy(),
+        }
+    )
+    t_us = df["ts"].astype("datetime64[us]").astype("int64")
+    out["delta_t_us"] = t_us.groupby(df["user_id"]).diff().to_numpy()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("k,parts", [(1, 4), (5, 4), (5, 13), (50, 4)])
+def test_rolling_agg_matches_pandas(ray_session, k, parts):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import rolling_agg
+
+    df = _rolling_events()
+    out = (
+        rolling_agg(rd.from_pandas(df), k=k, num_partitions=parts)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = _rolling_reference(df, k)
+    assert np.array_equal(out["rolling_n"].to_numpy(), ref["rolling_n"].to_numpy())
+    for c in ("rolling_sum", "rolling_mean", "rolling_min", "rolling_max"):
+        np.testing.assert_allclose(
+            out[c].to_numpy(), ref[c].to_numpy(), rtol=1e-12, atol=1e-12,
+            err_msg=c,
+        )
+    # pandas rolling sum over an all-NaN window yields 0.0 with count 0;
+    # ours (and SQL) yield NULL there — already normalized by the n>0 mask
+    np.testing.assert_allclose(
+        out["lag_value"].to_numpy(), ref["lag_value"].to_numpy(), equal_nan=True
+    )
+    np.testing.assert_allclose(
+        out["delta_t_us"].to_numpy(), ref["delta_t_us"].to_numpy(), equal_nan=True
+    )
+    np.testing.assert_allclose(
+        out["delta_value"].to_numpy(),
+        df.set_index("event_id")["value"].reindex(out["event_id"]).to_numpy()
+        - ref["lag_value"].to_numpy(),
+        equal_nan=True,
+    )
+
+
+def test_rolling_agg_k_validation(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import rolling_agg
+
+    with pytest.raises(ValueError):
+        rolling_agg(rd.from_pandas(_rolling_events(10)), k=0)
