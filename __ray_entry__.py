@@ -2529,6 +2529,39 @@ LIMIT 20
 """
 
 
+def q_events_deciles(sf_dir: str):
+    """Global ROW_NUMBER + NTILE(10) over (value, event_id) order
+    (pipelines/scan.py global_ntile): distributed rank via the count-mode
+    prefix scan on the order-preserving int64 view of the float key; the
+    tile is then a pure per-row function of (rank, total) with exact ANSI
+    NTILE remainder semantics."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.scan import global_ntile
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    out = global_ntile(ev, order_cols=["value"], id_col="event_id", k=10)
+    return _finalize(
+        out.map_batches(
+            lambda b: b.rename_columns(
+                [{"rank": "rnk"}.get(c, c) for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        ),
+        skip=("event_id", "rnk", "tile"),
+    )
+
+
+SQL_EVENTS_DECILES = """
+SELECT event_id, round(value, 6) AS value,
+       ROW_NUMBER() OVER (ORDER BY value, event_id) - 1 AS rnk,
+       NTILE(10) OVER (ORDER BY value, event_id) AS tile
+FROM events
+"""
+
+
 def q_events_semi_join(sf_dir: str):
     """Broadcast semi join (pipelines/joins.py broadcast_semi_join):
     events filtered to a computed keep-list (the exact top-20 users) —
@@ -2828,6 +2861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "events_rolling": q_events_rolling,
         "events_semi_join": q_events_semi_join,
+        "events_deciles": q_events_deciles,
         "doc_anti_join": q_doc_anti_join,
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
@@ -2902,6 +2936,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_rolling": SQL_EVENTS_ROLLING,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,
+        "events_deciles": SQL_EVENTS_DECILES,
         "doc_anti_join": SQL_DOC_ANTI_JOIN,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,

@@ -50,10 +50,16 @@ from .sampling import LEHMER_MOD, lehmer_hash
 
 
 def _bucket_of(key: np.ndarray, lo: int, hi: int, num_buckets: int) -> np.ndarray:
-    """Fixed-width range bucket of an int64 order key in [lo, hi]."""
+    """Fixed-width range bucket of an int64 order key in [lo, hi].
+    Offsets are computed in wraparound uint64 arithmetic so a span wider
+    than int64 (e.g. float keys mapped over the full bit space) stays
+    exact."""
     span = max(int(hi) - int(lo) + 1, 1)
-    width = -(-span // num_buckets)  # ceil
-    b = (key.astype(np.int64) - lo) // width
+    width = -(-span // num_buckets)  # ceil; fits uint64
+    off = key.astype(np.int64).view(np.uint64) - np.uint64(
+        int(lo) & 0xFFFFFFFFFFFFFFFF
+    )
+    b = (off // np.uint64(width)).astype(np.int64)
     return np.clip(b, 0, num_buckets - 1)
 
 
@@ -175,6 +181,114 @@ def pack_sequences(
         )
 
     return with_prefix.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def _monotone_int64(arr: np.ndarray) -> np.ndarray:
+    """Order-preserving int64 view of a numeric column, for range
+    bucketing and lexsort: int64 passes through; float64 maps via the
+    IEEE-754 bit trick (flip all bits of negatives, set the sign bit of
+    non-negatives — total order identical to numeric order).  NaN maps to
+    the maximum key, i.e. sorts LAST — matching SQL NULLS LAST once NaN
+    and NULL are identified (the engine-wide convention)."""
+    if arr.dtype == np.int64:
+        return arr
+    if arr.dtype != np.float64:
+        return arr.astype(np.int64)
+    v = np.where(np.isnan(arr), np.nan, arr)  # canonicalize -NaN -> +NaN
+    v = np.where(v == 0.0, 0.0, v)  # -0.0 == 0.0 must be a TIE, as in SQL
+    u = v.view(np.uint64)
+    neg = (u >> np.uint64(63)).astype(bool)
+    m = np.where(neg, ~np.uint64(0), np.uint64(1) << np.uint64(63))
+    return ((u ^ m) ^ (np.uint64(1) << np.uint64(63))).view(np.int64)
+
+
+def rank_rows(
+    ds,
+    *,
+    order_cols: list[str],
+    id_col: str,
+    num_buckets: int = 1024,
+    out_col: str = "rank",
+):
+    """Append the 0-based GLOBAL row rank in ``(order_cols, id_col)``
+    order — the distributed ``ROW_NUMBER() OVER (ORDER BY ...) - 1``.
+    ``order_cols`` may be float64 (NaN ranks last) or integer; ``id_col``
+    must be a unique integer so the rank is a total order at any
+    parallelism.  One count-mode prefix scan over the order-preserving
+    int64 view of the leading key.
+
+    Scale note: range buckets are fixed-width in the leading key's BIT
+    space, so heavily clustered float keys can skew bucket sizes — raise
+    ``num_buckets`` (each bucket is only a sort unit, correctness is
+    unaffected), or pre-bucket by sampled boundaries for adversarial
+    distributions."""
+    keyed_cols = [f"_ok{i}" for i in range(len(order_cols))]
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        for name, col in zip(keyed_cols, order_cols):
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            batch = batch.append_column(
+                name, pa.array(_monotone_int64(np.asarray(v)), pa.int64())
+            )
+        return batch
+
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow", batch_size=None)
+    ranked = ordered_prefix_sum(
+        keyed,
+        order_cols=keyed_cols + [id_col],
+        value_col=None,
+        num_buckets=num_buckets,
+        out_col=out_col,
+    )
+    return ranked.map_batches(
+        lambda b: b.drop_columns(keyed_cols),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def ntile_of_rank(rank0: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from 0-based ranks over ``n`` rows: the first
+    ``n % k`` tiles get ``n // k + 1`` rows, the rest ``n // k`` —
+    exactly DuckDB/ANSI semantics, shared with any SQL twin."""
+    size, rem = n // k, n % k
+    boundary = rem * (size + 1)
+    small = np.maximum(size, 1)  # n < k: every row is its own tile
+    return np.where(
+        rank0 < boundary,
+        rank0 // (size + 1) + 1,
+        rem + (rank0 - boundary) // small + 1,
+    ).astype(np.int64)
+
+
+def global_ntile(
+    ds,
+    *,
+    order_cols: list[str],
+    id_col: str,
+    k: int,
+    num_buckets: int = 1024,
+    rank_col: str = "rank",
+    tile_col: str = "tile",
+):
+    """``NTILE(k) OVER (ORDER BY order_cols, id_col)`` plus the 0-based
+    global rank — distributed via :func:`rank_rows`; the tile is then a
+    pure per-row function of (rank, total)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    n = ds.count()
+    ranked = rank_rows(
+        ds, order_cols=order_cols, id_col=id_col,
+        num_buckets=num_buckets, out_col=rank_col,
+    )
+
+    def add_tile(batch: pa.Table) -> pa.Table:
+        r = batch.column(rank_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            tile_col, pa.array(ntile_of_rank(r, n, k))
+        )
+
+    return ranked.map_batches(add_tile, batch_format="pyarrow", batch_size=None)
 
 
 def shuffle_rank(

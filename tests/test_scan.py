@@ -118,3 +118,65 @@ def test_shuffle_rank_seed_changes_order(ray_session):
     assert not np.array_equal(
         a["shuffle_rank"].to_numpy(), b["shuffle_rank"].to_numpy()
     )
+
+
+def test_monotone_int64_total_order():
+    from light_curve_feature_ray.pipelines.scan import _monotone_int64
+
+    v = np.array(
+        [-np.inf, -1e300, -2.5, -0.0, 0.0, 1e-300, 3.7, np.inf, np.nan]
+    )
+    k = _monotone_int64(v)
+    # strictly increasing except the -0.0/0.0 tie; NaN strictly last
+    assert k[3] == k[4]
+    rest = np.delete(k, 3)
+    assert np.all(np.diff(rest) > 0)
+    assert k[-1] == k.max()
+    ints = np.array([-5, 0, 7], dtype=np.int64)
+    assert _monotone_int64(ints) is ints
+
+
+@pytest.mark.parametrize("blocks,buckets", [(3, 8), (9, 1024)])
+def test_rank_and_ntile_match_sql_semantics(ray_session, blocks, buckets):
+    from light_curve_feature_ray.pipelines.scan import global_ntile
+
+    rng = np.random.default_rng(17)
+    n = 403  # not divisible by k: exercises the NTILE remainder rule
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": np.round(rng.normal(size=n), 2),  # forces score ties
+        }
+    )
+    df.loc[rng.random(n) < 0.03, "value"] = np.nan
+    out = (
+        global_ntile(
+            _ds(df, blocks),
+            order_cols=["value"],
+            id_col="event_id",
+            k=10,
+            num_buckets=buckets,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # reference: NaN last, ties by event_id — numpy lexsort with NaN
+    # mapped to +inf surrogate
+    v = df["value"].to_numpy()
+    vv = np.where(np.isnan(v), np.inf, v)
+    nan_rank = np.where(np.isnan(v), 1, 0)
+    order = np.lexsort((df["event_id"].to_numpy(), vv, nan_rank))
+    ref_rank = np.empty(n, dtype=np.int64)
+    ref_rank[order] = np.arange(n)
+    assert np.array_equal(out["rank"].to_numpy(), ref_rank)
+    # SQL NTILE: first n%k tiles one row larger
+    size, rem = n // 10, n % 10
+    ref_tile = np.where(
+        ref_rank < rem * (size + 1),
+        ref_rank // (size + 1) + 1,
+        rem + (ref_rank - rem * (size + 1)) // size + 1,
+    )
+    assert np.array_equal(out["tile"].to_numpy(), ref_tile)
+    with pytest.raises(ValueError):
+        global_ntile(_ds(df, 2), order_cols=["value"], id_col="event_id", k=0)
