@@ -1574,6 +1574,86 @@ FROM h
 """
 
 
+def q_doc_curation(sf_dir: str):
+    """End-to-end corpus-curation FLAGSHIP: a pure composition of six
+    engine operators — exact dedup (keep min doc_id per text) -> broadcast
+    semi join (apply the keep-list without shuffling the corpus) ->
+    lang-id filter (keep 'en') -> deterministic hash sample (60%) ->
+    concat-and-chunk sequence packing (prefix scan, 256-token packs) ->
+    train/val/test hash split. Every stage is individually oracle-checked
+    elsewhere; this query checks their composition end to end."""
+    from light_curve_feature_ray.pipelines.joins import broadcast_semi_join
+    from light_curve_feature_ray.pipelines.sampling import (
+        hash_sample,
+        hash_split,
+    )
+    from light_curve_feature_ray.pipelines.scan import pack_sequences
+    from light_curve_feature_ray.pipelines.text import exact_dedup, lang_id
+
+    docs = _docs(sf_dir)
+    kept = broadcast_semi_join(docs, exact_dedup(docs), left_on="doc_id")
+    lang = lang_id(kept)
+    en_ids = lang.map_batches(
+        lambda b: b.filter(pc.equal(b["lang_pred"], "en")),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    en_docs = broadcast_semi_join(kept, en_ids, left_on="doc_id")
+    sampled = hash_sample(en_docs, 0.6, seed=21, hash_col=None)
+    packed = pack_sequences(sampled, budget=256)
+    return hash_split(packed, SPLITS, seed=5)
+
+
+def _build_sql_doc_curation() -> str:
+    from light_curve_feature_ray.pipelines.sampling import (
+        lehmer_sql,
+        sample_threshold,
+        split_sql_case,
+    )
+
+    case = split_sql_case(SPLITS, "doc_id", seed=5)
+    return rf"""
+WITH keep AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+d AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM keep)
+),
+w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+    FROM d
+),
+en AS (
+    SELECT d.doc_id, d.text
+    FROM d JOIN w USING (doc_id)
+    WHERE len(words) > 0 AND
+          CAST(len(list_filter(words, x -> lower(x) IN ({_STOP_LIST})))
+               AS DOUBLE)/len(words) >= 0.08
+),
+samp AS (
+    SELECT * FROM en WHERE {lehmer_sql("doc_id", seed=21)}
+                           < {sample_threshold(0.6)}
+),
+tok AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_REGEX}')) AS BIGINT)
+               AS n_tokens
+    FROM samp
+),
+pre AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+    FROM tok
+)
+SELECT doc_id, n_tokens, p // 256 AS pack_id, p % 256 AS pack_offset,
+       {case} AS split
+FROM pre
+"""
+
+
 def q_doc_top_k_per_lang(sf_dir: str):
     """Exact longest-5-documents-per-language curation: block-local top-k
     combiner, one hash shuffle on lang, vectorized per-partition reduce
@@ -2396,6 +2476,33 @@ SQL_EVENTS_VALUE_QUANTILES = "\nUNION ALL\n".join(
 )
 
 
+def q_events_approx_quantiles(sf_dir: str):
+    """ONE-pass approximate quantile sketch (pipelines/quantiles.py
+    approx_quantile_hist): fixed-grid mergeable bincount partials +
+    in-bucket rank interpolation — the streaming scale path next to the
+    exact multi-pass selection; deterministic, so the SQL twin reproduces
+    the identical estimate bit-for-bit."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import (
+        approx_quantile_hist,
+    )
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = approx_quantile_hist(ev, "value", QUANTILE_QS, bins=1024)
+    return _round6(
+        pa.Table.from_pandas(out, preserve_index=False), skip=("q",)
+    )
+
+
+def _build_sql_events_approx_quantiles() -> str:
+    from light_curve_feature_ray.pipelines.quantiles import (
+        approx_quantile_hist_sql,
+    )
+
+    return approx_quantile_hist_sql("events", "value", QUANTILE_QS, bins=1024)
+
+
 def q_events_type_quantiles(sf_dir: str):
     """Exact per-group quantiles (pipelines/quantiles.py
     grouped_quantile_cont): one hash shuffle on event_type, vectorized
@@ -2498,6 +2605,129 @@ ORDER BY event_type
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Long->wide pivot (pipelines/pivot.py pivot_agg): per-user count and
+    sum of value per event_type as fixed columns — block-local wide
+    combiner (one lexsort+scatter per batch), native groupby-sum reduce;
+    the exchange carries one wide row per (user, block)."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.pivot import pivot_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    out = pivot_agg(
+        ev,
+        key_col="user_id",
+        pivot_col="event_type",
+        value_col="value",
+        categories=EVENT_TYPES,
+    )
+    return _finalize(out, skip=("user_id",))
+
+
+def _build_sql_events_pivot() -> str:
+    cols = []
+    for c in EVENT_TYPES:
+        cond = f"CASE WHEN event_type = '{c}' THEN value END"
+        cols.append(f"CAST(count({cond}) AS BIGINT) AS n_{c}")
+        cols.append(f"round(sum({cond}), 6) AS sum_{c}")
+    types = ", ".join(f"'{c}'" for c in EVENT_TYPES)
+    other = f"CASE WHEN event_type NOT IN ({types}) THEN value END"
+    cols.append(f"CAST(count({other}) AS BIGINT) AS n__other")
+    cols.append(f"round(sum({other}), 6) AS sum__other")
+    return (
+        "SELECT user_id, " + ", ".join(cols) + " FROM events GROUP BY user_id"
+    )
+
+
+def q_events_cms_users(sf_dir: str):
+    """Count-Min frequency sketch (pipelines/sketches.py cms_sketch):
+    4x4096 mergeable counter matrix over events.user_id — one flattened
+    partial per block, tree-reduced — probed at the exact top-20 user
+    keys. The poly hash keeps every bucket index in sub-2^63 integer
+    arithmetic, so the DuckDB oracle re-derives the whole sketch and the
+    estimates bit-for-bit."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    sketch = cms_sketch(ev, "user_id", depth=4, width=4096)
+    keys = q_events_top_users(sf_dir).to_pandas()["user_id"].to_numpy()
+    est = cms_estimate(sketch, keys)
+    return pa.table(
+        {
+            "user_id": pa.array(keys, pa.int64()),
+            "est_events": pa.array(est, pa.int64()),
+        }
+    )
+
+
+def _poly_chain_sql(src: str, col: str, prefix: str, carry: str = "") -> str:
+    """CTE chain computing the sketches.py poly hash of ``col`` from
+    ``src`` as ``{prefix}3(h [, carry])`` — codepoint fold then three
+    xorshift-multiply rounds, every intermediate < 2^63 (BIGINT-exact)."""
+    from light_curve_feature_ray.pipelines.sketches import (
+        _POLY_FINAL_MULTS,
+        _POLY_MOD,
+    )
+
+    c = f"{carry}, " if carry else ""
+    out = f"""
+{prefix}0 AS (
+    SELECT {c}list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(regexp_extract_all(
+            coalesce(CAST({col} AS VARCHAR), ''), '(?s).'),
+            ch -> unicode(ch))),
+        (a, x) -> (a*31 + x) % {_POLY_MOD}) AS h
+    FROM {src})"""
+    prev = f"{prefix}0"
+    for i, mult in enumerate(_POLY_FINAL_MULTS, start=1):
+        out += f""",
+{prefix}{i} AS (SELECT {c}(xor(h, h >> 21) * {mult}) % {_POLY_MOD} AS h FROM {prev})"""
+        prev = f"{prefix}{i}"
+    return out
+
+
+def _build_sql_events_cms_users() -> str:
+    from light_curve_feature_ray.pipelines.sketches import (
+        _CMS_ROWS,
+        _POLY_MOD,
+    )
+
+    width = 4096
+    ev_chain = _poly_chain_sql("events", "user_id", "eh")
+    key_chain = _poly_chain_sql("keys", "user_id", "kh", carry="user_id")
+    counters = ",\n".join(
+        f"c{j} AS (SELECT ((h * {a} + {b}) % {_POLY_MOD}) % {width} AS bkt,"
+        f" count(*) AS c FROM eh3 GROUP BY bkt)"
+        for j, (a, b) in enumerate(_CMS_ROWS)
+    )
+    joins = "\n".join(
+        f"JOIN c{j} ON c{j}.bkt = ((k.h * {a} + {b}) % {_POLY_MOD}) % {width}"
+        for j, (a, b) in enumerate(_CMS_ROWS)
+    )
+    least = ", ".join(f"c{j}.c" for j in range(len(_CMS_ROWS)))
+    return f"""
+WITH keys AS (
+    SELECT user_id FROM events GROUP BY user_id
+    ORDER BY count(*) DESC, user_id LIMIT 20
+),{ev_chain},{key_chain},
+{counters}
+SELECT k.user_id, least({least}) AS est_events
+FROM kh3 k
+{joins}
+"""
+
+
 def q_events_top_users(sf_dir: str):
     """Exact top-20 users by event count — exercises the Dataset
     groupby-count -> sort(desc) -> limit surface with a deterministic
@@ -2559,6 +2789,35 @@ SELECT event_id, round(value, 6) AS value,
        ROW_NUMBER() OVER (ORDER BY value, event_id) - 1 AS rnk,
        NTILE(10) OVER (ORDER BY value, event_id) AS tile
 FROM events
+"""
+
+
+def q_events_rolling_time(sf_dir: str):
+    """Per-key TIME-window rolling aggregates (pipelines/windows.py
+    rolling_time_agg): RANGE BETWEEN 1h PRECEDING AND CURRENT ROW with
+    exact peer-group semantics, via two structured-searchsorted calls and
+    prefix sums per co-partitioned partition."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import rolling_time_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return _finalize(
+        rolling_time_agg(ev, window_s=3600),
+        skip=("event_id", "user_id", "t_us", "rolling_n"),
+    )
+
+
+SQL_EVENTS_ROLLING_TIME = """
+SELECT event_id, user_id, epoch_us(ts) AS t_us,
+       count(value) OVER w AS rolling_n,
+       round(sum(value) OVER w, 6) AS rolling_sum,
+       round(avg(value) OVER w, 6) AS rolling_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -2860,6 +3119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessions": q_events_sessions,
         "events_rolling": q_events_rolling,
+        "events_rolling_time": q_events_rolling_time,
         "events_semi_join": q_events_semi_join,
         "events_deciles": q_events_deciles,
         "doc_anti_join": q_doc_anti_join,
@@ -2868,8 +3128,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_enriched": q_orders_enriched,
         "lineitem_orders_join": q_lineitem_orders_join,
         "events_value_quantiles": q_events_value_quantiles,
+        "events_approx_quantiles": q_events_approx_quantiles,
         "events_type_quantiles": q_events_type_quantiles,
         "events_hll_users": q_events_hll_users,
+        "events_cms_users": q_events_cms_users,
+        "events_pivot": q_events_pivot,
         "events_top_users": q_events_top_users,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
@@ -2884,6 +3147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": q_doc_split,
         "doc_pack": q_doc_pack,
         "doc_shuffle": q_doc_shuffle,
+        "doc_curation": q_doc_curation,
         "doc_top_k_per_lang": q_doc_top_k_per_lang,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_groups": q_doc_dedup_groups,
@@ -2935,6 +3199,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_rolling": SQL_EVENTS_ROLLING,
+        "events_rolling_time": SQL_EVENTS_ROLLING_TIME,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,
         "events_deciles": SQL_EVENTS_DECILES,
         "doc_anti_join": SQL_DOC_ANTI_JOIN,
@@ -2943,9 +3208,12 @@ def oracle_sql() -> dict[str, str]:
         "orders_enriched": SQL_ORDERS_ENRICHED,
         "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
         "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
+        "events_approx_quantiles": _build_sql_events_approx_quantiles(),
         "events_type_quantiles": SQL_EVENTS_TYPE_QUANTILES,
         "events_top_users": SQL_EVENTS_TOP_USERS,
         "events_hll_users": SQL_EVENTS_HLL_USERS,
+        "events_cms_users": _build_sql_events_cms_users(),
+        "events_pivot": _build_sql_events_pivot(),
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
         "doc_text_stats": SQL_DOC_TEXT_STATS,
         "doc_lang_id": SQL_DOC_LANG_ID,
@@ -2959,6 +3227,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": _build_sql_doc_split(),
         "doc_pack": SQL_DOC_PACK,
         "doc_shuffle": _build_sql_doc_shuffle(),
+        "doc_curation": _build_sql_doc_curation(),
         "doc_top_k_per_lang": SQL_DOC_TOP_K_PER_LANG,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "doc_dedup_groups": SQL_DOC_DEDUP_GROUPS,

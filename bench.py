@@ -258,7 +258,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         sliding_window_agg(events).count()
         timings["events_sliding_window"] = round(time.perf_counter() - t0, 3)
 
-        from light_curve_feature_ray.pipelines.quantiles import quantile_cont
+        from light_curve_feature_ray.pipelines.quantiles import (
+            approx_quantile_hist,
+            quantile_cont,
+        )
 
         ev_vals = rd.read_parquet(events_path, columns=["value"])
         t0 = time.perf_counter()
@@ -267,6 +270,35 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             max_candidates=4096,
         )
         timings["events_value_quantiles"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        approx_quantile_hist(
+            ev_vals, "value", (0.01, 0.25, 0.5, 0.75, 0.9, 0.99), bins=1024
+        )
+        timings["events_approx_quantiles"] = round(time.perf_counter() - t0, 3)
+
+        from light_curve_feature_ray.pipelines.windows import rolling_agg
+
+        ev_roll = rd.read_parquet(
+            events_path, columns=["event_id", "user_id", "ts", "value"]
+        )
+        t0 = time.perf_counter()
+        rolling_agg(ev_roll, k=5).count()
+        timings["events_rolling"] = round(time.perf_counter() - t0, 3)
+
+    if os.path.exists(docs_path):
+        from light_curve_feature_ray.pipelines.scan import (
+            pack_sequences,
+            shuffle_rank,
+        )
+
+        t0 = time.perf_counter()
+        pack_sequences(docs, budget=512).count()
+        timings["doc_pack"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        shuffle_rank(
+            rd.read_parquet(docs_path, columns=["doc_id"]), seed=7
+        ).count()
+        timings["doc_shuffle"] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "rollup_throughput",

@@ -1,0 +1,140 @@
+"""One-stop public API: every operator of the engine, re-exported.
+
+``from light_curve_feature_ray import api`` gives a user the full surface
+without knowing the module layout.  Grouped as:
+
+- **rollup engine** (the north-star pipeline): read/rollup/checkpointed
+  job/incremental update/retention;
+- **feature kernel**: the light-curve-feature evaluator suite, extractor,
+  bins, transformers, fits, multicolor;
+- **relational/curation operators**: joins, windows, quantiles, sampling,
+  scan (packing/shuffle-rank/ntile), dedup family, text analysis,
+  similarity search, sketches, multimodal stages.
+
+Everything here is lazy-Dataset-in / lazy-Dataset-out (except small
+driver-side results like quantile frames) and safe to compose; nothing
+calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+# --- rollup engine -------------------------------------------------------
+from .pipelines.rollup import (  # noqa: F401
+    read_transcripts,
+    rollup_dataset,
+    rollup_table,
+    apply_retention,
+)
+from .pipelines.update import rollup_update, update_rollup_job  # noqa: F401
+from .pipelines.turns import clean_turns  # noqa: F401
+from .state.checkpoint import run_rollup_job  # noqa: F401
+from .stages.rollup import (  # noqa: F401
+    RollupConfig,
+    RollupWorker,
+    detect_hot_convs,
+)
+from .sources.synth import (  # noqa: F401
+    synth_transcripts_parquet,
+    synth_transcripts_table,
+)
+from .sources.jsonl import read_transcripts_jsonl  # noqa: F401
+from .sources.csv_src import read_transcripts_csv  # noqa: F401
+
+# --- feature kernel ------------------------------------------------------
+from .features import (  # noqa: F401
+    REGISTRY,
+    Bins,
+    Feature,
+    FeatureExtractor,
+    Periodogram,
+    Series,
+)
+
+# --- joins ---------------------------------------------------------------
+from .pipelines.joins import (  # noqa: F401
+    asof_join,
+    broadcast_join,
+    broadcast_semi_join,
+    interval_join,
+)
+
+# --- windows -------------------------------------------------------------
+from .pipelines.windows import (  # noqa: F401
+    rolling_agg,
+    rolling_time_agg,
+    session_windows,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+# --- quantiles / order statistics ---------------------------------------
+from .pipelines.quantiles import (  # noqa: F401
+    approx_quantile_hist,
+    exact_order_stats,
+    grouped_quantile_cont,
+    quantile_cont,
+)
+
+# --- scan: packing, deterministic shuffle, rank/ntile --------------------
+from .pipelines.scan import (  # noqa: F401
+    global_ntile,
+    ordered_prefix_sum,
+    pack_sequences,
+    rank_rows,
+    shuffle_rank,
+)
+
+# --- sampling / splits / curation ---------------------------------------
+from .pipelines.sampling import (  # noqa: F401
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+    top_k_per_group,
+)
+
+# --- text analysis + dedup family ---------------------------------------
+from .pipelines.text import (  # noqa: F401
+    exact_dedup,
+    fingerprint,
+    lang_id,
+    minhash_lsh_dups,
+    ngram_jaccard_dups,
+    normalize_text,
+    redact,
+    simhash_dups,
+    simhash_signatures,
+    text_stats,
+    tfidf_top_terms,
+    token_count,
+    top_terms,
+    winnow_fingerprints,
+)
+from .pipelines.graph import (  # noqa: F401
+    connected_components_min_label,
+    dedup_keep_representatives,
+)
+
+# --- similarity search ---------------------------------------------------
+from .pipelines.similarity import (  # noqa: F401
+    embedding_cosine_dups,
+    ivf_knn_cosine,
+    knn_cosine,
+    lsh_knn_cosine,
+)
+
+# --- pivot ---------------------------------------------------------------
+from .pipelines.pivot import pivot_agg  # noqa: F401
+
+# --- sketches ------------------------------------------------------------
+from .pipelines.sketches import (  # noqa: F401
+    cms_estimate,
+    cms_sketch,
+    hll_distinct,
+)
+
+# --- multimodal stages ---------------------------------------------------
+from .pipelines.multimodal import (  # noqa: F401
+    decode_images,
+    resize_images,
+    sample_frames,
+)

@@ -270,6 +270,112 @@ def quantile_cont(ds, col: str, qs, **kw) -> pd.DataFrame:
     )
 
 
+def approx_quantile_hist(
+    ds,
+    col: str,
+    qs,
+    *,
+    bins: int = 2048,
+    with_error: bool = False,
+) -> pd.DataFrame:
+    """ONE-histogram-pass approximate quantiles — the streaming sketch
+    sibling of :func:`quantile_cont` (exact needs ~4 passes; this needs a
+    (min, max, n) pass plus a single fixed-grid bincount pass, and the
+    partials are plain mergeable count vectors — associative across
+    blocks, nodes, and retries).
+
+    Estimate: with ``h = q*(n-1)`` (quantile_cont rank semantics), find
+    the equi-width bucket containing rank ``h`` and interpolate the rank
+    uniformly inside it: ``lo + j*w + ((h - cum_below)/c_j)*w``.  The
+    result is deterministic — a pure function of (min, max, n, counts) —
+    so a SQL twin reproduces it bit-for-bit from the same arithmetic
+    (bucket = floor((v-lo)/w) clamped, identical double ops).  The true
+    rank of the returned value is within the bucket, i.e. rank error
+    < ``c_j`` <= n/bins for uniform-ish data; ``with_error=True`` appends
+    that per-q bound as ``rank_err_bound``.
+    """
+    qs = [float(q) for q in qs]
+    if any(q < 0.0 or q > 1.0 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    lo, hi, n = _minmax_count(ds, col)
+    if n == 0:
+        raise ValueError(f"no non-null values in {col!r}")
+    if lo == hi:
+        out = pd.DataFrame({"q": qs, "value": [lo] * len(qs)})
+        if with_error:
+            out["rank_err_bound"] = 0
+        return out
+    w = (hi - lo) / bins
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        j = np.clip(
+            np.floor((v - lo) / w).astype(np.int64), 0, bins - 1
+        )
+        return pd.DataFrame({"counts": [np.bincount(j, minlength=bins)]})
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"counts": []})
+        return pd.DataFrame(
+            {"counts": [np.sum(np.stack(list(b["counts"])), axis=0)]}
+        )
+
+    rows = (
+        ds.map_batches(part, batch_format="pandas")
+        .repartition(4)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .take_all()
+    )
+    counts = np.sum(np.stack([r["counts"] for r in rows]), axis=0)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    vals, errs = [], []
+    for q in qs:
+        h = q * (n - 1)
+        j = int(np.searchsorted(cum, h, side="right") - 1)
+        j = min(j, bins - 1)
+        c = int(counts[j])
+        vals.append(lo + j * w + ((h - cum[j]) / c) * w)
+        errs.append(c)
+    out = pd.DataFrame({"q": qs, "value": vals})
+    if with_error:
+        out["rank_err_bound"] = errs
+    return out
+
+
+def approx_quantile_hist_sql(
+    table: str, col: str, qs, *, bins: int = 2048, where: str = "TRUE"
+) -> str:
+    """DuckDB twin of :func:`approx_quantile_hist` — the identical
+    arithmetic (same double ops, same clamps) so the sketch is
+    oracle-checkable despite being approximate."""
+    q_rows = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""
+WITH v AS (
+    SELECT {col} AS x FROM {table}
+    WHERE {col} IS NOT NULL AND NOT isnan({col}) AND ({where})
+),
+mm AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM v),
+p AS (SELECT lo, hi, n, (hi - lo) / {bins} AS w FROM mm),
+b AS (
+    SELECT least(greatest(CAST(floor((x - lo) / w) AS BIGINT), 0),
+                 {bins} - 1) AS j
+    FROM v, p
+),
+c AS (SELECT j, count(*) AS c FROM b GROUP BY j),
+cc AS (
+    SELECT j, c,
+           COALESCE(SUM(c) OVER (ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+    FROM c
+)
+SELECT q, round(lo + j * w + ((q * (n - 1) - cum) / c) * w, 6) AS value
+FROM cc, p, (VALUES {q_rows}) qs(q)
+WHERE cum <= q * (n - 1) AND q * (n - 1) < cum + c
+"""
+
+
 def grouped_quantile_cont(
     ds,
     group_col: str,

@@ -63,6 +63,18 @@ def _bucket_of(key: np.ndarray, lo: int, hi: int, num_buckets: int) -> np.ndarra
     return np.clip(b, 0, num_buckets - 1)
 
 
+def _auto_buckets(min_buckets: int = 256) -> int:
+    """Default bucket count: 2 per cluster CPU, floored — buckets are the
+    scan-pass parallelism AND the per-task memory bound, so they must
+    grow with the cluster (same rule as the pair-explosion shuffles)."""
+    try:
+        import ray
+
+        return max(min_buckets, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return min_buckets
+
+
 def ordered_prefix_sum(
     ds,
     *,
@@ -70,7 +82,7 @@ def ordered_prefix_sum(
     value_col: str | None = None,
     key_lo: int | None = None,
     key_hi: int | None = None,
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
     out_col: str = "prefix",
 ):
     """Append the EXCLUSIVE running sum of ``value_col`` (or the 0-based
@@ -81,6 +93,8 @@ def ordered_prefix_sum(
     (the prefix travels as a column); sums must stay below 2**53.
     """
     key_col = order_cols[0]
+    if num_buckets is None:
+        num_buckets = _auto_buckets()
     if key_lo is None:
         key_lo = int(ds.min(key_col))
     if key_hi is None:
@@ -144,7 +158,7 @@ def pack_sequences(
     *,
     budget: int,
     id_col: str = "doc_id",
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
     key_lo: int | None = None,
     key_hi: int | None = None,
 ):
@@ -207,7 +221,7 @@ def rank_rows(
     *,
     order_cols: list[str],
     id_col: str,
-    num_buckets: int = 1024,
+    num_buckets: int | None = None,
     out_col: str = "rank",
 ):
     """Append the 0-based GLOBAL row rank in ``(order_cols, id_col)``
@@ -237,7 +251,7 @@ def rank_rows(
         keyed,
         order_cols=keyed_cols + [id_col],
         value_col=None,
-        num_buckets=num_buckets,
+        num_buckets=num_buckets or _auto_buckets(1024),
         out_col=out_col,
     )
     return ranked.map_batches(
@@ -267,7 +281,7 @@ def global_ntile(
     order_cols: list[str],
     id_col: str,
     k: int,
-    num_buckets: int = 1024,
+    num_buckets: int | None = None,
     rank_col: str = "rank",
     tile_col: str = "tile",
 ):
@@ -296,7 +310,7 @@ def shuffle_rank(
     *,
     id_col: str = "doc_id",
     seed: int = 0,
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
     out_col: str = "shuffle_rank",
     hash_col: str | None = "shuffle_h",
 ):

@@ -157,6 +157,76 @@ def _hll_estimate_exact(regs: np.ndarray, p: int) -> float:
     return est
 
 
+# Count-Min rows: bucket_j = ((h * A_j + B_j) mod P) mod width, with the
+# 48-bit poly hash h and multipliers < 2^15 so every product stays < 2^63
+# — exact in int64 AND DuckDB BIGINT (the oracle re-derives the sketch).
+_CMS_ROWS = ((12853, 1299721), (17291, 7919), (20201, 104729), (28087, 611953))
+
+
+def _cms_buckets(h: np.ndarray, j: int, width: int) -> np.ndarray:
+    a, b = _CMS_ROWS[j]
+    return ((h * a + b) % _POLY_MOD) % width
+
+
+def cms_sketch(ds, value_col: str, *, depth: int = 4, width: int = 4096):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a column's value
+    frequencies: a ``depth x width`` counter matrix where row ``j`` counts
+    values by bucket ``((poly_hash(v) * A_j + B_j) mod P) mod width``.
+
+    Mergeable by plain addition: each block contributes one flattened
+    partial (d*w int64, ~128 KB at the defaults), tree-reduced — the
+    classic sketch trade of O(depth*width) exchange regardless of row
+    count, next to :func:`hll_distinct`'s register-max lattice.  Counter
+    sums are commutative, so the sketch is EXACTLY independent of
+    partitioning / block order / retries, and the poly hash makes every
+    bucket index SQL-reproducible.
+
+    Returns the counter matrix as a driver-side ``np.ndarray`` (it is a
+    small summary, like a quantile frame — not a Dataset)."""
+    if not 1 <= depth <= len(_CMS_ROWS):
+        raise ValueError(f"depth must be in [1, {len(_CMS_ROWS)}]")
+    dw = depth * width
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy()
+        h = _poly_value_hashes(v)
+        mat = np.zeros((depth, width), dtype=np.int64)
+        for j in range(depth):
+            np.add.at(mat[j], _cms_buckets(h, j, width), 1)
+        return pd.DataFrame({"counts": [mat.reshape(dw)]})
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"counts": []})
+        return pd.DataFrame(
+            {"counts": [np.sum(np.stack(list(b["counts"])), axis=0)]}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(4)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .take_all()
+    )
+    if not rows:
+        return np.zeros((depth, width), dtype=np.int64)
+    return np.sum(np.stack([r["counts"] for r in rows]), axis=0).reshape(
+        depth, width
+    )
+
+
+def cms_estimate(sketch: np.ndarray, values) -> np.ndarray:
+    """Point-frequency estimates for ``values`` from a :func:`cms_sketch`
+    matrix: ``min_j sketch[j][bucket_j(v)]``.  Never underestimates; the
+    overestimate is bounded by ``e/width * N`` with high probability."""
+    depth, width = sketch.shape
+    h = _poly_value_hashes(np.asarray(values))
+    ests = np.stack(
+        [sketch[j][_cms_buckets(h, j, width)] for j in range(depth)]
+    )
+    return ests.min(axis=0)
+
+
 def hll_distinct(
     ds,
     value_col: str,

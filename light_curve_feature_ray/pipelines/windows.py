@@ -244,6 +244,85 @@ def rolling_agg(
     )
 
 
+def rolling_time_agg(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_s: int = 3600,
+    num_partitions: int = 32,
+):
+    """Per-key TIME-window rolling aggregates — SQL's ``RANGE BETWEEN
+    <interval> PRECEDING AND CURRENT ROW``: for each event, count/sum/mean
+    of the key's values with ``ts in [t - window, t]``, INCLUDING
+    same-timestamp peers after the current row (exact SQL RANGE
+    peer-group semantics, which ``rolling_agg``'s ROWS mode does not do).
+
+    Vectorized like the as-of join: rows sort once by (key, ts), window
+    bounds for ALL rows come from two ``np.searchsorted`` calls over a
+    structured (key, ts) array — start = first row >= (key, t - window),
+    end = first row > (key, t) — and count/sum read off prefix sums.
+    Variable-width windows preclude the sliding-window-view min/max of
+    the ROWS variant, so this emits n/sum/mean only.  NaN values are
+    skipped exactly like SQL NULLs.  Keys must be int64-castable (the
+    structured-searchsorted core, same contract as asof_join)."""
+    if window_s <= 0:
+        raise ValueError(f"window_s must be positive, got {window_s}")
+    win_us = int(window_s) * 1_000_000
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = g[key_col].to_numpy(dtype=np.int64)
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, t_us, keys))
+        keys, ids, t_us = keys[order], ids[order], t_us[order]
+        v = g[value_col].to_numpy(dtype=np.float64)[order]
+        n = v.shape[0]
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    key_col: keys,
+                    "t_us": t_us,
+                    "rolling_n": np.empty(0, dtype=np.int64),
+                    "rolling_sum": np.empty(0, dtype=np.float64),
+                    "rolling_mean": np.empty(0, dtype=np.float64),
+                }
+            )
+        dt = np.dtype([("k", keys.dtype), ("t", np.int64)])
+        s = np.empty(n, dtype=dt)
+        s["k"], s["t"] = keys, t_us
+        lo_q = np.empty(n, dtype=dt)
+        lo_q["k"], lo_q["t"] = keys, t_us - win_us
+        start = np.searchsorted(s, lo_q, side="left")
+        hi_q = np.empty(n, dtype=dt)
+        hi_q["k"], hi_q["t"] = keys, t_us
+        end = np.searchsorted(s, hi_q, side="right")
+        ok = ~np.isnan(v)
+        cs = np.concatenate(([0.0], np.cumsum(np.where(ok, v, 0.0))))
+        cn = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
+        r_sum = cs[end] - cs[start]
+        r_n = cn[end] - cn[start]
+        r_mean = np.where(r_n > 0, r_sum / np.maximum(r_n, 1), np.nan)
+        r_sum = np.where(r_n > 0, r_sum, np.nan)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                key_col: keys,
+                "t_us": t_us,
+                "rolling_n": r_n,
+                "rolling_sum": r_sum,
+                "rolling_mean": r_mean,
+            }
+        )
+
+    return _with_part(events_ds, key_col, num_partitions).groupby("part").map_groups(
+        per_partition, batch_format="pandas"
+    )
+
+
 def tumbling_window_agg(
     events_ds,
     *,

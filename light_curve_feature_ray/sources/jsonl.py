@@ -33,7 +33,7 @@ def _normalize(batch: pa.Table, for_rollup: bool) -> pa.Table:
             if name == "tool":
                 cols["tool"] = pa.nulls(batch.num_rows, type=pa.string())
                 continue
-            raise ValueError(f"jsonl transcripts missing column {name!r}")
+            raise ValueError(f"transcripts missing column {name!r}")
         col = batch[name]
         if name == "conv_id" or name == "role" or name == "text" or name == "tool":
             cols[name] = col.cast(pa.string())

@@ -216,3 +216,56 @@ def test_jsonl_ts_rounds_and_keeps_nulls():
     out2 = _normalize(tbl2, for_rollup=True)
     assert out2["ts"].null_count == 1
     assert out2["ts"].cast(pa.int64()).to_pylist() == [1_500_000, None]
+
+
+def test_csv_source_matches_parquet(ray_session, tmp_path):
+    """read_transcripts_csv funnels through the same normalization as the
+    JSONL source; the rollup over a CSV dump equals the in-memory path."""
+    import csv as _csv
+    from datetime import timezone
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from light_curve_feature_ray.pipelines.rollup import (
+        rollup_dataset,
+        rollup_table,
+    )
+    from light_curve_feature_ray.sources.csv_src import read_transcripts_csv
+    from light_curve_feature_ray.sources.synth import synth_transcripts_table
+    from light_curve_feature_ray.stages.rollup import RollupConfig
+
+    tbl = synth_transcripts_table(n_convs=15, seed=31)
+    path = tmp_path / "turns.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["conv_id", "turn_idx", "role", "text", "tool", "ts",
+                    "extra"])
+        for row in tbl.to_pylist():
+            w.writerow(
+                [
+                    row["conv_id"], row["turn_idx"], row["role"],
+                    row["text"], row["tool"] or "",
+                    # ISO-8601 string ts exercises the string branch
+                    row["ts"].replace(tzinfo=timezone.utc).isoformat(),
+                    "dropped",
+                ]
+            )
+
+    cfg = RollupConfig(
+        features=("observation_count", "mean", "amplitude"),
+        tiers=("1h",), gap_fill="none", hot_threshold=None,
+        store_points=False, num_partitions=8,
+    )
+    expect = (
+        pa.Table.to_pandas(rollup_table(tbl, cfg))
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    got = (
+        rollup_dataset(read_transcripts_csv(str(path)), cfg)
+        .to_pandas()
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[expect.columns], expect)

@@ -297,3 +297,128 @@ def test_hll_distinct_empty_blocks(ray_session):
     # fully-empty input: no groups, no crash
     empty = rd.from_pandas(df).filter(lambda r: r["v"] > 99)
     assert hll_distinct(empty, "v", group_col="k").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (pipelines/sketches.py cms_sketch / cms_estimate)
+# ---------------------------------------------------------------------------
+
+
+def _cms_ids(n=30_000, seed=2):
+    rng = np.random.default_rng(seed)
+    # zipf-ish skew: a few heavy hitters + a long tail
+    heavy = min(n // 3, 10_000)
+    return np.concatenate(
+        [
+            np.repeat(np.arange(5, dtype=np.int64), heavy // 5),
+            rng.integers(100, 5000, size=n - 5 * (heavy // 5)).astype(
+                np.int64
+            ),
+        ]
+    )
+
+
+def test_cms_never_underestimates_and_is_accurate_on_heavy_hitters(
+    ray_session,
+):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    ids = _cms_ids()
+    df = pd.DataFrame({"user_id": ids})
+    sketch = cms_sketch(rd.from_pandas(df), "user_id", depth=4, width=4096)
+    assert sketch.shape == (4, 4096)
+    assert sketch.sum() == 4 * len(ids)  # every row counts every value once
+
+    keys, exact = np.unique(ids, return_counts=True)
+    est = cms_estimate(sketch, keys)
+    assert (est >= exact).all()  # one-sided error guarantee
+    # overestimate bound e/width * N holds with margin on the heavy hitters
+    heavy = exact >= 1000
+    assert (est[heavy] - exact[heavy] <= np.e / 4096 * len(ids)).all()
+
+
+def test_cms_merge_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sketches import cms_sketch
+
+    ids = _cms_ids(5_000, seed=7)
+    df = pd.DataFrame({"user_id": ids})
+    sketches = [
+        cms_sketch(
+            rd.from_pandas([b for b in np.array_split(df, p) if len(b)]),
+            "user_id",
+            depth=3,
+            width=512,
+        )
+        for p in (1, 13)
+    ]
+    np.testing.assert_array_equal(sketches[0], sketches[1])
+
+    with pytest.raises(ValueError):
+        cms_sketch(rd.from_pandas(df), "user_id", depth=9)
+
+
+# ---------------------------------------------------------------------------
+# pivot_agg (pipelines/pivot.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_agg_matches_pandas_and_is_invariant(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.pivot import pivot_agg
+
+    rng = np.random.default_rng(8)
+    n = 900
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, size=n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "zz"], size=n),
+            "value": rng.normal(size=n),
+        }
+    )
+    df.loc[rng.random(n) < 0.1, "value"] = np.nan
+    outs = []
+    for parts in (1, 9):
+        blocks = [b for b in np.array_split(df, parts) if len(b)]
+        out = (
+            pivot_agg(
+                rd.from_pandas(blocks),
+                key_col="user_id",
+                pivot_col="event_type",
+                value_col="value",
+                categories=["a", "b"],  # "zz" falls into _other
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    for cat, col in (("a", "a"), ("b", "b"), ("zz", "_other")):
+        sub = df[(df["event_type"] == cat) & df["value"].notna()]
+        ref_n = sub.groupby("user_id")["value"].count()
+        ref_s = sub.groupby("user_id")["value"].sum()
+        got = out.set_index("user_id")
+        users = got.index
+        np.testing.assert_array_equal(
+            got[f"n_{col}"].to_numpy(),
+            ref_n.reindex(users, fill_value=0).to_numpy(),
+        )
+        np.testing.assert_allclose(
+            got[f"sum_{col}"].to_numpy(),
+            ref_s.reindex(users).to_numpy(),  # missing -> NaN == SQL NULL
+            equal_nan=True,
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        pivot_agg(
+            rd.from_pandas(df), key_col="user_id", pivot_col="event_type",
+            value_col="value", categories=["a", "a"],
+        )

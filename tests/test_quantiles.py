@@ -129,3 +129,64 @@ def test_grouped_quantiles_bitexact_and_invariant(ray_session):
             v = row["value"].iloc[0]
             assert v == e, (gname, q, v, e)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# approx_quantile_hist (one-pass sketch)
+# ---------------------------------------------------------------------------
+
+
+def _vals_ds(v, blocks=6):
+    import ray.data as rd
+
+    df = pd.DataFrame({"value": v})
+    return rd.from_pandas([b for b in np.array_split(df, blocks) if len(b)])
+
+
+def test_approx_quantile_accuracy_and_determinism(ray_session):
+    from light_curve_feature_ray.pipelines.quantiles import (
+        approx_quantile_hist,
+    )
+
+    rng = np.random.default_rng(23)
+    v = rng.lognormal(0.0, 1.0, size=20_000)
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    out = approx_quantile_hist(_vals_ds(v), "value", qs, bins=2048,
+                               with_error=True)
+    exact = np.quantile(v, qs)
+    s = np.sort(v)
+    for q, est, err in zip(qs, out["value"], out["rank_err_bound"]):
+        # true rank of the estimate is within the bucket's count
+        rank_est = np.searchsorted(s, est)
+        assert abs(rank_est - q * (len(v) - 1)) <= err + 1
+        # and for this smooth distribution the value itself is close
+        ex = np.quantile(v, q)
+        # error is bounded by one bucket width = (max-min)/bins
+        assert abs(est - ex) <= max(0.02 * abs(ex), (s[-1] - s[0]) / 2048)
+    _ = exact
+    # block layout cannot change the sketch (mergeable partials)
+    out2 = approx_quantile_hist(_vals_ds(v, blocks=17), "value", qs, bins=2048)
+    np.testing.assert_array_equal(out["value"].to_numpy(),
+                                  out2["value"].to_numpy())
+
+
+def test_approx_quantile_edges(ray_session):
+    from light_curve_feature_ray.pipelines.quantiles import (
+        approx_quantile_hist,
+    )
+
+    # constant column short-circuits; NaNs are excluded like SQL NULLs
+    v = np.full(100, 3.25)
+    out = approx_quantile_hist(_vals_ds(v, 3), "value", (0.0, 0.5, 1.0))
+    np.testing.assert_array_equal(out["value"].to_numpy(), [3.25] * 3)
+
+    v2 = np.r_[np.full(50, np.nan), np.linspace(0, 1, 101)]
+    out2 = approx_quantile_hist(_vals_ds(v2, 4), "value", (0.0, 1.0),
+                                bins=64)
+    assert abs(out2["value"].iloc[0] - 0.0) < 0.02
+    assert abs(out2["value"].iloc[1] - 1.0) <= 1 / 64 + 1e-12  # within one bucket
+
+    with pytest.raises(ValueError):
+        approx_quantile_hist(_vals_ds(np.full(5, np.nan), 1), "value", (0.5,))
+    with pytest.raises(ValueError):
+        approx_quantile_hist(_vals_ds(np.arange(5.0), 1), "value", (1.5,))

@@ -145,3 +145,56 @@ def test_rolling_agg_k_validation(ray_session):
 
     with pytest.raises(ValueError):
         rolling_agg(rd.from_pandas(_rolling_events(10)), k=0)
+
+
+@pytest.mark.parametrize("parts", [4, 11])
+def test_rolling_time_agg_matches_pandas(ray_session, parts):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import rolling_time_agg
+
+    df = _rolling_events(400, seed=19)
+    # force same-timestamp peers within a user (RANGE peer semantics)
+    df.loc[5:15, "ts"] = df.loc[5, "ts"]
+    df.loc[5:15, "user_id"] = 3
+    out = (
+        rolling_time_agg(
+            rd.from_pandas(df), window_s=600, num_partitions=parts
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # reference: per-row scan over the same key with t in [t-600s, t]
+    t_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    k = df["user_id"].to_numpy()
+    v = df["value"].to_numpy()
+    ref_n = np.zeros(len(df), dtype=np.int64)
+    ref_sum = np.full(len(df), np.nan)
+    for i in range(len(df)):
+        m = (k == k[i]) & (t_us >= t_us[i] - 600_000_000) & (t_us <= t_us[i])
+        vals = v[m]
+        vals = vals[~np.isnan(vals)]
+        ref_n[i] = len(vals)
+        if len(vals):
+            ref_sum[i] = vals.sum()
+    got = out.set_index("event_id")
+    ids = df["event_id"].to_numpy()
+    assert np.array_equal(got.loc[ids, "rolling_n"].to_numpy(), ref_n)
+    np.testing.assert_allclose(
+        got.loc[ids, "rolling_sum"].to_numpy(), ref_sum, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        got.loc[ids, "rolling_mean"].to_numpy(),
+        ref_sum / np.where(ref_n > 0, ref_n, np.nan),
+        equal_nan=True,
+    )
+
+
+def test_rolling_time_agg_validation(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import rolling_time_agg
+
+    with pytest.raises(ValueError):
+        rolling_time_agg(rd.from_pandas(_rolling_events(10)), window_s=0)
