@@ -1492,6 +1492,145 @@ FROM ranked WHERE rk <= 3
 """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (pipelines/text.py
+    repetition_stats): top-token / top-bigram fraction and duplicate-
+    trigram fraction per document — block-local polars aggregates, no
+    shuffle (Rae et al. 2021 table A1, adapted to flat word streams)."""
+    from light_curve_feature_ray.pipelines.text import repetition_stats
+
+    return _finalize(repetition_stats(_docs(sf_dir)), skip=())
+
+
+SQL_DOC_REPETITION = rf"""
+WITH w AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(coalesce(text, '')), '{_TOKEN_REGEX}') AS toks
+    FROM documents
+), base AS (SELECT doc_id, toks, len(toks) AS n FROM w),
+tok AS (
+    SELECT doc_id, max(c) AS top_tok FROM (
+        SELECT doc_id, t, count(*) AS c
+        FROM base, unnest(toks) AS u(t) GROUP BY doc_id, t
+    ) GROUP BY doc_id
+), bg AS (
+    SELECT doc_id, max(c) AS top_bg FROM (
+        SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, n),
+                   i -> toks[i] || chr(31) || toks[i+1])) AS g
+            FROM base WHERE n >= 2) GROUP BY doc_id, g
+    ) GROUP BY doc_id
+), tg AS (
+    SELECT doc_id, count(DISTINCT g) AS d FROM (
+        SELECT doc_id, unnest(list_transform(range(1, n-1),
+               i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS g
+        FROM base WHERE n >= 3) GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       round(CASE WHEN b.n > 0
+             THEN CAST(tok.top_tok AS DOUBLE)/b.n END, 6) AS top_token_frac,
+       round(CASE WHEN b.n >= 2
+             THEN CAST(bg.top_bg AS DOUBLE)/(b.n-1) END, 6) AS top_bigram_frac,
+       round(CASE WHEN b.n >= 3
+             THEN 1.0 - CAST(tg.d AS DOUBLE)/(b.n-2) END, 6) AS dup_trigram_frac
+FROM base b LEFT JOIN tok USING(doc_id) LEFT JOIN bg USING(doc_id)
+            LEFT JOIN tg USING(doc_id)
+"""
+
+
+CHUNK_SIZE, CHUNK_OVERLAP = 120, 30
+
+
+def q_doc_chunks(sf_dir: str):
+    """Fixed-size character chunking with overlap (pipelines/text.py
+    chunk_text): 1->N explode per document, codepoint boundaries matching
+    SQL substring — the RAG / context-window prep step."""
+    from light_curve_feature_ray.pipelines.text import chunk_text
+
+    return chunk_text(_docs(sf_dir), size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+
+
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+SQL_DOC_CHUNKS = f"""
+WITH b AS (SELECT doc_id, coalesce(text, '') AS t,
+                  CAST(coalesce(length(text), 0) AS BIGINT) AS n
+           FROM documents)
+SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
+       substring(t, CAST(u.ci*{_STRIDE} + 1 AS BIGINT), {CHUNK_SIZE}) AS chunk
+FROM b, unnest(range(0, greatest((n + {_STRIDE - 1})//{_STRIDE}, 1))) AS u(ci)
+"""
+
+# n=4 fits the tiny synthetic vocabulary (docs are ~10-100 words over a
+# ~30-word vocab, so real-world 8..13-gram windows almost never collide
+# except on exact duplicates); the operator default stays n=8
+DECONTAM_N = 4
+
+
+def _docs_mod37(sf_dir: str, bench: bool):
+    def f(t: pa.Table) -> pa.Table:
+        m = t["doc_id"].to_numpy(zero_copy_only=False) % 37 == 0
+        return t.filter(pa.array(m if bench else ~m))
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination (pipelines/text.py
+    ngram_decontaminate): docs with doc_id % 37 == 0 play the held-out
+    benchmark; every other doc is flagged iff it shares a word n-gram
+    with any benchmark doc. Benchmark gram set broadcast once; the
+    corpus side streams without a shuffle."""
+    from light_curve_feature_ray.pipelines.text import ngram_decontaminate
+
+    return ngram_decontaminate(
+        _docs_mod37(sf_dir, False), _docs_mod37(sf_dir, True), n=DECONTAM_N
+    )
+
+
+SQL_DOC_DECONTAMINATE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(coalesce(text, '')), '{_TOKEN_REGEX}') AS w
+    FROM documents
+),
+bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(w)-{DECONTAM_N}+2),
+              i -> array_to_string(w[i:i+{DECONTAM_N - 1}], ' '))) AS g
+       FROM toks WHERE doc_id % 37 = 0 AND len(w) >= {DECONTAM_N}),
+cg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-{DECONTAM_N}+2),
+              i -> array_to_string(w[i:i+{DECONTAM_N - 1}], ' '))) AS g
+       FROM toks WHERE doc_id % 37 <> 0 AND len(w) >= {DECONTAM_N}),
+hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g))
+SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+WHERE t.doc_id % 37 <> 0
+"""
+
+
+def q_emb_group_centroid(sf_dir: str):
+    """Per-label mean-pooled embedding centroids in long format
+    (pipelines/similarity.py group_centroid): block-local reduceat
+    partial sums, (label, dim) groupby-sum, vectorized divide."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.similarity import group_centroid
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return _finalize(group_centroid(emb), skip=())
+
+
+SQL_EMB_GROUP_CENTROID = """
+WITH e AS (SELECT label, unnest(embedding) AS v,
+                  unnest(range(0, len(embedding))) AS dim
+           FROM embeddings)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       round(sum(CAST(v AS DOUBLE))/count(*), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM e GROUP BY label, dim
+"""
+
+
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -3154,6 +3293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_canonical": q_doc_canonical,
         "doc_redact": q_doc_redact,
         "doc_winnow": q_doc_winnow,
+        "doc_repetition": q_doc_repetition,
+        "doc_chunks": q_doc_chunks,
+        "doc_decontaminate": q_doc_decontaminate,
+        "emb_group_centroid": q_emb_group_centroid,
         "emb_cosine_dups": q_emb_cosine_dups,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash": q_doc_simhash,
@@ -3234,6 +3377,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_canonical": _build_sql_doc_canonical(),
         "doc_redact": SQL_DOC_REDACT,
         "doc_winnow": SQL_DOC_WINNOW,
+        "doc_repetition": SQL_DOC_REPETITION,
+        "doc_chunks": SQL_DOC_CHUNKS,
+        "doc_decontaminate": SQL_DOC_DECONTAMINATE,
+        "emb_group_centroid": SQL_EMB_GROUP_CENTROID,
         "doc_simhash": SQL_DOC_SIMHASH,
         "doc_simhash_dups": SQL_DOC_SIMHASH_DUPS,
         "doc_minhash_dups": _build_sql_doc_minhash_dups(),

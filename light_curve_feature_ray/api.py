@@ -94,13 +94,16 @@ from .pipelines.sampling import (  # noqa: F401
 
 # --- text analysis + dedup family ---------------------------------------
 from .pipelines.text import (  # noqa: F401
+    chunk_text,
     exact_dedup,
     fingerprint,
     lang_id,
     minhash_lsh_dups,
+    ngram_decontaminate,
     ngram_jaccard_dups,
     normalize_text,
     redact,
+    repetition_stats,
     simhash_dups,
     simhash_signatures,
     text_stats,
@@ -117,6 +120,7 @@ from .pipelines.graph import (  # noqa: F401
 # --- similarity search ---------------------------------------------------
 from .pipelines.similarity import (  # noqa: F401
     embedding_cosine_dups,
+    group_centroid,
     ivf_knn_cosine,
     knn_cosine,
     lsh_knn_cosine,

@@ -378,3 +378,74 @@ def ivf_knn_cosine(
     return candidates.groupby("query_id").map_groups(
         _merge_topk_dedup(k), batch_format="pandas"
     )
+
+
+def group_centroid(emb_ds, *, key: str = "label", emb_col: str = "embedding"):
+    """Per-group mean-pooled embedding centroid in long format
+    (key, dim, centroid, n_vectors) — the class-prototype / cluster-seed
+    step of embedding-space curation (e.g. SemDeDup-style pruning seeds).
+
+    Scale shape: block-local partial sums (one stable argsort +
+    ``add.reduceat`` per batch over the zero-copy Arrow list values — the
+    shuffle carries num_groups x dim partial rows per block, never one
+    row per vector), a (key, dim)-keyed groupby-sum reduce, and a final
+    vectorized divide. Nothing materializes on the driver.
+    """
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[emb_col].combine_chunks()
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        if len(col) == 0:
+            return pa.table(
+                {
+                    key: keys[:0],
+                    "dim": np.empty(0, dtype=np.int64),
+                    "s": np.empty(0, dtype=np.float64),
+                    "cnt": np.empty(0, dtype=np.int64),
+                }
+            )
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        d = int(widths[0])
+        if not (widths == d).all():
+            raise ValueError("group_centroid requires fixed-length embeddings")
+        # per-element float64 cast BEFORE summing (parity with the SQL
+        # oracle's CAST(v AS DOUBLE) inside sum())
+        # flatten() yields exactly the listed values even for sliced arrays
+        vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        emb = vals.reshape(len(col), d)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.flatnonzero(np.r_[True, np.diff(inv[order]) > 0])
+        sums = np.add.reduceat(emb[order], starts, axis=0)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        g = len(uniq)
+        return pa.table(
+            {
+                key: pa.array(np.repeat(uniq, d)).cast(batch.schema.field(key).type),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), g)),
+                "s": pa.array(sums.ravel()),
+                "cnt": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    agg = (
+        emb_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby([key, "dim"])
+        .sum(["s", "cnt"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum(s)"].to_numpy(zero_copy_only=False)
+        c = t["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                key: t[key],
+                "dim": t["dim"],
+                "centroid": pa.array(s / c),
+                "n_vectors": pa.array(c),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -1493,3 +1493,217 @@ def redact(docs_ds):
         )
 
     return docs_ds.map_batches(f, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# repetition / chunking / decontamination (training-data curation family)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs_ds):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 "Scaling Language Models", table A1 — adapted to flat word
+    streams): most-frequent-token fraction, most-frequent-bigram
+    fraction, duplicate-trigram fraction. High values flag boilerplate /
+    degenerate documents in a pre-training corpus.
+
+    Output (doc_id, n_tokens, top_token_frac, top_bigram_frac,
+    dup_trigram_frac); fractions are NaN when the denominator is zero
+    (documents shorter than the n-gram order).
+
+    Scale shape: pure per-block map — each doc lives in one row, so the
+    long token frame + three group_by aggregates (all polars, no per-doc
+    Python) are block-local and nothing shuffles.
+    """
+    import polars as pl
+
+    def f(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"]).fill_null("")
+        words = s.str.to_lowercase().str.extract_all(_TOKEN_RE_POLARS)
+        n_tok = words.list.len().to_numpy().astype(np.int64)
+        long = (
+            pl.DataFrame(
+                {"i": np.arange(len(s), dtype=np.int64), "w": words}
+            )
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(
+                pl.col("w").shift(-1).over("i").alias("w1"),
+                pl.col("w").shift(-2).over("i").alias("w2"),
+            )
+        )
+        top_tok = np.zeros(len(s), dtype=np.float64)
+        tt = long.group_by("i", "w").len().group_by("i").agg(pl.col("len").max())
+        top_tok[tt["i"].to_numpy()] = tt["len"].to_numpy()
+
+        bi = long.drop_nulls("w1").with_columns(
+            (pl.col("w") + "\x1f" + pl.col("w1")).alias("g")
+        )
+        top_bi = np.zeros(len(s), dtype=np.float64)
+        tb = bi.group_by("i", "g").len().group_by("i").agg(pl.col("len").max())
+        top_bi[tb["i"].to_numpy()] = tb["len"].to_numpy()
+
+        tri = long.drop_nulls("w2").with_columns(
+            (pl.col("w") + "\x1f" + pl.col("w1") + "\x1f" + pl.col("w2")).alias("g")
+        )
+        dt = tri.group_by("i").agg(pl.col("g").n_unique().alias("d"))
+        distinct_tri = np.zeros(len(s), dtype=np.float64)
+        distinct_tri[dt["i"].to_numpy()] = dt["d"].to_numpy()
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            f_tok = np.where(n_tok > 0, top_tok / np.maximum(n_tok, 1), np.nan)
+            f_bi = np.where(
+                n_tok >= 2, top_bi / np.maximum(n_tok - 1, 1), np.nan
+            )
+            f_tri = np.where(
+                n_tok >= 3,
+                1.0 - distinct_tri / np.maximum(n_tok - 2, 1),
+                np.nan,
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "top_token_frac": pa.array(f_tok),
+                "top_bigram_frac": pa.array(f_bi),
+                "dup_trigram_frac": pa.array(f_tri),
+            }
+        )
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def chunk_text(docs_ds, *, size: int = 120, overlap: int = 30):
+    """Fixed-size character chunking with overlap — the RAG / context-
+    window prep step: each document explodes into ceil(n_chars/stride)
+    chunks (stride = size - overlap) starting at 0, stride, 2*stride, …,
+    each ``size`` characters long (the last one shorter). Empty documents
+    yield one empty chunk so every doc_id survives the explode.
+
+    Pure per-block 1->N map, no shuffle. Boundaries are codepoint-based
+    (polars str.slice), matching SQL ``substring`` semantics exactly.
+    Output (doc_id, chunk_idx, chunk).
+    """
+    import polars as pl
+
+    if not (0 <= overlap < size):
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+
+    def f(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"]).fill_null("").alias("t")
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = s.str.len_chars().to_numpy().astype(np.int64)
+        k = np.maximum(1, -(-n // stride))  # ceil, min 1 chunk
+        rep = np.repeat(np.arange(len(s), dtype=np.int64), k)
+        chunk_idx = np.arange(rep.size, dtype=np.int64) - np.repeat(
+            np.cumsum(k) - k, k
+        )
+        long = pl.DataFrame(
+            {"t": s.gather(rep), "o": chunk_idx * stride}
+        ).with_columns(pl.col("t").str.slice(pl.col("o"), size).alias("chunk"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rep]),
+                "chunk_idx": pa.array(chunk_idx),
+                "chunk": long["chunk"].to_arrow().cast(pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def _word_ngrams_long(texts, n: int):
+    """Long polars frame (i, g) of the word n-grams of each text: tokens
+    are lowercased ``_TOKEN_RE_POLARS`` matches, grams joined with ' '.
+    Fully vectorized (explode + shift-over + concat_str)."""
+    import polars as pl
+
+    s = pl.from_arrow(texts).fill_null("")
+    long = (
+        pl.DataFrame(
+            {
+                "i": np.arange(len(s), dtype=np.int64),
+                "w": s.str.to_lowercase().str.extract_all(_TOKEN_RE_POLARS),
+            }
+        )
+        .explode("w")
+        .drop_nulls("w")
+    )
+    if n > 1:
+        long = long.with_columns(
+            pl.col("w").shift(-j).over("i").alias(f"w{j}") for j in range(1, n)
+        )
+    gram = pl.concat_str(
+        [pl.col("w")] + [pl.col(f"w{j}") for j in range(1, n)], separator=" "
+    ).alias("g")
+    # concat_str is null if ANY component is null => trailing partial
+    # windows drop out here, exactly the len(words)-n+1 gram count
+    return long.with_columns(gram).drop_nulls("g").select("i", "g")
+
+
+def ngram_decontaminate(
+    docs_ds,
+    bench_ds,
+    *,
+    n: int = 8,
+    max_bench_broadcast: int = 20_000_000,
+):
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one word n-gram with ANY benchmark document — the standard
+    exact n-gram-overlap contamination rule (GPT-3 appendix C; Dodge et
+    al. 2021 on C4). Output (doc_id, contaminated bool); compose with
+    ``broadcast_semi_join``/filter to actually drop flagged docs.
+
+    Scale shape: the benchmark side (small by contract — a test set, not
+    a corpus) reduces to a DISTINCT-gram table with a block-local
+    distinct combiner + one vocabulary-sized groupby, broadcast ONCE via
+    ``ray.put`` (loud ``max_bench_broadcast`` bound); the corpus then
+    streams through a single map_batches that builds its n-grams
+    vectorized and checks membership with ``is_in`` — the 100-TB side is
+    never shuffled.
+    """
+    import polars as pl
+    import ray
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        g = _word_ngrams_long(batch["text"], n)["g"].unique()
+        return pa.table({"g": g.to_arrow().cast(pa.string())})
+
+    bench_tbl = (
+        bench_ds.map_batches(
+            bench_partial, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("g")
+        .count()
+    )
+    grams = pa.concat_tables(
+        ray.get(bench_tbl.to_arrow_refs()), promote_options="default"
+    )
+    if grams.num_rows > max_bench_broadcast:
+        raise ValueError(
+            f"benchmark n-gram set has {grams.num_rows} grams > "
+            f"max_bench_broadcast={max_bench_broadcast}; partition the "
+            "corpus by gram hash and join instead of broadcasting"
+        )
+    bench_ref = ray.put(pl.from_arrow(grams["g"].cast(pa.string())))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        hit = np.zeros(batch.num_rows, dtype=bool)
+        g = _word_ngrams_long(batch["text"], n)
+        if g.height:
+            h = (
+                g.with_columns(pl.col("g").is_in(bench).alias("hit"))
+                .group_by("i")
+                .agg(pl.col("hit").any())
+            )
+            hit[h["i"].to_numpy()] = h["hit"].to_numpy()
+        return pa.table(
+            {"doc_id": batch["doc_id"], "contaminated": pa.array(hit)}
+        )
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
