@@ -1631,6 +1631,111 @@ FROM e GROUP BY label, dim
 """
 
 
+def q_doc_lm_score(sf_dir: str):
+    """Corpus unigram-LM quality score (pipelines/text.py lm_score):
+    add-one-smoothed average negative token log-probability — the
+    CCNet-style perplexity filter signal. Counts pass + broadcast LM +
+    one vectorized scoring pass."""
+    from light_curve_feature_ray.pipelines.text import lm_score
+
+    return _finalize(lm_score(_docs(sf_dir)), skip=())
+
+
+SQL_DOC_LM_SCORE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(coalesce(text, '')),
+                  '{_TOKEN_REGEX}')) AS term
+    FROM documents
+),
+cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT (SELECT count(*) FROM toks) AS t,
+               (SELECT count(*) FROM cnt) AS v),
+persum AS (
+    SELECT tk.doc_id, sum(ln((cnt.c + 1.0) / (tot.t + tot.v))) AS lp
+    FROM toks tk JOIN cnt USING (term) CROSS JOIN tot
+    GROUP BY tk.doc_id
+),
+alldocs AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                '{_TOKEN_REGEX}')) AS BIGINT) AS n
+    FROM documents
+)
+SELECT a.doc_id, a.n AS n_tokens,
+       round(CASE WHEN a.n > 0 THEN -p.lp / a.n END, 6) AS avg_neg_logprob
+FROM alldocs a LEFT JOIN persum p USING (doc_id)
+"""
+
+
+BLOOM_K, BLOOM_M_BITS, BLOOM_PRICE = 4, 1 << 15, 400000.0
+
+
+def q_lineitem_bloom(sf_dir: str):
+    """Bloom-filter semi-join (pipelines/sketches.py bloom_sketch /
+    bloom_semi_join): build a 2^15-bit, k=4 Bloom over high-value order
+    keys (bitwise-OR-mergeable partials, SQL-reproducible poly-hash bit
+    positions), broadcast it once, and flag every distinct lineitem
+    order key — no false negatives; the handful of false positives is
+    deterministic and reproduced exactly by the DuckDB twin."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sketches import (
+        bloom_semi_join,
+        bloom_sketch,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def high_value(t: pa.Table) -> pa.Table:
+        m = t["o_totalprice"].to_numpy(zero_copy_only=False) > BLOOM_PRICE
+        return t.filter(pa.array(m)).select(["o_orderkey"])
+
+    hv = orders.map_batches(high_value, batch_format="pyarrow", batch_size=None)
+    words = bloom_sketch(hv, "o_orderkey", k=BLOOM_K, m_bits=BLOOM_M_BITS)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    keys = (
+        li.groupby("l_orderkey")
+        .count()
+        .map_batches(
+            lambda t: t.select(["l_orderkey"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    return bloom_semi_join(keys, "l_orderkey", words, k=BLOOM_K)
+
+
+def _build_sql_lineitem_bloom() -> str:
+    from light_curve_feature_ray.pipelines.sketches import (
+        _BLOOM_ROWS,
+        _POLY_MOD,
+    )
+
+    hv_chain = _poly_chain_sql("hv", "o_orderkey", "bh")
+    pk_chain = _poly_chain_sql("pk", "l_orderkey", "ph", carry="l_orderkey")
+
+    def pos(pre: str, j: int) -> str:
+        a, b = _BLOOM_ROWS[j]
+        return f"(({pre}.h * {a} + {b}) % {_POLY_MOD}) % {BLOOM_M_BITS}"
+
+    bits_list = ", ".join(pos("bh3", j) for j in range(BLOOM_K))
+    conds = " AND ".join(
+        f"{pos('p', j)} IN (SELECT bit FROM bits)" for j in range(BLOOM_K)
+    )
+    return f"""
+WITH hv AS (SELECT DISTINCT o_orderkey FROM orders
+            WHERE o_totalprice > {BLOOM_PRICE}),
+pk AS (SELECT DISTINCT l_orderkey FROM lineitem),{hv_chain},{pk_chain},
+bits AS (SELECT DISTINCT unnest([{bits_list}]) AS bit FROM bh3)
+SELECT p.l_orderkey, ({conds}) AS bloom_hit
+FROM ph3 p
+"""
+
+
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -3296,6 +3401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_lm_score": q_doc_lm_score,
+        "lineitem_bloom": q_lineitem_bloom,
         "emb_group_centroid": q_emb_group_centroid,
         "emb_cosine_dups": q_emb_cosine_dups,
         "doc_minhash_dups": q_doc_minhash_dups,
@@ -3380,6 +3487,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_chunks": SQL_DOC_CHUNKS,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
+        "doc_lm_score": SQL_DOC_LM_SCORE,
+        "lineitem_bloom": _build_sql_lineitem_bloom(),
         "emb_group_centroid": SQL_EMB_GROUP_CENTROID,
         "doc_simhash": SQL_DOC_SIMHASH,
         "doc_simhash_dups": SQL_DOC_SIMHASH_DUPS,

@@ -98,6 +98,7 @@ from .pipelines.text import (  # noqa: F401
     exact_dedup,
     fingerprint,
     lang_id,
+    lm_score,
     minhash_lsh_dups,
     ngram_decontaminate,
     ngram_jaccard_dups,
@@ -131,6 +132,9 @@ from .pipelines.pivot import pivot_agg  # noqa: F401
 
 # --- sketches ------------------------------------------------------------
 from .pipelines.sketches import (  # noqa: F401
+    bloom_probe,
+    bloom_semi_join,
+    bloom_sketch,
     cms_estimate,
     cms_sketch,
     hll_distinct,

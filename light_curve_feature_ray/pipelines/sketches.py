@@ -304,3 +304,104 @@ def hll_distinct(
         batch_format="pandas",
         batch_size=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — compact set membership for semi-joins whose
+# key set is too large to broadcast raw but fits as bits
+# ---------------------------------------------------------------------------
+
+_BLOOM_ROWS = _CMS_ROWS  # same pairwise-independent (a, b) family
+
+
+def _bloom_positions(h: np.ndarray, j: int, m_bits: int) -> np.ndarray:
+    a, b = _BLOOM_ROWS[j]
+    return ((h * a + b) % _POLY_MOD) % m_bits
+
+
+def bloom_sketch(ds, value_col: str, *, k: int = 4, m_bits: int = 1 << 16):
+    """Build a Bloom filter over a column: ``m_bits`` bits, ``k`` hash
+    rows (the CMS (a, b) family over the SQL-reproducible 48-bit poly
+    hash, so every bit position is BIGINT-derivable by a DuckDB twin).
+
+    Mergeable by bitwise OR (commutative/associative/idempotent — the
+    sketch is EXACTLY independent of partitioning, block order and
+    retries): each block contributes one packed ``m_bits/64`` uint64
+    partial (8 KB at the default), tree-reduced. Returns the packed word
+    array driver-side (a small summary, like :func:`cms_sketch`)."""
+    if not 1 <= k <= len(_BLOOM_ROWS):
+        raise ValueError(f"k must be in [1, {len(_BLOOM_ROWS)}]")
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    n_words = m_bits // 64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy()
+        words = np.zeros(n_words, dtype=np.uint64)
+        if len(v):
+            h = _poly_value_hashes(v)
+            for j in range(k):
+                pos = _bloom_positions(h, j, m_bits)
+                np.bitwise_or.at(
+                    words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+                )
+        return pd.DataFrame({"words": [words]})
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"words": []})
+        return pd.DataFrame(
+            {
+                "words": [
+                    np.bitwise_or.reduce(np.stack(list(b["words"])), axis=0)
+                ]
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(4)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .take_all()
+    )
+    if not rows:
+        return np.zeros(n_words, dtype=np.uint64)
+    return np.bitwise_or.reduce(np.stack([r["words"] for r in rows]), axis=0)
+
+
+def bloom_probe(words: np.ndarray, values, *, k: int = 4) -> np.ndarray:
+    """Vectorized membership test against a :func:`bloom_sketch` word
+    array: True iff all ``k`` bits are set. No false negatives; the
+    false-positive rate is ~(1 - e^(-k*n/m))^k."""
+    m_bits = words.size * 64
+    h = _poly_value_hashes(np.asarray(values))
+    hit = np.ones(h.shape[0], dtype=bool)
+    for j in range(k):
+        pos = _bloom_positions(h, j, m_bits)
+        hit &= (
+            (words[pos >> 6] >> (pos & 63).astype(np.uint64))
+            & np.uint64(1)
+        ).astype(bool)
+    return hit
+
+
+def bloom_semi_join(ds, col: str, words: np.ndarray, *, k: int = 4):
+    """Shuffle-free approximate semi-join: append ``bloom_hit`` to every
+    row of ``ds`` by probing the broadcast Bloom words (``ray.put``
+    once, read per task — never re-shipped per batch). Downstream can
+    filter on the flag; survivors are a superset of the exact semi-join
+    (no false negatives), so an exact verify pass only ever touches the
+    bloom-positive subset — the 100-TB pattern for joining a huge stream
+    against a large-but-boundable key set."""
+    import pyarrow as pa
+
+    import ray
+
+    words_ref = ray.put(words)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        w = ray.get(words_ref)
+        hit = bloom_probe(w, batch[col].to_numpy(zero_copy_only=False), k=k)
+        return batch.append_column("bloom_hit", pa.array(hit))
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)

@@ -1707,3 +1707,95 @@ def ngram_decontaminate(
         )
 
     return docs_ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+def lm_score(docs_ds, *, max_vocab_broadcast: int = 5_000_000):
+    """Corpus unigram language-model score per document: average negative
+    log-probability of the document's tokens under the add-one-smoothed
+    corpus unigram distribution, p(w) = (count(w)+1) / (T+V) — the
+    perplexity-style quality signal of CCNet-class curation pipelines
+    (Wenzek et al. 2020), with the unigram LM standing in for the
+    external KenLM. Low = typical text, high = rare-token noise.
+    Output (doc_id, n_tokens, avg_neg_logprob); NaN for empty docs.
+
+    Scale shape: one counts pass (block-local value_counts combiner, one
+    vocabulary-sized groupby-sum — identical to :func:`top_terms`); the
+    (term, logprob) table is broadcast ONCE via ``ray.put`` (loud
+    ``max_vocab_broadcast`` bound); the scoring pass is one map_batches
+    with a vectorized polars join + group sum. Unseen tokens (scoring a
+    different corpus than the one the LM was fit on) get the smoothing
+    floor ln(1/(T+V)) — no row is ever dropped."""
+    import polars as pl
+
+    import ray
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"]).fill_null("")
+        toks = (
+            s.str.to_lowercase()
+            .str.extract_all(_TOKEN_RE_POLARS)
+            .explode()
+            .drop_nulls()
+            .alias("term")
+        )
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "term": vc["term"].to_arrow().cast(pa.string()),
+                "cnt": pa.array(vc["count"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    counts_ds = (
+        docs_ds.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("cnt")
+    )
+    vocab = pa.concat_tables(
+        ray.get(counts_ds.to_arrow_refs()), promote_options="default"
+    )
+    if vocab.num_rows > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary has {vocab.num_rows} terms > max_vocab_broadcast="
+            f"{max_vocab_broadcast}; shuffle docs by term instead"
+        )
+    cnt = vocab["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total, v_size = float(cnt.sum()), float(vocab.num_rows)
+    lm = pl.DataFrame(
+        {
+            "term": pl.from_arrow(vocab["term"].cast(pa.string())),
+            "lp": np.log((cnt + 1.0) / (total + v_size)),
+        }
+    )
+    lm_ref = ray.put(lm)
+    floor_lp = float(np.log(1.0 / (total + v_size))) if total + v_size > 0 else 0.0
+
+    def score(batch: pa.Table) -> pa.Table:
+        model = ray.get(lm_ref)
+        s = pl.from_arrow(batch["text"]).fill_null("")
+        words = s.str.to_lowercase().str.extract_all(_TOKEN_RE_POLARS)
+        n_tok = words.list.len().to_numpy().astype(np.int64)
+        long = (
+            pl.DataFrame(
+                {"i": np.arange(len(s), dtype=np.int64), "term": words}
+            )
+            .explode("term")
+            .drop_nulls("term")
+            .join(model, on="term", how="left")
+            .with_columns(pl.col("lp").fill_null(floor_lp))
+            .group_by("i")
+            .agg(pl.col("lp").sum())
+        )
+        lp_sum = np.zeros(len(s), dtype=np.float64)
+        lp_sum[long["i"].to_numpy()] = long["lp"].to_numpy()
+        with np.errstate(invalid="ignore"):
+            score_v = np.where(n_tok > 0, -lp_sum / np.maximum(n_tok, 1), np.nan)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "avg_neg_logprob": pa.array(score_v),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
