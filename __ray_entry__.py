@@ -1210,6 +1210,52 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+EWMA_ALPHA = 0.3
+
+
+def q_events_ewma(sf_dir: str):
+    """Per-user EWMA smoothing (pipelines/windows.py ewma): the
+    adjust=False recurrence, one co-partitioning shuffle + one
+    vectorized polars ewm_mean pass; the SQL twin re-derives the
+    closed form (1-a)^t x_0 + sum a (1-a)^(t-j) x_j per row."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import ewma
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return _finalize(
+        ewma(ev, alpha=EWMA_ALPHA), skip=("event_id", "user_id", "t_us")
+    )
+
+
+# the recursive CTE replays polars' exact float recurrence
+# e_t = e_{t-1} + alpha*(x_t - e_{t-1}) step by step (same IEEE double
+# sub/mul/add sequence), so the match is bit-level, not approximate
+SQL_EVENTS_EWMA = f"""
+WITH RECURSIVE base AS (
+    SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) - 1 AS rn
+    FROM events
+),
+rec AS (
+    SELECT user_id, event_id, t_us, value, rn, value AS e
+    FROM base WHERE rn = 0
+    UNION ALL
+    SELECT b.user_id, b.event_id, b.t_us, b.value, b.rn,
+           r.e + {EWMA_ALPHA} * (b.value - r.e)
+    FROM base b JOIN rec r
+      ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT event_id, user_id, t_us, round(value, 6) AS value,
+       round(e, 6) AS ewma
+FROM rec
+"""
+
+
 def q_events_sessions(sf_dir: str):
     import ray.data as rd
 
@@ -3364,6 +3410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "events_rolling": q_events_rolling,
         "events_rolling_time": q_events_rolling_time,
+        "events_ewma": q_events_ewma,
         "events_semi_join": q_events_semi_join,
         "events_deciles": q_events_deciles,
         "doc_anti_join": q_doc_anti_join,
@@ -3450,6 +3497,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_rolling": SQL_EVENTS_ROLLING,
         "events_rolling_time": SQL_EVENTS_ROLLING_TIME,
+        "events_ewma": SQL_EVENTS_EWMA,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,
         "events_deciles": SQL_EVENTS_DECILES,
         "doc_anti_join": SQL_DOC_ANTI_JOIN,

@@ -60,6 +60,7 @@ from .pipelines.joins import (  # noqa: F401
 
 # --- windows -------------------------------------------------------------
 from .pipelines.windows import (  # noqa: F401
+    ewma,
     rolling_agg,
     rolling_time_agg,
     session_windows,

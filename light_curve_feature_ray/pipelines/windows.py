@@ -388,3 +388,68 @@ def tumbling_window_agg(
         .groupby("part")
         .map_groups(merge_partition, batch_format="pandas")
     )
+
+
+def ewma(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.3,
+    num_partitions: int = 32,
+):
+    """Per-key exponentially-weighted moving average over each key's
+    event stream in (ts, id) order — the classic streaming smoother:
+    ``e_0 = x_0``, ``e_t = (1-alpha)*e_{t-1} + alpha*x_t`` (the
+    ``adjust=False`` recurrence; equivalently the closed form
+    ``(1-a)^t x_0 + sum_j a (1-a)^(t-j) x_j``, which the SQL oracle
+    re-derives). Null/NaN rows carry no weight and get a NaN smoothed
+    value themselves (polars ``ignore_nulls=True`` null semantics; NaN
+    is mapped to null first because polars treats NaN as a poison
+    value, not a missing one).
+
+    Shape: ONE hash shuffle co-locating each key's rows (same exchange
+    as :func:`rolling_agg`), then a single vectorized polars
+    ``ewm_mean().over(key)`` pass per partition — no per-key Python.
+    Returns (id, key, t_us, value, ewma).
+    """
+    import polars as pl
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, t_us, keys))
+        keys, ids, t_us = keys[order], ids[order], t_us[order]
+        v = g[value_col].to_numpy(dtype=np.float64)[order]
+        e = (
+            pl.DataFrame({"k": keys, "v": v})
+            .with_columns(
+                pl.col("v")
+                .fill_nan(None)
+                .ewm_mean(alpha=alpha, adjust=False, ignore_nulls=True)
+                .over("k")
+                .alias("e")
+            )["e"]
+            .to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                key_col: keys,
+                "t_us": t_us,
+                value_col: v,
+                "ewma": e,
+            }
+        )
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -198,3 +198,66 @@ def test_rolling_time_agg_validation(ray_session):
 
     with pytest.raises(ValueError):
         rolling_time_agg(rd.from_pandas(_rolling_events(10)), window_s=0)
+
+
+def _naive_ewma(values, alpha):
+    out, e = [], None
+    for v in values:
+        if np.isnan(v):
+            out.append(np.nan)
+            continue
+        e = v if e is None else e + alpha * (v - e)
+        out.append(e)
+    return out
+
+
+def test_ewma_matches_naive(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import ewma
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 7, size=n).astype(np.int64),
+            "t": np.sort(rng.integers(0, 10_000, size=n)),
+            "value": rng.normal(scale=50, size=n),
+        }
+    )
+    df.loc[df.index % 17 == 0, "value"] = np.nan  # nulls carry no weight
+    df["ts"] = pd.to_datetime(df["t"] * 1_000_000, unit="us")
+    ds = rd.from_pandas(
+        df[["event_id", "user_id", "ts", "value"]]
+    ).repartition(5)
+    got = (
+        ewma(ds, alpha=0.25, num_partitions=8)
+        .to_pandas()
+        .sort_values(["user_id", "t_us", "event_id"])
+    )
+    for uid, grp in got.groupby("user_id"):
+        want = _naive_ewma(grp["value"].to_numpy(), 0.25)
+        np.testing.assert_array_equal(  # bit parity, incl. NaN rows
+            grp["ewma"].to_numpy(), np.array(want)
+        )
+
+
+def test_ewma_partition_invariance_and_validation(tiny_events):
+    from light_curve_feature_ray.pipelines.windows import ewma
+
+    base = (
+        ewma(tiny_events, id_col="value", num_partitions=2)
+        .to_pandas()
+        .sort_values(["user_id", "t_us"])
+        .reset_index(drop=True)
+    )
+    again = (
+        ewma(tiny_events.repartition(3), id_col="value", num_partitions=9)
+        .to_pandas()
+        .sort_values(["user_id", "t_us"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, again)
+    with pytest.raises(ValueError):
+        ewma(tiny_events, id_col="value", alpha=0.0)
