@@ -241,6 +241,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         tfidf_top_terms(docs, k=3).count()
         timings["doc_tfidf"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.text import (
+            lm_score,
+            repetition_stats,
+        )
+
+        t0 = time.perf_counter()
+        repetition_stats(docs).count()
+        timings["doc_repetition"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        lm_score(docs).count()
+        timings["doc_lm_score"] = round(time.perf_counter() - t0, 3)
+
     events_path = f"{sf_dir}/events.parquet"
     if os.path.exists(events_path):
         from light_curve_feature_ray.pipelines.windows import (
@@ -284,6 +296,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         rolling_agg(ev_roll, k=5).count()
         timings["events_rolling"] = round(time.perf_counter() - t0, 3)
+
+        from light_curve_feature_ray.pipelines.windows import ewma
+
+        t0 = time.perf_counter()
+        ewma(ev_roll).count()
+        timings["events_ewma"] = round(time.perf_counter() - t0, 3)
 
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
