@@ -1210,6 +1210,47 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_events_user_trend(sf_dir: str):
+    """Per-user OLS trend of value over time (pipelines/aggregates.py
+    group_linear_trend): pure all-aggregate shape — block-local partial
+    sums, one key-cardinality groupby-sum, vectorized normal-equation
+    closed form; x is seconds from the global min timestamp (the
+    conv_time epoch-offset lesson)."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        group_linear_trend,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return _finalize(group_linear_trend(ev), skip=("user_id", "n"))
+
+
+SQL_EVENTS_USER_TREND = """
+WITH m AS (SELECT min(epoch_us(ts)) AS x0 FROM events),
+s AS (
+    SELECT user_id,
+           count(value) AS n,
+           sum((epoch_us(ts) - m.x0) / 1000000.0) AS sx,
+           sum(value) AS sy,
+           sum(((epoch_us(ts) - m.x0) / 1000000.0) * value) AS sxy,
+           sum(((epoch_us(ts) - m.x0) / 1000000.0)
+               * ((epoch_us(ts) - m.x0) / 1000000.0)) AS sxx
+    FROM events CROSS JOIN m
+    GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+             THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,
+       round(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+             THEN (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n
+             END, 6) AS intercept
+FROM s
+"""
+
+
 EWMA_ALPHA = 0.3
 
 
@@ -3411,6 +3452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": q_events_rolling,
         "events_rolling_time": q_events_rolling_time,
         "events_ewma": q_events_ewma,
+        "events_user_trend": q_events_user_trend,
         "events_semi_join": q_events_semi_join,
         "events_deciles": q_events_deciles,
         "doc_anti_join": q_doc_anti_join,
@@ -3498,6 +3540,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": SQL_EVENTS_ROLLING,
         "events_rolling_time": SQL_EVENTS_ROLLING_TIME,
         "events_ewma": SQL_EVENTS_EWMA,
+        "events_user_trend": SQL_EVENTS_USER_TREND,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,
         "events_deciles": SQL_EVENTS_DECILES,
         "doc_anti_join": SQL_DOC_ANTI_JOIN,

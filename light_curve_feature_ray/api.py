@@ -58,6 +58,9 @@ from .pipelines.joins import (  # noqa: F401
     interval_join,
 )
 
+# --- all-aggregate analytics ----------------------------------------------
+from .pipelines.aggregates import group_linear_trend  # noqa: F401
+
 # --- windows -------------------------------------------------------------
 from .pipelines.windows import (  # noqa: F401
     ewma,

@@ -1,0 +1,125 @@
+"""All-aggregate analytics: operators whose distributed shape is pure
+combiner -> groupby-sum -> closed form, with no row co-location at all —
+the cheapest possible 100-TB pattern (the shuffle carries one partial row
+per (group, block), never data rows).
+
+First resident: per-group ordinary-least-squares trend (slope/intercept
+of y over x), the relational ``regr_slope``/``regr_intercept`` pair."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def group_linear_trend(
+    ds,
+    *,
+    key_col: str = "user_id",
+    x_col: str = "ts",
+    y_col: str = "value",
+    x_offset_us: int | None = None,
+):
+    """Per-key OLS line fit of ``y`` over ``x`` (x may be a timestamp —
+    converted to SECONDS relative to ``x_offset_us``): returns
+    (key, n, slope, intercept) with slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2), the regr_slope normal-equation form; slope and
+    intercept are NaN for keys with n < 2 or zero x-variance.
+
+    ``x_offset_us`` anchors x near zero — raw epoch microseconds would
+    put Sxx at ~1e33 and the normal-equation cancellation would destroy
+    the slope (the same ulp trap the conv_time features hit; see
+    CLAUDE.md). If None, the global min of ``x`` is used (one tiny
+    metadata-cheap aggregate). Rows with NaN y are skipped, like SQL
+    NULL semantics.
+
+    Scale shape: block-local partial sums (n, Sx, Sy, Sxy, Sxx) per key
+    — one lexsort + reduceat per batch — then ONE groupby-sum over
+    key-cardinality partials and a vectorized closed form. Sums are
+    commutative, so up to float association the result is independent of
+    partitioning (the driver oracle pins round-6 equality).
+    """
+    import pyarrow.compute as pc
+
+    if x_offset_us is None:
+        m = ds.min(x_col)
+        if hasattr(m, "timestamp"):  # datetime / pandas Timestamp
+            x_offset_us = int(pd.Timestamp(m).value // 1_000)  # exact ns->us
+        else:
+            x_offset_us = int(m)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        x_us = (
+            batch[x_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            if pa.types.is_timestamp(batch.schema.field(x_col).type)
+            else pc.cast(batch[x_col], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        x = (x_us - x_offset_us) / 1e6
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(y)
+        keys, x, y = keys[ok], x[ok], y[ok]
+        if keys.size == 0:
+            return pa.table(
+                {
+                    key_col: keys,
+                    "n": np.empty(0, dtype=np.int64),
+                    "sx": np.empty(0, dtype=np.float64),
+                    "sy": np.empty(0, dtype=np.float64),
+                    "sxy": np.empty(0, dtype=np.float64),
+                    "sxx": np.empty(0, dtype=np.float64),
+                }
+            )
+        uniq, inv = np.unique(keys, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.flatnonzero(np.r_[True, np.diff(inv[order]) > 0])
+        xo, yo = x[order], y[order]
+        return pa.table(
+            {
+                key_col: pa.array(uniq).cast(
+                    batch.schema.field(key_col).type
+                ),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sx": pa.array(np.add.reduceat(xo, starts)),
+                "sy": pa.array(np.add.reduceat(yo, starts)),
+                "sxy": pa.array(np.add.reduceat(xo * yo, starts)),
+                "sxx": pa.array(np.add.reduceat(xo * xo, starts)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key_col)
+        .sum(["n", "sx", "sy", "sxy", "sxx"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sum(sx)"].to_numpy(zero_copy_only=False)
+        sy = t["sum(sy)"].to_numpy(zero_copy_only=False)
+        sxy = t["sum(sxy)"].to_numpy(zero_copy_only=False)
+        sxx = t["sum(sxx)"].to_numpy(zero_copy_only=False)
+        denom = n * sxx - sx * sx
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.where(
+                (n >= 2) & (denom > 0), (n * sxy - sx * sy) / denom, np.nan
+            )
+            intercept = np.where(
+                np.isnan(slope), np.nan, (sy - slope * sx) / n
+            )
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "n": pa.array(n.astype(np.int64)),
+                "slope": pa.array(slope),
+                "intercept": pa.array(intercept),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

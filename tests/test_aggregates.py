@@ -1,0 +1,93 @@
+"""All-aggregate analytics (pipelines/aggregates.py): per-group OLS
+trend. Contracts: equals numpy polyfit per key (relative offset), NaN y
+rows are skipped, singleton / zero-variance keys give NaN fits, output
+is partition-invariant, timestamp and integer x columns both work."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from light_curve_feature_ray.pipelines.aggregates import group_linear_trend
+
+
+@pytest.fixture(scope="module")
+def trend_df():
+    rng = np.random.default_rng(9)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 6, size=n).astype(np.int64),
+            "t": np.sort(rng.integers(0, 1_000_000, size=n)),
+            "value": rng.normal(scale=20, size=n),
+        }
+    )
+    # key 7: singleton; key 8: two rows at the SAME x (zero variance)
+    extra = pd.DataFrame(
+        {"user_id": [7, 8, 8], "t": [5, 10, 10], "value": [1.0, 2.0, 4.0]}
+    )
+    df = pd.concat([df, extra], ignore_index=True)
+    df.loc[df.index % 13 == 0, "value"] = np.nan
+    df["ts"] = pd.to_datetime(df["t"] * 1_000_000, unit="us")
+    return df
+
+
+def test_group_linear_trend_matches_polyfit(ray_session, trend_df):
+    import ray.data as rd
+
+    ds = rd.from_pandas(trend_df[["user_id", "ts", "value"]]).repartition(5)
+    got = (
+        group_linear_trend(ds)
+        .to_pandas()
+        .sort_values("user_id")
+        .set_index("user_id")
+    )
+    x0 = trend_df["t"].min()
+    for uid, grp in trend_df.groupby("user_id"):
+        ok = grp["value"].notna()
+        x = (grp["t"][ok] - x0).to_numpy(dtype=np.float64)
+        y = grp["value"][ok].to_numpy(dtype=np.float64)
+        row = got.loc[uid]
+        assert row["n"] == ok.sum()
+        if ok.sum() < 2 or np.ptp(x) == 0:
+            assert np.isnan(row["slope"]) and np.isnan(row["intercept"])
+        else:
+            slope, intercept = np.polyfit(x, y, 1)
+            assert row["slope"] == pytest.approx(slope, rel=1e-6, abs=1e-12)
+            assert row["intercept"] == pytest.approx(intercept, rel=1e-6)
+
+
+def test_group_linear_trend_partition_invariance(ray_session, trend_df):
+    import ray.data as rd
+
+    cols = trend_df[["user_id", "ts", "value"]]
+    a = (
+        group_linear_trend(rd.from_pandas(cols))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        group_linear_trend(rd.from_pandas(cols).repartition(9))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_group_linear_trend_integer_x(ray_session):
+    import ray.data as rd
+
+    # exact line y = 3x + 1 on integer x microseconds
+    df = pd.DataFrame(
+        {
+            "user_id": [1] * 5,
+            "ts": np.arange(5, dtype=np.int64) * 1_000_000,
+            "value": 3.0 * np.arange(5) + 1.0,
+        }
+    )
+    got = group_linear_trend(
+        rd.from_pandas(df), x_offset_us=0
+    ).to_pandas()
+    assert got["slope"].iloc[0] == pytest.approx(3.0, rel=1e-12)
+    assert got["intercept"].iloc[0] == pytest.approx(1.0, rel=1e-12)
