@@ -1251,6 +1251,49 @@ FROM s
 """
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extended price
+    (pipelines/aggregates.py group_corr): the relational corr() in pure
+    all-aggregate shape (six partial sums per key, one groupby-sum,
+    closed form)."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import group_corr
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return _finalize(
+        group_corr(
+            li,
+            key_col="l_returnflag",
+            x_col="l_quantity",
+            y_col="l_extendedprice",
+        ),
+        skip=("l_returnflag", "n"),
+    )
+
+
+SQL_LINEITEM_CORR = """
+WITH s AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(l_quantity AS DOUBLE)) AS sx,
+           sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+           sum(CAST(l_quantity AS DOUBLE) * l_extendedprice) AS sxy,
+           sum(CAST(l_quantity AS DOUBLE) * l_quantity) AS sxx,
+           sum(CAST(l_extendedprice AS DOUBLE) * l_extendedprice) AS syy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+             THEN (n*sxy - sx*sy)
+                  / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS corr
+FROM s
+"""
+
+
 EWMA_ALPHA = 0.3
 
 
@@ -3453,6 +3496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_time": q_events_rolling_time,
         "events_ewma": q_events_ewma,
         "events_user_trend": q_events_user_trend,
+        "lineitem_corr": q_lineitem_corr,
         "events_semi_join": q_events_semi_join,
         "events_deciles": q_events_deciles,
         "doc_anti_join": q_doc_anti_join,
@@ -3541,6 +3585,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_time": SQL_EVENTS_ROLLING_TIME,
         "events_ewma": SQL_EVENTS_EWMA,
         "events_user_trend": SQL_EVENTS_USER_TREND,
+        "lineitem_corr": SQL_LINEITEM_CORR,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,
         "events_deciles": SQL_EVENTS_DECILES,
         "doc_anti_join": SQL_DOC_ANTI_JOIN,

@@ -59,7 +59,10 @@ from .pipelines.joins import (  # noqa: F401
 )
 
 # --- all-aggregate analytics ----------------------------------------------
-from .pipelines.aggregates import group_linear_trend  # noqa: F401
+from .pipelines.aggregates import (  # noqa: F401
+    group_corr,
+    group_linear_trend,
+)
 
 # --- windows -------------------------------------------------------------
 from .pipelines.windows import (  # noqa: F401

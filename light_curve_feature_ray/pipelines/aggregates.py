@@ -123,3 +123,89 @@ def group_linear_trend(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def group_corr(
+    ds,
+    *,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+):
+    """Per-key Pearson correlation of two numeric columns — the
+    relational ``corr()`` in the same pure all-aggregate shape as
+    :func:`group_linear_trend` (partial sums n, Sx, Sy, Sxy, Sxx, Syy
+    per key -> one groupby-sum -> closed form
+    (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))).
+
+    Rows where EITHER side is NaN are skipped (SQL corr NULL-pair
+    semantics); keys with n < 2 or zero variance on either side give
+    NaN. Returns (key, n, corr).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        keys, x, y = keys[ok], x[ok], y[ok]
+        if keys.size == 0:
+            return pa.table(
+                {
+                    key_col: keys,
+                    "n": np.empty(0, dtype=np.int64),
+                    "sx": np.empty(0, dtype=np.float64),
+                    "sy": np.empty(0, dtype=np.float64),
+                    "sxy": np.empty(0, dtype=np.float64),
+                    "sxx": np.empty(0, dtype=np.float64),
+                    "syy": np.empty(0, dtype=np.float64),
+                }
+            )
+        uniq, inv = np.unique(keys, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.flatnonzero(np.r_[True, np.diff(inv[order]) > 0])
+        xo, yo = x[order], y[order]
+        return pa.table(
+            {
+                key_col: pa.array(uniq).cast(
+                    batch.schema.field(key_col).type
+                ),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sx": pa.array(np.add.reduceat(xo, starts)),
+                "sy": pa.array(np.add.reduceat(yo, starts)),
+                "sxy": pa.array(np.add.reduceat(xo * yo, starts)),
+                "sxx": pa.array(np.add.reduceat(xo * xo, starts)),
+                "syy": pa.array(np.add.reduceat(yo * yo, starts)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key_col)
+        .sum(["n", "sx", "sy", "sxy", "sxx", "syy"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sum(sx)"].to_numpy(zero_copy_only=False)
+        sy = t["sum(sy)"].to_numpy(zero_copy_only=False)
+        sxy = t["sum(sxy)"].to_numpy(zero_copy_only=False)
+        sxx = t["sum(sxx)"].to_numpy(zero_copy_only=False)
+        syy = t["sum(syy)"].to_numpy(zero_copy_only=False)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(
+                (n >= 2) & (vx > 0) & (vy > 0),
+                (n * sxy - sx * sy) / np.sqrt(vx * vy),
+                np.nan,
+            )
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "n": pa.array(n.astype(np.int64)),
+                "corr": pa.array(r),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -91,3 +91,42 @@ def test_group_linear_trend_integer_x(ray_session):
     ).to_pandas()
     assert got["slope"].iloc[0] == pytest.approx(3.0, rel=1e-12)
     assert got["intercept"].iloc[0] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_group_corr_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import group_corr
+
+    rng = np.random.default_rng(21)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, size=n).astype(np.int64),
+            "x": rng.normal(size=n),
+        }
+    )
+    df["y"] = 2.0 * df["x"] + rng.normal(scale=0.5, size=n)
+    df.loc[df.index % 11 == 0, "y"] = np.nan  # NULL pairs skipped
+    # key 9: constant x (zero variance -> NaN)
+    df = pd.concat(
+        [df, pd.DataFrame({"k": [9, 9, 9], "x": [1.0] * 3, "y": [1, 2, 3.0]})],
+        ignore_index=True,
+    )
+    got = (
+        group_corr(
+            rd.from_pandas(df).repartition(6), key_col="k", x_col="x", y_col="y"
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    for k, grp in df.groupby("k"):
+        ok = grp["y"].notna()
+        row = got.loc[k]
+        assert row["n"] == ok.sum()
+        x, y = grp["x"][ok].to_numpy(), grp["y"][ok].to_numpy()
+        if ok.sum() < 2 or np.ptp(x) == 0 or np.ptp(y) == 0:
+            assert np.isnan(row["corr"])
+        else:
+            want = np.corrcoef(x, y)[0, 1]
+            assert row["corr"] == pytest.approx(want, rel=1e-9)
