@@ -1231,14 +1231,18 @@ def q_events_user_trend(sf_dir: str):
 SQL_EVENTS_USER_TREND = """
 WITH m AS (SELECT min(epoch_us(ts)) AS x0 FROM events),
 s AS (
+    -- NULL-value rows are excluded from EVERY sum (the operator drops
+    -- them before computing partials); note x0 is still the min over
+    -- ALL rows, matching the operator's ds.min pre-pass
     SELECT user_id,
-           count(value) AS n,
+           count(*) AS n,
            sum((epoch_us(ts) - m.x0) / 1000000.0) AS sx,
            sum(value) AS sy,
            sum(((epoch_us(ts) - m.x0) / 1000000.0) * value) AS sxy,
            sum(((epoch_us(ts) - m.x0) / 1000000.0)
                * ((epoch_us(ts) - m.x0) / 1000000.0)) AS sxx
     FROM events CROSS JOIN m
+    WHERE value IS NOT NULL
     GROUP BY user_id
 )
 SELECT user_id, CAST(n AS BIGINT) AS n,
@@ -1277,6 +1281,8 @@ def q_lineitem_corr(sf_dir: str):
 
 SQL_LINEITEM_CORR = """
 WITH s AS (
+    -- rows with a NULL on EITHER side are excluded from every sum
+    -- (the operator's NULL-pair semantics)
     SELECT l_returnflag,
            count(*) AS n,
            sum(CAST(l_quantity AS DOUBLE)) AS sx,
@@ -1284,7 +1290,9 @@ WITH s AS (
            sum(CAST(l_quantity AS DOUBLE) * l_extendedprice) AS sxy,
            sum(CAST(l_quantity AS DOUBLE) * l_quantity) AS sxx,
            sum(CAST(l_extendedprice AS DOUBLE) * l_extendedprice) AS syy
-    FROM lineitem GROUP BY l_returnflag
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    GROUP BY l_returnflag
 )
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,
        round(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
@@ -1317,13 +1325,16 @@ def q_events_ewma(sf_dir: str):
 
 # the recursive CTE replays polars' exact float recurrence
 # e_t = e_{t-1} + alpha*(x_t - e_{t-1}) step by step (same IEEE double
-# sub/mul/add sequence), so the match is bit-level, not approximate
+# sub/mul/add sequence), so the match is bit-level, not approximate.
+# NULL rows are excluded from the recursion (they would poison every
+# later step) and re-attached with NULL ewma — the operator's
+# ignore_nulls semantics (null rows carry no weight, get NaN out).
 SQL_EVENTS_EWMA = f"""
 WITH RECURSIVE base AS (
     SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
            row_number() OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) - 1 AS rn
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ),
 rec AS (
     SELECT user_id, event_id, t_us, value, rn, value AS e
@@ -1337,6 +1348,10 @@ rec AS (
 SELECT event_id, user_id, t_us, round(value, 6) AS value,
        round(e, 6) AS ewma
 FROM rec
+UNION ALL
+SELECT event_id, user_id, epoch_us(ts) AS t_us, NULL AS value,
+       NULL AS ewma
+FROM events WHERE value IS NULL
 """
 
 
@@ -1687,7 +1702,8 @@ WITH b AS (SELECT doc_id, coalesce(text, '') AS t,
            FROM documents)
 SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
        substring(t, CAST(u.ci*{_STRIDE} + 1 AS BIGINT), {CHUNK_SIZE}) AS chunk
-FROM b, unnest(range(0, greatest((n + {_STRIDE - 1})//{_STRIDE}, 1))) AS u(ci)
+FROM b, unnest(range(0, greatest(
+    (n - {CHUNK_OVERLAP} + {_STRIDE - 1})//{_STRIDE}, 1))) AS u(ci)
 """
 
 # n=4 fits the tiny synthetic vocabulary (docs are ~10-100 words over a

@@ -13,6 +13,30 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _grouped_sums(keys, key_field: pa.Field, cols: dict) -> pa.Table:
+    """Block-local per-key partial sums (the combiner both aggregates
+    share): one stable argsort + ``add.reduceat`` per numeric column,
+    plus the per-key row count ``n``."""
+    if keys.size == 0:
+        out = {
+            key_field.name: pa.array(keys).cast(key_field.type),
+            "n": pa.array(np.empty(0, dtype=np.int64)),
+        }
+        for name in cols:
+            out[name] = pa.array(np.empty(0, dtype=np.float64))
+        return pa.table(out)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    starts = np.flatnonzero(np.r_[True, np.diff(inv[order]) > 0])
+    out = {
+        key_field.name: pa.array(uniq).cast(key_field.type),
+        "n": pa.array(np.bincount(inv).astype(np.int64)),
+    }
+    for name, arr in cols.items():
+        out[name] = pa.array(np.add.reduceat(arr[order], starts))
+    return pa.table(out)
+
+
 def group_linear_trend(
     ds,
     *,
@@ -21,18 +45,19 @@ def group_linear_trend(
     y_col: str = "value",
     x_offset_us: int | None = None,
 ):
-    """Per-key OLS line fit of ``y`` over ``x`` (x may be a timestamp —
-    converted to SECONDS relative to ``x_offset_us``): returns
+    """Per-key OLS line fit of ``y`` over ``x``: returns
     (key, n, slope, intercept) with slope = (n*Sxy - Sx*Sy) /
     (n*Sxx - Sx^2), the regr_slope normal-equation form; slope and
     intercept are NaN for keys with n < 2 or zero x-variance.
 
-    ``x_offset_us`` anchors x near zero — raw epoch microseconds would
-    put Sxx at ~1e33 and the normal-equation cancellation would destroy
-    the slope (the same ulp trap the conv_time features hit; see
-    CLAUDE.md). If None, the global min of ``x`` is used (one tiny
-    metadata-cheap aggregate). Rows with NaN y are skipped, like SQL
-    NULL semantics.
+    A timestamp ``x`` is converted to SECONDS relative to
+    ``x_offset_us`` (microseconds); a plain numeric ``x`` is used as-is
+    minus the offset, in its own units. The offset anchors x near zero —
+    raw epoch microseconds would put Sxx at ~1e33 and the
+    normal-equation cancellation would destroy the slope (the same ulp
+    trap the conv_time features hit; see CLAUDE.md). If None, the global
+    min of ``x`` is used (one tiny aggregate). Rows with NaN y are
+    skipped, like SQL NULL semantics.
 
     Scale shape: block-local partial sums (n, Sx, Sy, Sxy, Sxx) per key
     — one lexsort + reduceat per batch — then ONE groupby-sum over
@@ -40,57 +65,36 @@ def group_linear_trend(
     commutative, so up to float association the result is independent of
     partitioning (the driver oracle pins round-6 equality).
     """
-    import pyarrow.compute as pc
-
     if x_offset_us is None:
         m = ds.min(x_col)
         if hasattr(m, "timestamp"):  # datetime / pandas Timestamp
             x_offset_us = int(pd.Timestamp(m).value // 1_000)  # exact ns->us
         else:
-            x_offset_us = int(m)
+            x_offset_us = float(m)
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_numpy(zero_copy_only=False)
-        x_us = (
-            batch[x_col]
-            .cast(pa.timestamp("us"))
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-            if pa.types.is_timestamp(batch.schema.field(x_col).type)
-            else pc.cast(batch[x_col], pa.int64()).to_numpy(
-                zero_copy_only=False
+        if pa.types.is_timestamp(batch.schema.field(x_col).type):
+            x_us = (
+                batch[x_col]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
             )
-        )
-        x = (x_us - x_offset_us) / 1e6
+            x = (x_us - x_offset_us) / 1e6
+        else:
+            # plain numeric x: offset is in x's own units, no rescale
+            x = (
+                batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+                - x_offset_us
+            )
         y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
         ok = ~np.isnan(y)
         keys, x, y = keys[ok], x[ok], y[ok]
-        if keys.size == 0:
-            return pa.table(
-                {
-                    key_col: keys,
-                    "n": np.empty(0, dtype=np.int64),
-                    "sx": np.empty(0, dtype=np.float64),
-                    "sy": np.empty(0, dtype=np.float64),
-                    "sxy": np.empty(0, dtype=np.float64),
-                    "sxx": np.empty(0, dtype=np.float64),
-                }
-            )
-        uniq, inv = np.unique(keys, return_inverse=True)
-        order = np.argsort(inv, kind="stable")
-        starts = np.flatnonzero(np.r_[True, np.diff(inv[order]) > 0])
-        xo, yo = x[order], y[order]
-        return pa.table(
-            {
-                key_col: pa.array(uniq).cast(
-                    batch.schema.field(key_col).type
-                ),
-                "n": pa.array(np.bincount(inv).astype(np.int64)),
-                "sx": pa.array(np.add.reduceat(xo, starts)),
-                "sy": pa.array(np.add.reduceat(yo, starts)),
-                "sxy": pa.array(np.add.reduceat(xo * yo, starts)),
-                "sxx": pa.array(np.add.reduceat(xo * xo, starts)),
-            }
+        return _grouped_sums(
+            keys,
+            batch.schema.field(key_col),
+            {"sx": x, "sy": y, "sxy": x * y, "sxx": x * x},
         )
 
     agg = (
@@ -149,34 +153,16 @@ def group_corr(
         y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
         ok = ~(np.isnan(x) | np.isnan(y))
         keys, x, y = keys[ok], x[ok], y[ok]
-        if keys.size == 0:
-            return pa.table(
-                {
-                    key_col: keys,
-                    "n": np.empty(0, dtype=np.int64),
-                    "sx": np.empty(0, dtype=np.float64),
-                    "sy": np.empty(0, dtype=np.float64),
-                    "sxy": np.empty(0, dtype=np.float64),
-                    "sxx": np.empty(0, dtype=np.float64),
-                    "syy": np.empty(0, dtype=np.float64),
-                }
-            )
-        uniq, inv = np.unique(keys, return_inverse=True)
-        order = np.argsort(inv, kind="stable")
-        starts = np.flatnonzero(np.r_[True, np.diff(inv[order]) > 0])
-        xo, yo = x[order], y[order]
-        return pa.table(
+        return _grouped_sums(
+            keys,
+            batch.schema.field(key_col),
             {
-                key_col: pa.array(uniq).cast(
-                    batch.schema.field(key_col).type
-                ),
-                "n": pa.array(np.bincount(inv).astype(np.int64)),
-                "sx": pa.array(np.add.reduceat(xo, starts)),
-                "sy": pa.array(np.add.reduceat(yo, starts)),
-                "sxy": pa.array(np.add.reduceat(xo * yo, starts)),
-                "sxx": pa.array(np.add.reduceat(xo * xo, starts)),
-                "syy": pa.array(np.add.reduceat(yo * yo, starts)),
-            }
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            },
         )
 
     agg = (

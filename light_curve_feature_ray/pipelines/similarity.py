@@ -392,10 +392,17 @@ def group_centroid(emb_ds, *, key: str = "label", emb_col: str = "embedding"):
     vectorized divide. Nothing materializes on the driver.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
         col = batch[emb_col].combine_chunks()
         keys = batch[key].to_numpy(zero_copy_only=False)
+        # null embedding rows are skipped, like SQL unnest (the oracle's
+        # semantics), rather than crashing the width check
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if not valid.all():
+            col = col.filter(pa.array(valid))
+            keys = keys[valid]
         if len(col) == 0:
             return pa.table(
                 {
@@ -405,11 +412,15 @@ def group_centroid(emb_ds, *, key: str = "label", emb_col: str = "embedding"):
                     "cnt": np.empty(0, dtype=np.int64),
                 }
             )
-        offs = col.offsets.to_numpy(zero_copy_only=False)
-        widths = np.diff(offs)
-        d = int(widths[0])
-        if not (widths == d).all():
-            raise ValueError("group_centroid requires fixed-length embeddings")
+        if pa.types.is_fixed_size_list(col.type):
+            d = int(col.type.list_size)
+        else:
+            widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            d = int(widths[0])
+            if not (widths == d).all():
+                raise ValueError(
+                    "group_centroid requires fixed-length embeddings"
+                )
         # per-element float64 cast BEFORE summing (parity with the SQL
         # oracle's CAST(v AS DOUBLE) inside sum())
         # flatten() yields exactly the listed values even for sliced arrays

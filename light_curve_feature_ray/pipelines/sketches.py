@@ -203,7 +203,7 @@ def cms_sketch(ds, value_col: str, *, depth: int = 4, width: int = 4096):
         )
 
     rows = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
         .repartition(4)
         .map_batches(merge, batch_format="pandas", batch_size=None)
         .take_all()
@@ -359,7 +359,7 @@ def bloom_sketch(ds, value_col: str, *, k: int = 4, m_bits: int = 1 << 16):
         )
 
     rows = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
         .repartition(4)
         .map_batches(merge, batch_format="pandas", batch_size=None)
         .take_all()

@@ -1500,6 +1500,26 @@ def redact(docs_ds):
 # ---------------------------------------------------------------------------
 
 
+def _tokens_long(texts):
+    """Exploded (i, w) polars frame of the lowercased
+    ``_TOKEN_RE_POLARS`` tokens of each text — the shared tokenize step
+    of the repetition / n-gram / LM-score family (ONE site to keep in
+    byte-parity with the SQL oracles' regexp_extract_all)."""
+    import polars as pl
+
+    s = pl.from_arrow(texts).fill_null("")
+    return (
+        pl.DataFrame(
+            {
+                "i": np.arange(len(s), dtype=np.int64),
+                "w": s.str.to_lowercase().str.extract_all(_TOKEN_RE_POLARS),
+            }
+        )
+        .explode("w")
+        .drop_nulls("w")
+    )
+
+
 def repetition_stats(docs_ds):
     """Gopher-style repetition quality signals per document (Rae et al.
     2021 "Scaling Language Models", table A1 — adapted to flat word
@@ -1518,28 +1538,22 @@ def repetition_stats(docs_ds):
     import polars as pl
 
     def f(batch: pa.Table) -> pa.Table:
-        s = pl.from_arrow(batch["text"]).fill_null("")
-        words = s.str.to_lowercase().str.extract_all(_TOKEN_RE_POLARS)
-        n_tok = words.list.len().to_numpy().astype(np.int64)
-        long = (
-            pl.DataFrame(
-                {"i": np.arange(len(s), dtype=np.int64), "w": words}
-            )
-            .explode("w")
-            .drop_nulls("w")
-            .with_columns(
-                pl.col("w").shift(-1).over("i").alias("w1"),
-                pl.col("w").shift(-2).over("i").alias("w2"),
-            )
+        n_rows = batch.num_rows
+        long = _tokens_long(batch["text"]).with_columns(
+            pl.col("w").shift(-1).over("i").alias("w1"),
+            pl.col("w").shift(-2).over("i").alias("w2"),
         )
-        top_tok = np.zeros(len(s), dtype=np.float64)
+        n_tok = np.bincount(
+            long["i"].to_numpy(), minlength=n_rows
+        ).astype(np.int64)
+        top_tok = np.zeros(n_rows, dtype=np.float64)
         tt = long.group_by("i", "w").len().group_by("i").agg(pl.col("len").max())
         top_tok[tt["i"].to_numpy()] = tt["len"].to_numpy()
 
         bi = long.drop_nulls("w1").with_columns(
             (pl.col("w") + "\x1f" + pl.col("w1")).alias("g")
         )
-        top_bi = np.zeros(len(s), dtype=np.float64)
+        top_bi = np.zeros(n_rows, dtype=np.float64)
         tb = bi.group_by("i", "g").len().group_by("i").agg(pl.col("len").max())
         top_bi[tb["i"].to_numpy()] = tb["len"].to_numpy()
 
@@ -1547,7 +1561,7 @@ def repetition_stats(docs_ds):
             (pl.col("w") + "\x1f" + pl.col("w1") + "\x1f" + pl.col("w2")).alias("g")
         )
         dt = tri.group_by("i").agg(pl.col("g").n_unique().alias("d"))
-        distinct_tri = np.zeros(len(s), dtype=np.float64)
+        distinct_tri = np.zeros(n_rows, dtype=np.float64)
         distinct_tri[dt["i"].to_numpy()] = dt["d"].to_numpy()
 
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -1575,10 +1589,12 @@ def repetition_stats(docs_ds):
 
 def chunk_text(docs_ds, *, size: int = 120, overlap: int = 30):
     """Fixed-size character chunking with overlap — the RAG / context-
-    window prep step: each document explodes into ceil(n_chars/stride)
-    chunks (stride = size - overlap) starting at 0, stride, 2*stride, …,
-    each ``size`` characters long (the last one shorter). Empty documents
-    yield one empty chunk so every doc_id survives the explode.
+    window prep step: each document explodes into
+    max(ceil((n_chars - overlap)/stride), 1) chunks (stride = size -
+    overlap) starting at 0, stride, 2*stride, …, each ``size`` characters
+    long (the last one shorter, but never fully contained in the previous
+    chunk — the standard chunker count). Empty documents yield one empty
+    chunk so every doc_id survives the explode.
 
     Pure per-block 1->N map, no shuffle. Boundaries are codepoint-based
     (polars str.slice), matching SQL ``substring`` semantics exactly.
@@ -1594,7 +1610,9 @@ def chunk_text(docs_ds, *, size: int = 120, overlap: int = 30):
         s = pl.from_arrow(batch["text"]).fill_null("").alias("t")
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         n = s.str.len_chars().to_numpy().astype(np.int64)
-        k = np.maximum(1, -(-n // stride))  # ceil, min 1 chunk
+        # ceil((n - overlap)/stride), min 1: the last chunk always adds
+        # at least one new character beyond the previous chunk's end
+        k = np.maximum(1, -(-(n - overlap) // stride))
         rep = np.repeat(np.arange(len(s), dtype=np.int64), k)
         chunk_idx = np.arange(rep.size, dtype=np.int64) - np.repeat(
             np.cumsum(k) - k, k
@@ -1619,17 +1637,7 @@ def _word_ngrams_long(texts, n: int):
     Fully vectorized (explode + shift-over + concat_str)."""
     import polars as pl
 
-    s = pl.from_arrow(texts).fill_null("")
-    long = (
-        pl.DataFrame(
-            {
-                "i": np.arange(len(s), dtype=np.int64),
-                "w": s.str.to_lowercase().str.extract_all(_TOKEN_RE_POLARS),
-            }
-        )
-        .explode("w")
-        .drop_nulls("w")
-    )
+    long = _tokens_long(texts)
     if n > 1:
         long = long.with_columns(
             pl.col("w").shift(-j).over("i").alias(f"w{j}") for j in range(1, n)
@@ -1730,15 +1738,7 @@ def lm_score(docs_ds, *, max_vocab_broadcast: int = 5_000_000):
     import ray
 
     def count_partial(batch: pa.Table) -> pa.Table:
-        s = pl.from_arrow(batch["text"]).fill_null("")
-        toks = (
-            s.str.to_lowercase()
-            .str.extract_all(_TOKEN_RE_POLARS)
-            .explode()
-            .drop_nulls()
-            .alias("term")
-        )
-        vc = toks.value_counts()
+        vc = _tokens_long(batch["text"])["w"].rename("term").value_counts()
         return pa.table(
             {
                 "term": vc["term"].to_arrow().cast(pa.string()),
@@ -1772,21 +1772,17 @@ def lm_score(docs_ds, *, max_vocab_broadcast: int = 5_000_000):
 
     def score(batch: pa.Table) -> pa.Table:
         model = ray.get(lm_ref)
-        s = pl.from_arrow(batch["text"]).fill_null("")
-        words = s.str.to_lowercase().str.extract_all(_TOKEN_RE_POLARS)
-        n_tok = words.list.len().to_numpy().astype(np.int64)
+        toks = _tokens_long(batch["text"]).rename({"w": "term"})
+        n_tok = np.bincount(
+            toks["i"].to_numpy(), minlength=batch.num_rows
+        ).astype(np.int64)
         long = (
-            pl.DataFrame(
-                {"i": np.arange(len(s), dtype=np.int64), "term": words}
-            )
-            .explode("term")
-            .drop_nulls("term")
-            .join(model, on="term", how="left")
+            toks.join(model, on="term", how="left")
             .with_columns(pl.col("lp").fill_null(floor_lp))
             .group_by("i")
             .agg(pl.col("lp").sum())
         )
-        lp_sum = np.zeros(len(s), dtype=np.float64)
+        lp_sum = np.zeros(batch.num_rows, dtype=np.float64)
         lp_sum[long["i"].to_numpy()] = long["lp"].to_numpy()
         with np.errstate(invalid="ignore"):
             score_v = np.where(n_tok > 0, -lp_sum / np.maximum(n_tok, 1), np.nan)

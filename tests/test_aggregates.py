@@ -75,14 +75,15 @@ def test_group_linear_trend_partition_invariance(ray_session, trend_df):
     pd.testing.assert_frame_equal(a, b, rtol=1e-12, atol=1e-12)
 
 
-def test_group_linear_trend_integer_x(ray_session):
+def test_group_linear_trend_numeric_x(ray_session):
     import ray.data as rd
 
-    # exact line y = 3x + 1 on integer x microseconds
+    # plain numeric x is used in its own units (no /1e6 rescale):
+    # exact line y = 3x + 1
     df = pd.DataFrame(
         {
             "user_id": [1] * 5,
-            "ts": np.arange(5, dtype=np.int64) * 1_000_000,
+            "ts": np.arange(5, dtype=np.int64),
             "value": 3.0 * np.arange(5) + 1.0,
         }
     )
@@ -91,6 +92,10 @@ def test_group_linear_trend_integer_x(ray_session):
     ).to_pandas()
     assert got["slope"].iloc[0] == pytest.approx(3.0, rel=1e-12)
     assert got["intercept"].iloc[0] == pytest.approx(1.0, rel=1e-12)
+    # float x works too (auto offset = min)
+    df["ts"] = df["ts"].astype(np.float64) + 0.5
+    got2 = group_linear_trend(rd.from_pandas(df)).to_pandas()
+    assert got2["slope"].iloc[0] == pytest.approx(3.0, rel=1e-9)
 
 
 def test_group_corr_matches_numpy(ray_session):

@@ -95,9 +95,9 @@ def test_repetition_partition_invariance(ray_session):
     )
 
 
-def _naive_chunks(text, size, stride):
-    n = len(text)
-    k = max(1, -(-n // stride))
+def _naive_chunks(text, size, overlap):
+    n, stride = len(text), size - overlap
+    k = max(1, -(-(n - overlap) // stride))
     return [text[i * stride : i * stride + size] for i in range(k)]
 
 
@@ -106,11 +106,21 @@ def test_chunk_text_matches_naive(docs_ds):
     got = chunk_text(docs_ds, size=size, overlap=overlap).to_pandas()
     for doc_id, grp in got.groupby("doc_id"):
         grp = grp.sort_values("chunk_idx")
-        want = _naive_chunks(DOCS[int(doc_id)], size, size - overlap)
+        want = _naive_chunks(DOCS[int(doc_id)], size, overlap)
         assert list(grp.chunk_idx) == list(range(len(want)))
         assert list(grp.chunk) == want
+        # every chunk after the first extends past the previous one's
+        # end (no fully-contained duplicate tail chunk)
+        assert all(len(c) > overlap for c in want[1:])
     # every doc survives, even the empty one
     assert set(got.doc_id) == set(range(len(DOCS)))
+    # coverage: chunks span the full document
+    for doc_id, grp in got.groupby("doc_id"):
+        parts = list(grp.sort_values("chunk_idx").chunk)
+        stride = size - overlap
+        assert (len(parts) - 1) * stride + len(parts[-1]) == len(
+            DOCS[int(doc_id)]
+        )
 
 
 def test_chunk_text_overlap_reconstructs(docs_ds):
