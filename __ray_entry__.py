@@ -1302,6 +1302,38 @@ FROM s
 """
 
 
+def q_events_zscore(sf_dir: str):
+    """Per-user rolling z-score anomaly signal (pipelines/windows.py
+    rolling_zscore): sample std over the last-5-rows window, same single
+    co-partitioning shuffle + prefix-sum pass as rolling_agg."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import rolling_zscore
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return _finalize(
+        rolling_zscore(ev, k=5), skip=("event_id", "user_id", "t_us", "n_w")
+    )
+
+
+SQL_EVENTS_ZSCORE = """
+SELECT event_id, user_id, epoch_us(ts) AS t_us,
+       round(value, 6) AS value,
+       count(value) OVER w AS n_w,
+       round(CASE WHEN count(value) OVER w >= 2
+                   AND stddev_samp(value) OVER w > 0
+                   AND value IS NOT NULL
+             THEN (value - avg(value) OVER w) / (stddev_samp(value) OVER w)
+             END, 6) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 EWMA_ALPHA = 0.3
 
 
@@ -1680,6 +1712,56 @@ SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
              THEN 1.0 - CAST(tg.d AS DOUBLE)/(b.n-2) END, 6) AS dup_trigram_frac
 FROM base b LEFT JOIN tok USING(doc_id) LEFT JOIN bg USING(doc_id)
             LEFT JOIN tg USING(doc_id)
+"""
+
+
+QF_MIN_TOKENS, QF_MAX_TTF, QF_MAX_LM = 20, 0.12, 3.404
+
+
+def q_doc_quality_filter(sf_dir: str):
+    """Quality-filter composition: the Gopher repetition signal and the
+    unigram-LM score streams JOIN on doc_id via the native hash-shuffle
+    Dataset.join, then a vectorized threshold map decides keep/drop —
+    the standard multi-signal curation gate, built purely by composing
+    two existing oracle-green queries. Thresholds compare the round-6
+    values (both sides round before comparing, so the decision is
+    engine-independent)."""
+    rep = q_doc_repetition(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "top_token_frac"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    lm = q_doc_lm_score(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "avg_neg_logprob"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    j = rep.join(lm, "inner", 16, on=("doc_id",))
+
+    def decide(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        ttf = t["top_token_frac"].to_numpy(zero_copy_only=False)
+        lp = t["avg_neg_logprob"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            keep = (
+                (n >= QF_MIN_TOKENS)
+                & (np.nan_to_num(ttf, nan=np.inf) <= QF_MAX_TTF)
+                & (np.nan_to_num(lp, nan=np.inf) <= QF_MAX_LM)
+            )
+        return t.append_column("keep", pa.array(keep))
+
+    return j.map_batches(decide, batch_format="pyarrow", batch_size=None)
+
+
+def _build_sql_doc_quality_filter() -> str:
+    return f"""
+WITH rep AS ({SQL_DOC_REPETITION}),
+lm AS ({SQL_DOC_LM_SCORE})
+SELECT rep.doc_id, rep.n_tokens, rep.top_token_frac, lm.avg_neg_logprob,
+       (rep.n_tokens >= {QF_MIN_TOKENS}
+        AND rep.top_token_frac <= {QF_MAX_TTF}
+        AND lm.avg_neg_logprob <= {QF_MAX_LM}) AS keep
+FROM rep JOIN lm ON rep.doc_id = lm.doc_id
 """
 
 
@@ -3511,6 +3593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": q_events_rolling,
         "events_rolling_time": q_events_rolling_time,
         "events_ewma": q_events_ewma,
+        "events_zscore": q_events_zscore,
         "events_user_trend": q_events_user_trend,
         "lineitem_corr": q_lineitem_corr,
         "events_semi_join": q_events_semi_join,
@@ -3551,6 +3634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q_doc_chunks,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_lm_score": q_doc_lm_score,
+        "doc_quality_filter": q_doc_quality_filter,
         "lineitem_bloom": q_lineitem_bloom,
         "emb_group_centroid": q_emb_group_centroid,
         "emb_cosine_dups": q_emb_cosine_dups,
@@ -3600,6 +3684,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": SQL_EVENTS_ROLLING,
         "events_rolling_time": SQL_EVENTS_ROLLING_TIME,
         "events_ewma": SQL_EVENTS_EWMA,
+        "events_zscore": SQL_EVENTS_ZSCORE,
         "events_user_trend": SQL_EVENTS_USER_TREND,
         "lineitem_corr": SQL_LINEITEM_CORR,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,
@@ -3640,6 +3725,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": SQL_DOC_CHUNKS,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "doc_lm_score": SQL_DOC_LM_SCORE,
+        "doc_quality_filter": _build_sql_doc_quality_filter(),
         "lineitem_bloom": _build_sql_lineitem_bloom(),
         "emb_group_centroid": SQL_EMB_GROUP_CENTROID,
         "doc_simhash": SQL_DOC_SIMHASH,

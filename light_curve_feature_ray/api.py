@@ -69,6 +69,7 @@ from .pipelines.windows import (  # noqa: F401
     ewma,
     rolling_agg,
     rolling_time_agg,
+    rolling_zscore,
     session_windows,
     sliding_window_agg,
     tumbling_window_agg,

@@ -453,3 +453,82 @@ def ewma(
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def rolling_zscore(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 5,
+    num_partitions: int = 32,
+):
+    """Per-key rolling z-score over the last ``k`` rows — the streaming
+    anomaly signal: z = (x - mean_w) / std_w with the SAMPLE standard
+    deviation of the ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW window.
+    NaN where the window has < 2 non-null values, the window variance is
+    zero, or the current value is null.
+
+    Same shape as :func:`rolling_agg`: one hash shuffle co-locating each
+    key's rows, then a single vectorized pass (prefix sums of x and x^2
+    clipped at key segment starts). Returns (id, key, t_us, value, n_w,
+    zscore).
+    """
+    if k <= 1:
+        raise ValueError(f"k must be >= 2 for a z-score window, got {k}")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, t_us, keys))
+        keys, ids, t_us = keys[order], ids[order], t_us[order]
+        v = g[value_col].to_numpy(dtype=np.float64)[order]
+        n = v.shape[0]
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    key_col: keys,
+                    "t_us": t_us,
+                    value_col: v,
+                    "n_w": np.empty(0, dtype=np.int64),
+                    "zscore": np.empty(0, dtype=np.float64),
+                }
+            )
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        seg_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        w_start = np.maximum(np.arange(n) - k + 1, seg_start)
+        ok = ~np.isnan(v)
+        cs = np.concatenate(([0.0], np.cumsum(np.where(ok, v, 0.0))))
+        cs2 = np.concatenate(([0.0], np.cumsum(np.where(ok, v * v, 0.0))))
+        cn = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
+        idx = np.arange(n)
+        s1 = cs[idx + 1] - cs[w_start]
+        s2 = cs2[idx + 1] - cs2[w_start]
+        nw = cn[idx + 1] - cn[w_start]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s1 / np.maximum(nw, 1)
+            var = (s2 - nw * mean * mean) / np.maximum(nw - 1, 1)
+            std = np.sqrt(np.maximum(var, 0.0))
+            z = np.where(
+                (nw >= 2) & (std > 0) & ok, (v - mean) / std, np.nan
+            )
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                key_col: keys,
+                "t_us": t_us,
+                value_col: v,
+                "n_w": nw,
+                "zscore": z,
+            }
+        )
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -261,3 +261,49 @@ def test_ewma_partition_invariance_and_validation(tiny_events):
     pd.testing.assert_frame_equal(base, again)
     with pytest.raises(ValueError):
         ewma(tiny_events, id_col="value", alpha=0.0)
+
+
+def test_rolling_zscore_matches_naive(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import rolling_zscore
+
+    rng = np.random.default_rng(6)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 5, size=n).astype(np.int64),
+            "t": np.sort(rng.integers(0, 10_000, size=n)),
+            "value": rng.normal(scale=10, size=n),
+        }
+    )
+    df.loc[df.index % 9 == 0, "value"] = np.nan
+    df["ts"] = pd.to_datetime(df["t"] * 1_000_000, unit="us")
+    k = 4
+    got = (
+        rolling_zscore(
+            rd.from_pandas(df[["event_id", "user_id", "ts", "value"]])
+            .repartition(4),
+            k=k,
+            num_partitions=7,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "t_us", "event_id"])
+    )
+    for uid, grp in got.groupby("user_id"):
+        vals = grp["value"].to_numpy()
+        for i in range(len(vals)):
+            w = vals[max(0, i - k + 1) : i + 1]
+            w = w[~np.isnan(w)]
+            z = grp["zscore"].iloc[i]
+            nw = grp["n_w"].iloc[i]
+            assert nw == len(w)
+            if len(w) < 2 or np.std(w, ddof=1) == 0 or np.isnan(vals[i]):
+                assert np.isnan(z)
+            else:
+                want = (vals[i] - w.mean()) / np.std(w, ddof=1)
+                assert z == pytest.approx(want, rel=1e-9)
+
+    with pytest.raises(ValueError):
+        rolling_zscore(rd.from_pandas(df), k=1)
