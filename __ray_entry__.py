@@ -1715,6 +1715,65 @@ FROM base b LEFT JOIN tok USING(doc_id) LEFT JOIN bg USING(doc_id)
 """
 
 
+def q_lineitem_unpivot(sf_dir: str):
+    """Wide -> long UNPIVOT (pipelines/pivot.py unpivot): each lineitem
+    row explodes into one (name, value) row per measure column — the
+    inverse of pivot_agg, a pure per-block 1->N map."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.pivot import unpivot
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"] + cols,
+    )
+    return _finalize(
+        unpivot(li, id_cols=["l_orderkey", "l_linenumber"], value_cols=cols),
+        skip=(),
+    )
+
+
+_UNPIVOT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+SQL_LINEITEM_UNPIVOT = "\nUNION ALL\n".join(
+    f"SELECT l_orderkey, l_linenumber, '{c}' AS name,"
+    f" round(CAST({c} AS DOUBLE), 6) AS value FROM lineitem"
+    for c in _UNPIVOT_COLS
+)
+
+
+def q_events_last_state(sf_dir: str):
+    """Latest state per user (pipelines/aggregates.py
+    last_value_per_key): block-local last-per-key combiner, one tiny
+    candidate shuffle, deterministic (ts, id) tie-break — the 'current
+    snapshot' materialization of the event stream."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        last_value_per_key,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return _finalize(
+        last_value_per_key(ev), skip=("user_id", "t_us")
+    )
+
+
+SQL_EVENTS_LAST_STATE = """
+WITH r AS (
+    SELECT user_id, epoch_us(ts) AS t_us, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events
+)
+SELECT user_id, t_us, round(value, 6) AS value
+FROM r WHERE rk = 1
+"""
+
+
 QF_MIN_TOKENS, QF_MAX_TTF, QF_MAX_LM = 20, 0.12, 3.404
 
 
@@ -3595,6 +3654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": q_events_ewma,
         "events_zscore": q_events_zscore,
         "events_user_trend": q_events_user_trend,
+        "events_last_state": q_events_last_state,
+        "lineitem_unpivot": q_lineitem_unpivot,
         "lineitem_corr": q_lineitem_corr,
         "events_semi_join": q_events_semi_join,
         "events_deciles": q_events_deciles,
@@ -3686,6 +3747,8 @@ def oracle_sql() -> dict[str, str]:
         "events_ewma": SQL_EVENTS_EWMA,
         "events_zscore": SQL_EVENTS_ZSCORE,
         "events_user_trend": SQL_EVENTS_USER_TREND,
+        "events_last_state": SQL_EVENTS_LAST_STATE,
+        "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
         "lineitem_corr": SQL_LINEITEM_CORR,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,
         "events_deciles": SQL_EVENTS_DECILES,

@@ -62,6 +62,7 @@ from .pipelines.joins import (  # noqa: F401
 from .pipelines.aggregates import (  # noqa: F401
     group_corr,
     group_linear_trend,
+    last_value_per_key,
 )
 
 # --- windows -------------------------------------------------------------
@@ -136,7 +137,7 @@ from .pipelines.similarity import (  # noqa: F401
 )
 
 # --- pivot ---------------------------------------------------------------
-from .pipelines.pivot import pivot_agg  # noqa: F401
+from .pipelines.pivot import pivot_agg, unpivot  # noqa: F401
 
 # --- sketches ------------------------------------------------------------
 from .pipelines.sketches import (  # noqa: F401

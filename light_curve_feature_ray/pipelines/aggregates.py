@@ -195,3 +195,87 @@ def group_corr(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def last_value_per_key(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: tuple = ("value",),
+    id_col: str | None = "event_id",
+    num_partitions: int = 32,
+):
+    """Latest state per key: the row with the maximum (ts, id) per key —
+    the standard "current snapshot" materialization of an event stream
+    (SQL's row_number() OVER (PARTITION BY key ORDER BY ts DESC, id
+    DESC) = 1). The id tie-break makes the winner deterministic when a
+    key has duplicate max timestamps.
+
+    Scale shape: a block-local COMBINER keeps one candidate row per key
+    per block (argsort + take-last — associative, so the block winner
+    equals the global winner restricted to the block), then one hash
+    shuffle of the tiny candidate set and the same vectorized pick per
+    partition. Raw rows never shuffle.
+
+    Returns (key, t_us, *value_cols).
+    """
+    import pyarrow as pa
+
+    from ..stages.rollup import hash_strings
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        t_us = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            if pa.types.is_timestamp(batch.schema.field(ts_col).type)
+            else batch[ts_col].to_numpy(zero_copy_only=False)
+        )
+        ids = (
+            batch[id_col].to_numpy(zero_copy_only=False)
+            if id_col is not None
+            else np.zeros(len(keys), dtype=np.int64)
+        )
+        if keys.size == 0:
+            return batch  # zero rows, schema unchanged
+        order = np.lexsort((ids, t_us, keys))
+        last = np.flatnonzero(
+            np.r_[keys[order][1:] != keys[order][:-1], True]
+        )
+        take = pa.array(order[last])
+        return batch.take(take)
+
+    def with_part(batch: pa.Table) -> pa.Table:
+        key = batch[key_col]
+        if not pa.types.is_string(key.type):
+            import pyarrow.compute as pc
+
+            key = pc.cast(key, pa.string())
+        part = (hash_strings(key) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = pick(batch.drop_columns(["part"]))
+        t_us = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            if pa.types.is_timestamp(batch.schema.field(ts_col).type)
+            else batch[ts_col]
+        )
+        cols = {key_col: batch[key_col], "t_us": t_us}
+        for c in value_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    candidates = ds.map_batches(
+        pick, batch_format="pyarrow", batch_size=None
+    ).map_batches(with_part, batch_format="pyarrow", batch_size=None)
+    return candidates.groupby("part").map_groups(
+        finish, batch_format="pyarrow"
+    )

@@ -96,3 +96,39 @@ def pivot_agg(
         return pa.table(cols)
 
     return reduced.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            name_col: str = "name", value_col: str = "value"):
+    """Wide -> long (SQL UNPIVOT / pandas melt), the inverse of
+    :func:`pivot_agg`: each input row explodes into one row per entry of
+    ``value_cols``, carrying ``id_cols`` through plus (name, value).
+    Values are cast to float64 (the common-type contract of a single
+    long value column). NULL values are preserved as NaN rows — use a
+    filter afterwards for SQL's default EXCLUDE NULLS behavior.
+
+    Pure per-block 1->N map (np.repeat/tile) — no shuffle, trivially
+    partition-invariant.
+    """
+    import pyarrow as pa
+
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        m = len(value_cols)
+        idx = np.repeat(np.arange(n, dtype=np.int64), m)
+        out = {}
+        for c in id_cols:
+            out[c] = batch[c].take(pa.array(idx))
+        out[name_col] = pa.array(np.tile(np.array(value_cols), n))
+        vals = np.empty((n, m), dtype=np.float64)
+        for j, c in enumerate(value_cols):
+            vals[:, j] = (
+                batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            )
+        out[value_col] = pa.array(vals.ravel())
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

@@ -135,3 +135,82 @@ def test_group_corr_matches_numpy(ray_session):
         else:
             want = np.corrcoef(x, y)[0, 1]
             assert row["corr"] == pytest.approx(want, rel=1e-9)
+
+
+def test_last_value_per_key_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        last_value_per_key,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 250
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 8, size=n).astype(np.int64),
+            "t": rng.integers(0, 50, size=n),  # many duplicate timestamps
+            "value": rng.normal(size=n),
+        }
+    )
+    df["ts"] = pd.to_datetime(df["t"] * 1_000_000, unit="us")
+    got = (
+        last_value_per_key(
+            rd.from_pandas(df[["event_id", "user_id", "ts", "value"]])
+            .repartition(6),
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["user_id", "t", "event_id"])
+        .groupby("user_id")
+        .tail(1)
+        .sort_values("user_id")
+    )
+    assert list(got["user_id"]) == list(want["user_id"])
+    np.testing.assert_array_equal(
+        got["t_us"].to_numpy(), want["t"].to_numpy() * 1_000_000
+    )
+    np.testing.assert_array_equal(
+        got["value"].to_numpy(), want["value"].to_numpy()
+    )
+
+
+def test_unpivot_matches_melt(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.pivot import unpivot
+
+    df = pd.DataFrame(
+        {
+            "k": np.arange(6, dtype=np.int64),
+            "a": [1.0, 2.0, np.nan, 4.0, 5.0, 6.0],
+            "b": np.arange(6, dtype=np.float64) * 10,
+        }
+    )
+    got = (
+        unpivot(
+            rd.from_pandas(df).repartition(3),
+            id_cols=["k"],
+            value_cols=["a", "b"],
+        )
+        .to_pandas()
+        .sort_values(["k", "name"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.melt(id_vars=["k"], value_vars=["a", "b"], var_name="name")
+        .sort_values(["k", "name"])
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == list(want["k"])
+    assert list(got["name"]) == list(want["name"])
+    np.testing.assert_array_equal(
+        got["value"].to_numpy(), want["value"].to_numpy()
+    )
+    with pytest.raises(ValueError):
+        unpivot(rd.from_pandas(df), id_cols=["k"], value_cols=[])
