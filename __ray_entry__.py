@@ -1774,6 +1774,43 @@ FROM r WHERE rk = 1
 """
 
 
+def q_events_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((event_type), (user_id), ()) in one data
+    pass (pipelines/aggregates.py grouping_sets_agg): every block emits
+    the partials for all three sets, one combined groupby reduces them;
+    grouping_id disambiguates aggregated-away keys SQL-style."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        grouping_sets_agg,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "value"],
+    )
+    return _finalize(
+        grouping_sets_agg(
+            ev, sets=[("event_type",), ("user_id",), ()], value_col="value"
+        ),
+        skip=("grouping_id", "n"),
+    )
+
+
+SQL_EVENTS_GROUPING_SETS = """
+SELECT CAST(GROUPING(event_type)*2 + GROUPING(user_id) AS BIGINT)
+           AS grouping_id,
+       CASE WHEN GROUPING(event_type) = 0 THEN event_type END
+           AS event_type,
+       CASE WHEN GROUPING(user_id) = 0 THEN CAST(user_id AS VARCHAR) END
+           AS user_id,
+       CAST(count(value) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), ())
+"""
+
+
 QF_MIN_TOKENS, QF_MAX_TTF, QF_MAX_LM = 20, 0.12, 3.404
 
 
@@ -3655,6 +3692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": q_events_zscore,
         "events_user_trend": q_events_user_trend,
         "events_last_state": q_events_last_state,
+        "events_grouping_sets": q_events_grouping_sets,
         "lineitem_unpivot": q_lineitem_unpivot,
         "lineitem_corr": q_lineitem_corr,
         "events_semi_join": q_events_semi_join,
@@ -3748,6 +3786,7 @@ def oracle_sql() -> dict[str, str]:
         "events_zscore": SQL_EVENTS_ZSCORE,
         "events_user_trend": SQL_EVENTS_USER_TREND,
         "events_last_state": SQL_EVENTS_LAST_STATE,
+        "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
         "lineitem_corr": SQL_LINEITEM_CORR,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,

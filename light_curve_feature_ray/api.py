@@ -62,6 +62,7 @@ from .pipelines.joins import (  # noqa: F401
 from .pipelines.aggregates import (  # noqa: F401
     group_corr,
     group_linear_trend,
+    grouping_sets_agg,
     last_value_per_key,
 )
 

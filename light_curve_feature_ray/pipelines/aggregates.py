@@ -279,3 +279,106 @@ def last_value_per_key(
     return candidates.groupby("part").map_groups(
         finish, batch_format="pyarrow"
     )
+
+
+_GS_SENTINEL = "\x00__all__"
+
+
+def grouping_sets_agg(
+    ds,
+    *,
+    sets: list,
+    value_col: str = "value",
+    keep_grouping_id: bool = True,
+):
+    """GROUP BY GROUPING SETS (count + sum of ``value_col``) — the
+    CUBE/ROLLUP analytics class — in ONE pass over the data: each block
+    computes the partials for EVERY set locally (absent key columns
+    filled with a sentinel so the rows stay typed), one groupby over
+    (grouping_id, *keys) reduces them, and the finish maps sentinels
+    back to NULL. Key columns are emitted as strings (the SQL twin casts
+    to VARCHAR), NULL where aggregated away.
+
+    ``grouping_id`` follows the SQL convention: bit j (MSB-first over
+    the union of key columns) is set when that column is aggregated
+    away, disambiguating a grouped-away NULL from a real NULL key.
+    NaN/null values count like SQL (count(value)/sum(value) skip them;
+    groups whose every value is null still appear with n=0, sum NULL).
+
+    Scale shape: the shuffle carries one partial row per (set, group,
+    block) — never data rows; identical to running len(sets) combiner
+    groupbys but with a single read pass and a single exchange.
+    """
+    import pyarrow as pa
+
+    sets = [tuple(s) for s in sets]
+    all_keys: list = []
+    for s in sets:
+        for c in s:
+            if c not in all_keys:
+                all_keys.append(c)
+    for s in sets:
+        if len(set(s)) != len(s):
+            raise ValueError(f"duplicate key in grouping set {s}")
+
+    def gid(s: tuple) -> int:
+        return sum(
+            1 << (len(all_keys) - 1 - j)
+            for j, c in enumerate(all_keys)
+            if c not in s
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {c: batch[c].to_numpy(zero_copy_only=False) for c in all_keys}
+        )
+        for c in all_keys:
+            df[c] = df[c].astype(str)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        df["_v"] = v
+        df["_ok"] = (~np.isnan(v)).astype(np.int64)
+        df["_vz"] = np.where(np.isnan(v), 0.0, v)
+        outs = []
+        for s in sets:
+            cols = list(s)
+            if cols:
+                g = (
+                    df.groupby(cols, dropna=False, sort=False)
+                    .agg(n=("_ok", "sum"), s=("_vz", "sum"))
+                    .reset_index()
+                )
+            else:
+                g = pd.DataFrame(
+                    {"n": [int(df["_ok"].sum())], "s": [float(df["_vz"].sum())]}
+                )
+            for c in all_keys:
+                if c not in s:
+                    g[c] = _GS_SENTINEL
+            g["grouping_id"] = np.int64(gid(s))
+            outs.append(g[["grouping_id", *all_keys, "n", "s"]])
+        merged = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["grouping_id", *all_keys])
+        .sum(["n", "s"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["sum(s)"].to_numpy(zero_copy_only=False)
+        cols = {}
+        if keep_grouping_id:
+            cols["grouping_id"] = t["grouping_id"]
+        for c in all_keys:
+            col = t[c]
+            mask = pc.equal(col, pa.scalar(_GS_SENTINEL))
+            cols[c] = pc.if_else(mask, pa.scalar(None, pa.string()), col)
+        cols["n"] = pa.array(n)
+        cols["sum_value"] = pa.array(np.where(n > 0, s, np.nan))
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -214,3 +214,69 @@ def test_unpivot_matches_melt(ray_session):
     )
     with pytest.raises(ValueError):
         unpivot(rd.from_pandas(df), id_cols=["k"], value_cols=[])
+
+
+def test_grouping_sets_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        grouping_sets_agg,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], size=n),
+            "b": rng.integers(0, 4, size=n).astype(np.int64),
+            "value": rng.normal(size=n),
+        }
+    )
+    df.loc[df.index % 8 == 0, "value"] = np.nan
+    sets = [("a", "b"), ("a",), ()]
+    got = (
+        grouping_sets_agg(
+            rd.from_pandas(df).repartition(5), sets=sets, value_col="value"
+        )
+        .to_pandas()
+        .sort_values(["grouping_id", "a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # reference per set
+    for s, gid_want in ((("a", "b"), 0), (("a",), 1), ((), 3)):
+        sub = got[got.grouping_id == gid_want]
+        if s:
+            ref = (
+                df.assign(_ok=df.value.notna())
+                .groupby([*s])
+                .agg(n=("_ok", "sum"), sv=("value", "sum"))
+                .reset_index()
+            )
+            assert len(sub) == len(ref)
+            ref_idx = ref.set_index([*s])
+            for _, row in sub.iterrows():
+                key = tuple(
+                    row[c] if c == "a" else int(row[c]) for c in s
+                )
+                key = key[0] if len(key) == 1 else key
+                r = ref_idx.loc[key]
+                assert row["n"] == r["n"]
+                assert row["sum_value"] == pytest.approx(r["sv"], rel=1e-9)
+        else:
+            assert len(sub) == 1
+            assert sub["n"].iloc[0] == int(df.value.notna().sum())
+            assert sub["sum_value"].iloc[0] == pytest.approx(
+                df.value.sum(), rel=1e-9
+            )
+    # partition invariance
+    again = (
+        grouping_sets_agg(
+            rd.from_pandas(df).repartition(11), sets=sets, value_col="value"
+        )
+        .to_pandas()
+        .sort_values(["grouping_id", "a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again, rtol=1e-12, atol=1e-12)
+    with pytest.raises(ValueError):
+        grouping_sets_agg(rd.from_pandas(df), sets=[("a", "a")])
