@@ -1811,6 +1811,64 @@ GROUP BY GROUPING SETS ((event_type), (user_id), ())
 """
 
 
+def q_events_running(sf_dir: str):
+    """Per-user RUNNING aggregates (pipelines/windows.py running_agg):
+    the UNBOUNDED PRECEDING frame — cumulative count/sum/max via
+    segment-based prefix scans and a Cython groupby-cummax, one
+    co-partitioning shuffle."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import running_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return _finalize(
+        running_agg(ev), skip=("event_id", "user_id", "t_us", "run_n")
+    )
+
+
+SQL_EVENTS_RUNNING = """
+SELECT event_id, user_id, epoch_us(ts) AS t_us,
+       round(value, 6) AS value,
+       count(value) OVER o AS run_n,
+       round(sum(value) OVER o, 6) AS run_sum,
+       round(max(value) OVER o, 6) AS run_max
+FROM events
+WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+HIST_BINS = 32
+
+
+def q_events_value_histogram(sf_dir: str):
+    """Fixed-bin histogram of event values (pipelines/quantiles.py
+    histogram): block-local bincount partials + one bin-keyed
+    groupby-sum; bin edges from the global min/max with identical
+    double arithmetic on both sides."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import histogram
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return histogram(ev, "value", bins=HIST_BINS)
+
+
+SQL_EVENTS_VALUE_HISTOGRAM = f"""
+WITH p AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+    SELECT CAST(least(greatest(floor((value - p.lo)
+               / ((p.hi - p.lo) / {HIST_BINS})), 0), {HIST_BINS} - 1)
+           AS BIGINT) AS bin
+    FROM events CROSS JOIN p WHERE value IS NOT NULL
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin
+"""
+
+
 QF_MIN_TOKENS, QF_MAX_TTF, QF_MAX_LM = 20, 0.12, 3.404
 
 
@@ -3693,6 +3751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_trend": q_events_user_trend,
         "events_last_state": q_events_last_state,
         "events_grouping_sets": q_events_grouping_sets,
+        "events_running": q_events_running,
+        "events_value_histogram": q_events_value_histogram,
         "lineitem_unpivot": q_lineitem_unpivot,
         "lineitem_corr": q_lineitem_corr,
         "events_semi_join": q_events_semi_join,
@@ -3787,6 +3847,8 @@ def oracle_sql() -> dict[str, str]:
         "events_user_trend": SQL_EVENTS_USER_TREND,
         "events_last_state": SQL_EVENTS_LAST_STATE,
         "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
+        "events_running": SQL_EVENTS_RUNNING,
+        "events_value_histogram": SQL_EVENTS_VALUE_HISTOGRAM,
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
         "lineitem_corr": SQL_LINEITEM_CORR,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,

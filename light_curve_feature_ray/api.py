@@ -70,6 +70,7 @@ from .pipelines.aggregates import (  # noqa: F401
 from .pipelines.windows import (  # noqa: F401
     ewma,
     rolling_agg,
+    running_agg,
     rolling_time_agg,
     rolling_zscore,
     session_windows,
@@ -80,6 +81,7 @@ from .pipelines.windows import (  # noqa: F401
 # --- quantiles / order statistics ---------------------------------------
 from .pipelines.quantiles import (  # noqa: F401
     approx_quantile_hist,
+    histogram,
     exact_order_stats,
     grouped_quantile_cont,
     quantile_cont,

@@ -448,3 +448,60 @@ def grouped_quantile_cont(
             batch_format="pandas",
         )
     )
+
+
+def histogram(ds, value_col: str, *, bins: int = 64, lo=None, hi=None):
+    """Fixed-bin histogram of a numeric column: bin = clamp(floor((x -
+    lo) / w), 0, bins-1) with w = (hi - lo)/bins — identical double
+    arithmetic to the SQL twin, so bin assignment matches exactly.
+    ``lo``/``hi`` default to the global min/max (two tiny aggregates).
+    NaN/null values are excluded; empty bins are omitted (GROUP BY
+    semantics). Returns a Dataset of (bin, n).
+
+    Scale shape: block-local bincount partials (one row per occupied bin
+    per block through the shuffle), ``groupby(bin).sum`` reduce.
+    """
+    import pyarrow as pa
+
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if lo is None:
+        lo = float(ds.min(value_col))
+    if hi is None:
+        hi = float(ds.max(value_col))
+    lo, hi = float(lo), float(hi)
+    w = (hi - lo) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0 :
+            return pa.table(
+                {
+                    "bin": pa.array(np.empty(0, dtype=np.int64)),
+                    "n": pa.array(np.empty(0, dtype=np.int64)),
+                }
+            )
+        if w > 0:
+            b = np.clip(np.floor((v - lo) / w), 0, bins - 1).astype(np.int64)
+        else:  # degenerate range: everything in bin 0
+            b = np.zeros(v.size, dtype=np.int64)
+        cnt = np.bincount(b, minlength=0)
+        occ = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bin": pa.array(occ.astype(np.int64)),
+                "n": pa.array(cnt[occ].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bin")
+        .sum("n")
+    )
+    return agg.map_batches(
+        lambda t: pa.table({"bin": t["bin"], "n": t["sum(n)"]}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

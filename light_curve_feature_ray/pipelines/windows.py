@@ -532,3 +532,82 @@ def rolling_zscore(
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def running_agg(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    num_partitions: int = 32,
+):
+    """Per-key RUNNING aggregates — the UNBOUNDED PRECEDING frame
+    (``SUM/COUNT/MAX(value) OVER (PARTITION BY key ORDER BY ts, id)``):
+    cumulative count, sum and max of each key's stream in (ts, id)
+    order. NaN values are skipped like SQL NULLs (they don't advance
+    count/sum/max; the row still appears with the running values so
+    far).
+
+    Same shape as :func:`rolling_agg`: one co-partitioning shuffle, then
+    one vectorized pass (cumulative sums/maxima reset at key segment
+    starts via a subtract-segment-base trick — no per-key Python).
+    Returns (id, key, t_us, value, run_n, run_sum, run_max).
+    """
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, t_us, keys))
+        keys, ids, t_us = keys[order], ids[order], t_us[order]
+        v = g[value_col].to_numpy(dtype=np.float64)[order]
+        n = v.shape[0]
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    key_col: keys,
+                    "t_us": t_us,
+                    value_col: v,
+                    "run_n": np.empty(0, dtype=np.int64),
+                    "run_sum": np.empty(0, dtype=np.float64),
+                    "run_max": np.empty(0, dtype=np.float64),
+                }
+            )
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        seg_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        ok = ~np.isnan(v)
+        cs = np.cumsum(np.where(ok, v, 0.0))
+        cn = np.cumsum(ok.astype(np.int64))
+        # subtract the prefix just BEFORE each segment start
+        base_s = np.where(seg_start > 0, cs[seg_start - 1], 0.0)
+        base_n = np.where(seg_start > 0, cn[seg_start - 1], 0)
+        run_sum = cs - base_s
+        run_n = cn - base_n
+        # segmented running max: the subtract-base trick doesn't apply
+        # to max, so use pandas' Cython groupby-cummax over the segment
+        # ids (vectorized, no per-key Python)
+        seg_id = np.cumsum(new_key) - 1
+        vm = np.where(ok, v, -np.inf)
+        acc = pd.Series(vm).groupby(seg_id).cummax().to_numpy()
+        run_max = np.where(run_n > 0, acc, np.nan)
+        run_sum = np.where(run_n > 0, run_sum, np.nan)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                key_col: keys,
+                "t_us": t_us,
+                value_col: v,
+                "run_n": run_n,
+                "run_sum": run_sum,
+                "run_max": run_max,
+            }
+        )
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -190,3 +190,37 @@ def test_approx_quantile_edges(ray_session):
         approx_quantile_hist(_vals_ds(np.full(5, np.nan), 1), "value", (0.5,))
     with pytest.raises(ValueError):
         approx_quantile_hist(_vals_ds(np.arange(5.0), 1), "value", (1.5,))
+
+
+def test_histogram_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import histogram
+
+    rng = np.random.default_rng(23)
+    v = rng.normal(size=2000)
+    v[::17] = np.nan
+    df = pd.DataFrame({"value": v})
+    bins = 16
+    got = (
+        histogram(rd.from_pandas(df).repartition(6), "value", bins=bins)
+        .to_pandas()
+        .sort_values("bin")
+        .set_index("bin")["n"]
+    )
+    ok = v[~np.isnan(v)]
+    lo, hi = ok.min(), ok.max()
+    w = (hi - lo) / bins
+    want = np.bincount(
+        np.clip(np.floor((ok - lo) / w), 0, bins - 1).astype(int),
+        minlength=bins,
+    )
+    for b in range(bins):
+        assert got.get(b, 0) == want[b]
+    assert int(got.sum()) == ok.size
+    # degenerate range: single distinct value -> all rows in bin 0
+    one = pd.DataFrame({"value": np.full(10, 3.25)})
+    g1 = histogram(rd.from_pandas(one), "value", bins=8).to_pandas()
+    assert list(g1["bin"]) == [0] and list(g1["n"]) == [10]
+    with pytest.raises(ValueError):
+        histogram(rd.from_pandas(one), "value", bins=0)

@@ -307,3 +307,46 @@ def test_rolling_zscore_matches_naive(ray_session):
 
     with pytest.raises(ValueError):
         rolling_zscore(rd.from_pandas(df), k=1)
+
+
+def test_running_agg_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import running_agg
+
+    rng = np.random.default_rng(17)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 6, size=n).astype(np.int64),
+            "t": np.sort(rng.integers(0, 10_000, size=n)),
+            "value": rng.normal(scale=10, size=n),
+        }
+    )
+    df.loc[df.index % 8 == 0, "value"] = np.nan
+    df["ts"] = pd.to_datetime(df["t"] * 1_000_000, unit="us")
+    got = (
+        running_agg(
+            rd.from_pandas(df[["event_id", "user_id", "ts", "value"]])
+            .repartition(5),
+            num_partitions=7,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "t_us", "event_id"])
+    )
+    for uid, grp in got.groupby("user_id"):
+        v = grp["value"].to_numpy()
+        ok = ~np.isnan(v)
+        want_n = np.cumsum(ok)
+        want_sum = np.cumsum(np.where(ok, v, 0.0))
+        want_max = pd.Series(np.where(ok, v, -np.inf)).cummax().to_numpy()
+        np.testing.assert_array_equal(grp["run_n"].to_numpy(), want_n)
+        mask = want_n > 0
+        np.testing.assert_allclose(
+            grp["run_sum"].to_numpy()[mask], want_sum[mask], rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            grp["run_max"].to_numpy()[mask], want_max[mask], rtol=1e-12
+        )
+        assert np.isnan(grp["run_sum"].to_numpy()[~mask]).all()
