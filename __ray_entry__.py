@@ -1841,6 +1841,33 @@ WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_events_json_props(sf_dir: str):
+    """JSON field extraction from the events.props string column
+    (pipelines/text.py json_extract_fields): polars json_path_match +
+    strict=False cast — NULL on malformed/missing, matching the SQL
+    twin's json_extract_string + CAST."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import json_extract_fields
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+    return json_extract_fields(
+        ev,
+        json_col="props",
+        fields={"k": ("$.k", "int64")},
+        id_cols=("event_id",),
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
 HIST_BINS = 32
 
 
@@ -3753,6 +3780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets": q_events_grouping_sets,
         "events_running": q_events_running,
         "events_value_histogram": q_events_value_histogram,
+        "events_json_props": q_events_json_props,
         "lineitem_unpivot": q_lineitem_unpivot,
         "lineitem_corr": q_lineitem_corr,
         "events_semi_join": q_events_semi_join,
@@ -3849,6 +3877,7 @@ def oracle_sql() -> dict[str, str]:
         "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
         "events_running": SQL_EVENTS_RUNNING,
         "events_value_histogram": SQL_EVENTS_VALUE_HISTOGRAM,
+        "events_json_props": SQL_EVENTS_JSON_PROPS,
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
         "lineitem_corr": SQL_LINEITEM_CORR,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,

@@ -109,6 +109,7 @@ from .pipelines.text import (  # noqa: F401
     chunk_text,
     exact_dedup,
     fingerprint,
+    json_extract_fields,
     lang_id,
     lm_score,
     minhash_lsh_dups,

@@ -1795,3 +1795,43 @@ def lm_score(docs_ds, *, max_vocab_broadcast: int = 5_000_000):
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def json_extract_fields(
+    ds,
+    *,
+    json_col: str,
+    fields: dict,
+    id_cols: tuple = ("event_id",),
+):
+    """Vectorized JSON field extraction from a string column — the
+    semi-structured ETL step: ``fields`` maps output column name ->
+    (JSONPath, dtype) with dtype in {'int64', 'float64', 'string'}.
+    Malformed JSON, missing paths and failed casts all yield NULL (the
+    json_extract_string + CAST semantics of the SQL twin).
+
+    Pure per-block map via polars ``str.json_path_match`` (Rust JSON
+    parser, one pass per field over the batch) — no shuffle, no per-row
+    Python.
+    """
+    import polars as pl
+
+    _CASTS = {"int64": pl.Int64, "float64": pl.Float64, "string": pl.String}
+    for name, (_path, dt) in fields.items():
+        if dt not in _CASTS:
+            raise ValueError(
+                f"field {name!r}: dtype must be one of {sorted(_CASTS)}, "
+                f"got {dt!r}"
+            )
+
+    def f(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch[json_col]).cast(pl.String)
+        out = {c: batch[c] for c in id_cols}
+        for name, (path, dt) in fields.items():
+            col = s.str.json_path_match(path)
+            if dt != "string":
+                col = col.cast(_CASTS[dt], strict=False)
+            out[name] = col.to_arrow()
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

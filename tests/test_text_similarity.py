@@ -704,3 +704,48 @@ def test_normalize_text_unicode_and_nulls(ray_session):
     )
     # NFC composes e + combining acute into é; runs collapse; trim; null passes
     assert out == ["café du monde", "a b", None, "xyz"]
+
+
+def test_json_extract_fields(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import json_extract_fields
+
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            "props": [
+                '{"k": 69, "s": "hi", "f": 1.5}',
+                '{"k": "not a number"}',
+                "garbage",
+                None,
+                '{"other": 1}',
+            ],
+        }
+    )
+    got = (
+        json_extract_fields(
+            rd.from_pandas(df),
+            json_col="props",
+            fields={
+                "k": ("$.k", "int64"),
+                "s": ("$.s", "string"),
+                "f": ("$.f", "float64"),
+            },
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist()[0] == 69
+    assert pd.isna(got["k"][1:]).all()  # bad cast, garbage, null, missing
+    assert got["s"][0] == "hi" and pd.isna(got["s"][1:]).all()
+    assert got["f"][0] == 1.5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        json_extract_fields(
+            rd.from_pandas(df), json_col="props", fields={"k": ("$.k", "int32")}
+        )
