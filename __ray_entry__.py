@@ -1868,6 +1868,32 @@ FROM events
 """
 
 
+def q_events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type (pipelines/
+    aggregates.py group_count_distinct): block-local distinct-pair
+    combiner, pair-keyed dedup groupby, key-cardinality count — the
+    exact twin of the HLL sketch query."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        group_count_distinct,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return group_count_distinct(
+        ev, key_col="event_type", value_col="user_id"
+    )
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type
+"""
+
+
 HIST_BINS = 32
 
 
@@ -3781,6 +3807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": q_events_running,
         "events_value_histogram": q_events_value_histogram,
         "events_json_props": q_events_json_props,
+        "events_distinct_users": q_events_distinct_users,
         "lineitem_unpivot": q_lineitem_unpivot,
         "lineitem_corr": q_lineitem_corr,
         "events_semi_join": q_events_semi_join,
@@ -3878,6 +3905,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running": SQL_EVENTS_RUNNING,
         "events_value_histogram": SQL_EVENTS_VALUE_HISTOGRAM,
         "events_json_props": SQL_EVENTS_JSON_PROPS,
+        "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
         "lineitem_corr": SQL_LINEITEM_CORR,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,

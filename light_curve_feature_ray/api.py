@@ -61,6 +61,7 @@ from .pipelines.joins import (  # noqa: F401
 # --- all-aggregate analytics ----------------------------------------------
 from .pipelines.aggregates import (  # noqa: F401
     group_corr,
+    group_count_distinct,
     group_linear_trend,
     grouping_sets_agg,
     last_value_per_key,

@@ -382,3 +382,54 @@ def grouping_sets_agg(
         return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def group_count_distinct(ds, *, key_col: str, value_col: str):
+    """Exact COUNT(DISTINCT value) per key — the exact complement of the
+    HLL sketch (``sketches.hll_distinct``): use this when the
+    (key, value) pair cardinality is shuffle-affordable, HLL when it is
+    not.
+
+    Scale shape: block-local DISTINCT (key, value) combiner (each block
+    contributes each pair at most once — the shuffle carries pairs, not
+    rows), one pair-keyed groupby to dedup across blocks, then a
+    key-cardinality count. NULL values don't count (SQL COUNT(DISTINCT)
+    semantics); keys whose values are ALL null are absent from the
+    output (the ``WHERE value IS NOT NULL`` relation — null group keys
+    can't ride Ray's sort-based shuffle, so pre-filter or fill if you
+    need them).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, value_col]).combine_chunks()
+        t = t.filter(pc.invert(pc.is_null(t[value_col])))
+        return t.group_by([key_col, value_col]).aggregate([])
+
+    deduped = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby([key_col, value_col])
+        .count()
+    )
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return (
+        deduped.map_batches(ones, batch_format="pyarrow", batch_size=None)
+        .groupby(key_col)
+        .sum("one")
+        .map_batches(
+            lambda t: pa.table(
+                {key_col: t[key_col], "n_distinct": t["sum(one)"]}
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )

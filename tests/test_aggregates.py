@@ -280,3 +280,34 @@ def test_grouping_sets_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, again, rtol=1e-12, atol=1e-12)
     with pytest.raises(ValueError):
         grouping_sets_agg(rd.from_pandas(df), sets=[("a", "a")])
+
+
+def test_group_count_distinct(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        group_count_distinct,
+    )
+
+    rng = np.random.default_rng(19)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], size=n),
+            "v": rng.integers(0, 40, size=n).astype("float64"),
+        }
+    )
+    df.loc[df.index % 9 == 0, "v"] = np.nan  # nulls don't count
+    got = (
+        group_count_distinct(
+            rd.from_pandas(df).repartition(7), key_col="k", value_col="v"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.dropna(subset=["v"]).groupby("k")["v"].nunique().sort_index()
+    )
+    assert list(got["k"]) == list(want.index)
+    assert list(got["n_distinct"]) == list(want.values)
