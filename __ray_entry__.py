@@ -1242,7 +1242,7 @@ s AS (
            sum(((epoch_us(ts) - m.x0) / 1000000.0)
                * ((epoch_us(ts) - m.x0) / 1000000.0)) AS sxx
     FROM events CROSS JOIN m
-    WHERE value IS NOT NULL
+    WHERE value IS NOT NULL AND ts IS NOT NULL
     GROUP BY user_id
 )
 SELECT user_id, CAST(n AS BIGINT) AS n,
@@ -1767,7 +1767,7 @@ WITH r AS (
     SELECT user_id, epoch_us(ts) AS t_us, value,
            row_number() OVER (PARTITION BY user_id
                               ORDER BY ts DESC, event_id DESC) AS rk
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 )
 SELECT user_id, t_us, round(value, 6) AS value
 FROM r WHERE rk = 1
@@ -1863,7 +1863,9 @@ def q_events_json_props(sf_dir: str):
 
 SQL_EVENTS_JSON_PROPS = """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       TRY_CAST(json_extract_string(
+           CASE WHEN json_valid(props) THEN props END, '$.k')
+       AS BIGINT) AS k
 FROM events
 """
 

@@ -56,8 +56,10 @@ def group_linear_trend(
     raw epoch microseconds would put Sxx at ~1e33 and the
     normal-equation cancellation would destroy the slope (the same ulp
     trap the conv_time features hit; see CLAUDE.md). If None, the global
-    min of ``x`` is used (one tiny aggregate). Rows with NaN y are
-    skipped, like SQL NULL semantics.
+    min of ``x`` is used (one tiny aggregate). Rows where EITHER x or y
+    is NaN/null are skipped entirely (mirror with ``WHERE x IS NOT NULL
+    AND y IS NOT NULL`` in SQL twins — per-term NULL skipping would
+    diverge).
 
     Scale shape: block-local partial sums (n, Sx, Sy, Sxy, Sxx) per key
     — one lexsort + reduceat per batch — then ONE groupby-sum over
@@ -89,8 +91,11 @@ def group_linear_trend(
                 - x_offset_us
             )
         y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        ok = ~np.isnan(y)
-        keys, x, y = keys[ok], x[ok], y[ok]
+        # drop rows where EITHER side is missing — a NaN x would
+        # otherwise poison every partial sum for its key, where the SQL
+        # twin's per-term sum() skips only the null term
+        ok = ~(np.isnan(np.asarray(x, dtype=np.float64)) | np.isnan(y))
+        keys, x, y = keys[ok], np.asarray(x, dtype=np.float64)[ok], y[ok]
         return _grouped_sums(
             keys,
             batch.schema.field(key_col),
@@ -209,8 +214,11 @@ def last_value_per_key(
     """Latest state per key: the row with the maximum (ts, id) per key —
     the standard "current snapshot" materialization of an event stream
     (SQL's row_number() OVER (PARTITION BY key ORDER BY ts DESC, id
-    DESC) = 1). The id tie-break makes the winner deterministic when a
-    key has duplicate max timestamps.
+    DESC) = 1). ``id_col`` is REQUIRED (it breaks duplicate-max-ts ties
+    deterministically — without it the winner would depend on block
+    layout, violating the parallelism-invariance contract). Rows with a
+    NULL timestamp are dropped (they can never be the latest state;
+    mirror with ``WHERE ts IS NOT NULL`` in SQL twins).
 
     Scale shape: a block-local COMBINER keeps one candidate row per key
     per block (argsort + take-last — associative, so the block winner
@@ -220,12 +228,23 @@ def last_value_per_key(
 
     Returns (key, t_us, *value_cols).
     """
-    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from ..stages.rollup import hash_strings
+    from .windows import _with_part
+
+    if id_col is None:
+        raise ValueError(
+            "id_col is required: duplicate max timestamps would otherwise "
+            "be broken by block arrival order (non-deterministic)"
+        )
 
     def pick(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch[ts_col])
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
         keys = batch[key_col].to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            return batch  # zero rows, schema unchanged
         t_us = (
             batch[ts_col]
             .cast(pa.timestamp("us"))
@@ -234,30 +253,13 @@ def last_value_per_key(
             if pa.types.is_timestamp(batch.schema.field(ts_col).type)
             else batch[ts_col].to_numpy(zero_copy_only=False)
         )
-        ids = (
-            batch[id_col].to_numpy(zero_copy_only=False)
-            if id_col is not None
-            else np.zeros(len(keys), dtype=np.int64)
-        )
-        if keys.size == 0:
-            return batch  # zero rows, schema unchanged
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, t_us, keys))
         last = np.flatnonzero(
             np.r_[keys[order][1:] != keys[order][:-1], True]
         )
         take = pa.array(order[last])
         return batch.take(take)
-
-    def with_part(batch: pa.Table) -> pa.Table:
-        key = batch[key_col]
-        if not pa.types.is_string(key.type):
-            import pyarrow.compute as pc
-
-            key = pc.cast(key, pa.string())
-        part = (hash_strings(key) % np.uint64(num_partitions)).astype(
-            np.int32
-        )
-        return batch.append_column("part", pa.array(part, type=pa.int32()))
 
     def finish(batch: pa.Table) -> pa.Table:
         batch = pick(batch.drop_columns(["part"]))
@@ -273,15 +275,18 @@ def last_value_per_key(
             cols[c] = batch[c]
         return pa.table(cols)
 
-    candidates = ds.map_batches(
-        pick, batch_format="pyarrow", batch_size=None
-    ).map_batches(with_part, batch_format="pyarrow", batch_size=None)
+    candidates = _with_part(
+        ds.map_batches(pick, batch_format="pyarrow", batch_size=None),
+        key_col,
+        num_partitions,
+    )
     return candidates.groupby("part").map_groups(
         finish, batch_format="pyarrow"
     )
 
 
 _GS_SENTINEL = "\x00__all__"
+_GS_NULLKEY = "\x00__null__"
 
 
 def grouping_sets_agg(
@@ -309,8 +314,6 @@ def grouping_sets_agg(
     block) — never data rows; identical to running len(sets) combiner
     groupbys but with a single read pass and a single exchange.
     """
-    import pyarrow as pa
-
     sets = [tuple(s) for s in sets]
     all_keys: list = []
     for s in sets:
@@ -320,6 +323,11 @@ def grouping_sets_agg(
     for s in sets:
         if len(set(s)) != len(s):
             raise ValueError(f"duplicate key in grouping set {s}")
+    if len({frozenset(s) for s in sets}) != len(sets):
+        raise ValueError(
+            "duplicate grouping sets would double-count in the one-pass "
+            "combiner (SQL repeats the rows instead) — deduplicate `sets`"
+        )
 
     def gid(s: tuple) -> int:
         return sum(
@@ -333,7 +341,13 @@ def grouping_sets_agg(
             {c: batch[c].to_numpy(zero_copy_only=False) for c in all_keys}
         )
         for c in all_keys:
+            # real NULL keys become a second sentinel (NOT the string
+            # "None"/"nan") so finish() can map them back to NULL like
+            # SQL's grouped null keys; grouping_id disambiguates them
+            # from aggregated-away columns
+            isna = df[c].isna()
             df[c] = df[c].astype(str)
+            df.loc[isna, c] = _GS_NULLKEY
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         df["_v"] = v
         df["_ok"] = (~np.isnan(v)).astype(np.int64)
@@ -375,7 +389,10 @@ def grouping_sets_agg(
             cols["grouping_id"] = t["grouping_id"]
         for c in all_keys:
             col = t[c]
-            mask = pc.equal(col, pa.scalar(_GS_SENTINEL))
+            mask = pc.or_(
+                pc.equal(col, pa.scalar(_GS_SENTINEL)),
+                pc.equal(col, pa.scalar(_GS_NULLKEY)),
+            )
             cols[c] = pc.if_else(mask, pa.scalar(None, pa.string()), col)
         cols["n"] = pa.array(n)
         cols["sum_value"] = pa.array(np.where(n > 0, s, np.nan))
@@ -399,7 +416,6 @@ def group_count_distinct(ds, *, key_col: str, value_col: str):
     can't ride Ray's sort-based shuffle, so pre-filter or fill if you
     need them).
     """
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     def pairs(batch: pa.Table) -> pa.Table:

@@ -509,9 +509,22 @@ def rolling_zscore(
         s1 = cs[idx + 1] - cs[w_start]
         s2 = cs2[idx + 1] - cs2[w_start]
         nw = cn[idx + 1] - cn[w_start]
+        # exact constant-window detection (win min == max over non-null):
+        # the textbook (s2 - n*mean^2) form can leave a tiny positive
+        # residue on constant windows of non-dyadic values, which would
+        # disagree with SQL's numerically-stable stddev about std == 0
+        pad_lo = np.concatenate((np.full(k - 1, np.inf), np.where(ok, v, np.inf)))
+        pad_hi = np.concatenate((np.full(k - 1, -np.inf), np.where(ok, v, -np.inf)))
+        win_lo = np.lib.stride_tricks.sliding_window_view(pad_lo, k)
+        win_hi = np.lib.stride_tricks.sliding_window_view(pad_hi, k)
+        pos = idx[:, None] - (k - 1) + np.arange(k)[None, :]
+        before_seg = pos < seg_start[:, None]
+        wmin = np.where(before_seg, np.inf, win_lo).min(axis=1)
+        wmax = np.where(before_seg, -np.inf, win_hi).max(axis=1)
         with np.errstate(invalid="ignore", divide="ignore"):
             mean = s1 / np.maximum(nw, 1)
             var = (s2 - nw * mean * mean) / np.maximum(nw - 1, 1)
+            var = np.where(wmin == wmax, 0.0, var)
             std = np.sqrt(np.maximum(var, 0.0))
             z = np.where(
                 (nw >= 2) & (std > 0) & ok, (v - mean) / std, np.nan

@@ -189,3 +189,134 @@ def test_group_centroid_null_and_fixed_size_list(ray_session):
             np.testing.assert_allclose(
                 rows.centroid.to_numpy(), want, rtol=1e-12
             )
+
+
+def test_grouping_sets_null_keys(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        grouping_sets_agg,
+    )
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", None, "x", None, "None"],  # real nulls + the
+            "value": [1.0, 2.0, 3.0, 4.0, 8.0],  # adversarial "None" str
+        }
+    )
+    got = (
+        grouping_sets_agg(rd.from_pandas(df), sets=[("a",), ()])
+        .to_pandas()
+        .sort_values(["grouping_id", "a"], na_position="last")
+        .reset_index(drop=True)
+    )
+    sub = got[got.grouping_id == 0]
+    # three groups at detail level: 'None' (the string), 'x', NULL
+    assert len(sub) == 3
+    bynull = sub[sub.a.isna()]
+    assert len(bynull) == 1 and bynull.n.iloc[0] == 2
+    assert bynull.sum_value.iloc[0] == pytest.approx(6.0)
+    lit = sub[sub.a == "None"]
+    assert len(lit) == 1 and lit.n.iloc[0] == 1  # NOT merged with nulls
+    with pytest.raises(ValueError, match="duplicate grouping sets"):
+        grouping_sets_agg(rd.from_pandas(df), sets=[("a",), ("a",)])
+
+
+def test_trend_and_last_state_null_ts(ray_session, entry_mod):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        group_linear_trend,
+        last_value_per_key,
+    )
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "ts": pd.to_datetime(
+                [1_000_000, 2_000_000, None, 5_000_000, None, 3_000_000],
+                unit="us",
+            ),
+            "value": [1.0, 2.0, 99.0, 4.0, 88.0, 5.0],
+        }
+    )
+    ds = rd.from_pandas(df)
+    con = duckdb.connect()
+    con.register("events", df)
+    # trend: null-ts rows dropped from every sum on BOTH sides
+    got = (
+        group_linear_trend(ds.map_batches(lambda t: t.select(
+            ["user_id", "ts", "value"]), batch_format="pyarrow",
+            batch_size=None))
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_USER_TREND).df()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    assert list(got["n"]) == list(want["n"])
+    _cmp_float(_round6(got["slope"]), want["slope"])
+    # last state: the null-ts row never wins
+    got2 = (
+        last_value_per_key(ds).to_pandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    want2 = (
+        con.execute(entry_mod.SQL_EVENTS_LAST_STATE).df()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    assert list(got2["value"]) == list(want2["value"]) == [2.0, 4.0]
+
+
+def test_rolling_zscore_constant_window(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import rolling_zscore
+
+    # constant non-dyadic values: textbook variance leaves a residue;
+    # the operator must still report std == 0 -> NaN like stddev_samp
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(8, dtype=np.int64),
+            "user_id": [1] * 8,
+            "ts": pd.to_datetime(np.arange(8) * 1_000_000, unit="us"),
+            "value": [0.1] * 8,
+        }
+    )
+    got = rolling_zscore(rd.from_pandas(df), k=4).to_pandas()
+    assert np.isnan(got["zscore"]).all()
+
+
+def test_json_extract_oracle_null_parity(ray_session, entry_mod):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import json_extract_fields
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "props": [
+                '{"k": 7}',
+                '{"k": "abc"}',  # failed cast
+                "garbage",  # malformed
+                None,
+                '{"x": 1}',  # missing path
+            ],
+        }
+    )
+    got = (
+        json_extract_fields(
+            rd.from_pandas(df), json_col="props",
+            fields={"k": ("$.k", "int64")},
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_JSON_PROPS).df()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    assert got["k"].isna().tolist() == want["k"].isna().tolist()
+    assert got["k"].iloc[0] == want["k"].iloc[0] == 7
