@@ -1861,12 +1861,20 @@ def q_events_json_props(sf_dir: str):
     )
 
 
-SQL_EVENTS_JSON_PROPS = """
+# the integer-regex guard pins DuckDB's TRY_CAST (which would round
+# '1.5' to 2) to polars' strict integer parse ('^[+-]?[0-9]+$' -> NULL
+# otherwise), so both sides yield NULL for non-integer JSON values
+SQL_EVENTS_JSON_PROPS = r"""
+WITH j AS (
+    SELECT event_id,
+           json_extract_string(
+               CASE WHEN json_valid(props) THEN props END, '$.k') AS ks
+    FROM events
+)
 SELECT event_id,
-       TRY_CAST(json_extract_string(
-           CASE WHEN json_valid(props) THEN props END, '$.k')
-       AS BIGINT) AS k
-FROM events
+       TRY_CAST(CASE WHEN regexp_matches(ks, '^[+-]?[0-9]+$')
+                THEN ks END AS BIGINT) AS k
+FROM j
 """
 
 

@@ -217,8 +217,10 @@ def last_value_per_key(
     DESC) = 1). ``id_col`` is REQUIRED (it breaks duplicate-max-ts ties
     deterministically — without it the winner would depend on block
     layout, violating the parallelism-invariance contract). Rows with a
-    NULL timestamp are dropped (they can never be the latest state;
-    mirror with ``WHERE ts IS NOT NULL`` in SQL twins).
+    NULL timestamp OR a NULL key are dropped (a null ts can never be
+    the latest state; null keys can't ride the hash partitioner —
+    pre-filter or fill if you need them; mirror with ``WHERE ts IS NOT
+    NULL`` in SQL twins).
 
     Scale shape: a block-local COMBINER keeps one candidate row per key
     per block (argsort + take-last — associative, so the block winner
@@ -239,7 +241,9 @@ def last_value_per_key(
         )
 
     def pick(batch: pa.Table) -> pa.Table:
-        valid = pc.is_valid(batch[ts_col])
+        valid = pc.and_(
+            pc.is_valid(batch[ts_col]), pc.is_valid(batch[key_col])
+        )
         if not pc.all(valid).as_py():
             batch = batch.filter(valid)
         keys = batch[key_col].to_numpy(zero_copy_only=False)
@@ -337,19 +341,24 @@ def grouping_sets_agg(
         )
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # stringify keys via the ARROW cast (CAST(x AS VARCHAR) parity:
+        # an int64 key is always '123', never the pandas float-promoted
+        # '123.0' that a null in the same block would cause); real NULL
+        # keys become a second sentinel (NOT the string "None") so
+        # finish() can map them back to NULL like SQL's grouped null
+        # keys — grouping_id disambiguates them from aggregated-away
+        # columns
         df = pd.DataFrame(
-            {c: batch[c].to_numpy(zero_copy_only=False) for c in all_keys}
+            {
+                c: pc.fill_null(
+                    pc.cast(batch[c], pa.string()), _GS_NULLKEY
+                ).to_pandas()
+                for c in all_keys
+            }
         )
-        for c in all_keys:
-            # real NULL keys become a second sentinel (NOT the string
-            # "None"/"nan") so finish() can map them back to NULL like
-            # SQL's grouped null keys; grouping_id disambiguates them
-            # from aggregated-away columns
-            isna = df[c].isna()
-            df[c] = df[c].astype(str)
-            df.loc[isna, c] = _GS_NULLKEY
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        df["_v"] = v
         df["_ok"] = (~np.isnan(v)).astype(np.int64)
         df["_vz"] = np.where(np.isnan(v), 0.0, v)
         outs = []

@@ -465,10 +465,19 @@ def histogram(ds, value_col: str, *, bins: int = 64, lo=None, hi=None):
 
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
-    if lo is None:
-        lo = float(ds.min(value_col))
-    if hi is None:
-        hi = float(ds.max(value_col))
+    if lo is None or hi is None:
+        from ray.data.aggregate import Max, Min
+
+        # ONE pre-pass for both extremes (not two ds.min/ds.max scans)
+        stats = ds.aggregate(Min(value_col), Max(value_col))
+        if lo is None:
+            lo = stats[f"min({value_col})"]
+        if hi is None:
+            hi = stats[f"max({value_col})"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"histogram: column {value_col!r} is empty or all-null"
+            )
     lo, hi = float(lo), float(hi)
     w = (hi - lo) / bins
 

@@ -1807,8 +1807,10 @@ def json_extract_fields(
     """Vectorized JSON field extraction from a string column — the
     semi-structured ETL step: ``fields`` maps output column name ->
     (JSONPath, dtype) with dtype in {'int64', 'float64', 'string'}.
-    Malformed JSON, missing paths and failed casts all yield NULL (the
-    json_extract_string + CAST semantics of the SQL twin).
+    Malformed JSON, missing paths and failed casts all yield NULL.
+    int64 uses polars' STRICT integer parse (``^[+-]?[0-9]+$``; '1.5'
+    is NULL, not rounded) — SQL twins must guard TRY_CAST with that
+    regex or DuckDB rounds instead.
 
     Pure per-block map via polars ``str.json_path_match`` (Rust JSON
     parser, one pass per field over the batch) — no shuffle, no per-row

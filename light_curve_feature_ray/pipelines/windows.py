@@ -42,6 +42,17 @@ def _with_part(ds, key_col: str, num_partitions: int):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def _drop_null_ts(g: pd.DataFrame, ts_col: str) -> pd.DataFrame:
+    """Rows with a NULL timestamp have no position in event time; every
+    keyed window operator drops them (pandas would otherwise silently
+    convert NaT to iNaT = -2^63, sorting them FIRST while SQL's NULLS
+    LAST sorts them last — a layout-dependent divergence). Mirror with
+    ``WHERE ts IS NOT NULL`` in SQL twins when the data can hold nulls."""
+    if g[ts_col].isna().any():
+        g = g[g[ts_col].notna()]
+    return g
+
+
 def sliding_window_agg(
     events_ds,
     *,
@@ -59,6 +70,7 @@ def sliding_window_agg(
     nw = int(np.ceil(window_s / slide_s))
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
         t = _epoch_seconds(g[ts_col])
         v = g[value_col].to_numpy()
         keys = g[key_col].to_numpy()
@@ -99,7 +111,9 @@ def session_windows(
     (key, session_idx, session_start ts, session_end ts, n, sum_value)."""
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        g = _drop_null_ts(g, ts_col).sort_values(
+            [key_col, ts_col], kind="mergesort"
+        )
         t = _epoch_seconds(g[ts_col])
         keys = g[key_col].to_numpy()
         new_key = np.r_[True, keys[1:] != keys[:-1]]
@@ -168,6 +182,7 @@ def rolling_agg(
         raise ValueError(f"k must be positive, got {k}")
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
         t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key_col].to_numpy()
         ids = g[id_col].to_numpy()
@@ -273,6 +288,7 @@ def rolling_time_agg(
     win_us = int(window_s) * 1_000_000
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
         t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key_col].to_numpy(dtype=np.int64)
         ids = g[id_col].to_numpy()
@@ -344,6 +360,7 @@ def tumbling_window_agg(
     max_value, mean_value)."""
 
     def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
         t = _epoch_seconds(g[ts_col])
         win = (t // window_s) * window_s
         df = pd.DataFrame(
@@ -421,6 +438,7 @@ def ewma(
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
         t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key_col].to_numpy()
         ids = g[id_col].to_numpy()
@@ -480,6 +498,7 @@ def rolling_zscore(
         raise ValueError(f"k must be >= 2 for a z-score window, got {k}")
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
         t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key_col].to_numpy()
         ids = g[id_col].to_numpy()
@@ -570,6 +589,7 @@ def running_agg(
     """
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
         t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key_col].to_numpy()
         ids = g[id_col].to_numpy()

@@ -320,3 +320,112 @@ def test_json_extract_oracle_null_parity(ray_session, entry_mod):
     )
     assert got["k"].isna().tolist() == want["k"].isna().tolist()
     assert got["k"].iloc[0] == want["k"].iloc[0] == 7
+
+
+def test_grouping_sets_int_key_block_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        grouping_sets_agg,
+    )
+
+    # an int64 key column where ONE block holds the null row: the key
+    # must stringify as '123' in every block (never the float-promoted
+    # '123.0'), or groups split by block layout
+    df = pd.DataFrame(
+        {"k": pd.array([123, 123, None, 123], dtype="Int64"),
+         "value": [1.0, 2.0, 4.0, 8.0]}
+    )
+    for parts in (1, 4):
+        got = (
+            grouping_sets_agg(
+                rd.from_pandas(df).repartition(parts), sets=[("k",)]
+            )
+            .to_pandas()
+            .sort_values("k", na_position="last")
+            .reset_index(drop=True)
+        )
+        assert list(got["k"].fillna("<null>")) == ["123", "<null>"]
+        assert list(got["n"]) == [3, 1]
+        assert got["sum_value"].iloc[0] == pytest.approx(11.0)
+
+
+def test_json_int64_strict_parse_oracle_parity(ray_session, entry_mod):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import json_extract_fields
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "props": ['{"k": 1.5}', '{"k": 7}', '{"k": "007"}',
+                      '{"k": "1e3"}'],
+        }
+    )
+    got = (
+        json_extract_fields(rd.from_pandas(df), json_col="props",
+                            fields={"k": ("$.k", "int64")})
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_JSON_PROPS).df()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    # 1.5 and 1e3 are NULL on BOTH sides (strict integer parse); 7 and
+    # '007' parse to 7
+    assert got["k"].isna().tolist() == want["k"].isna().tolist() == [
+        True, False, False, True
+    ]
+    assert list(got["k"].dropna()) == list(want["k"].dropna()) == [7, 7]
+
+
+def test_window_family_drops_null_ts(ray_session, entry_mod):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import (
+        ewma,
+        rolling_agg,
+        running_agg,
+        session_windows,
+        sliding_window_agg,
+        tumbling_window_agg,
+    )
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "ts": pd.to_datetime(
+                [1_000_000, None, 3_000_000, 5_000_000, None, 7_000_000],
+                unit="us",
+            ),
+            "value": [1.0, 99.0, 2.0, 3.0, 88.0, 4.0],
+        }
+    )
+    ds = rd.from_pandas(df)
+    # null-ts rows vanish from every keyed window operator
+    assert len(running_agg(ds).to_pandas()) == 4
+    assert len(rolling_agg(ds, k=2).to_pandas()) == 4
+    assert len(ewma(ds).to_pandas()) == 4
+    assert tumbling_window_agg(ds).to_pandas()["n"].sum() == 4
+    assert sliding_window_agg(ds).to_pandas()["n"].max() <= 2
+    assert session_windows(ds).to_pandas()["n"].sum() == 4
+    # running values are computed over the surviving rows only, matching
+    # the SQL twin restricted to ts IS NOT NULL
+    got = (
+        running_agg(ds).to_pandas()
+        .sort_values(["user_id", "t_us"]).reset_index(drop=True)
+    )
+    assert list(got["run_sum"]) == [1.0, 3.0, 3.0, 7.0]
+
+
+def test_histogram_all_null_guard(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import histogram
+
+    df = pd.DataFrame({"value": [np.nan, np.nan, np.nan]})
+    with pytest.raises(ValueError, match="all-null"):
+        histogram(rd.from_pandas(df), "value", bins=4)
