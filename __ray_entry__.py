@@ -1767,7 +1767,7 @@ WITH r AS (
     SELECT user_id, epoch_us(ts) AS t_us, value,
            row_number() OVER (PARTITION BY user_id
                               ORDER BY ts DESC, event_id DESC) AS rk
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 )
 SELECT user_id, t_us, round(value, 6) AS value
 FROM r WHERE rk = 1
@@ -1899,7 +1899,7 @@ def q_events_distinct_users(sf_dir: str):
 
 SQL_EVENTS_DISTINCT_USERS = """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
-FROM events WHERE user_id IS NOT NULL
+FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
 GROUP BY event_type
 """
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _grouped_sums(keys, key_field: pa.Field, cols: dict) -> pa.Table:
@@ -75,6 +76,10 @@ def group_linear_trend(
             x_offset_us = float(m)
 
     def partial(batch: pa.Table) -> pa.Table:
+        # NULL-key rows are DROPPED (mirror with WHERE key IS NOT NULL
+        # in SQL twins) — a None key would crash np.unique on object
+        # arrays / NaN-promote int keys in the Arrow cast otherwise
+        batch = batch.filter(pc.is_valid(batch[key_col]))
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         if pa.types.is_timestamp(batch.schema.field(x_col).type):
             x_us = (
@@ -153,6 +158,8 @@ def group_corr(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
+        # NULL-key rows are DROPPED (mirror: WHERE key IS NOT NULL)
+        batch = batch.filter(pc.is_valid(batch[key_col]))
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
         y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -421,15 +428,17 @@ def group_count_distinct(ds, *, key_col: str, value_col: str):
     rows), one pair-keyed groupby to dedup across blocks, then a
     key-cardinality count. NULL values don't count (SQL COUNT(DISTINCT)
     semantics); keys whose values are ALL null are absent from the
-    output (the ``WHERE value IS NOT NULL`` relation — null group keys
-    can't ride Ray's sort-based shuffle, so pre-filter or fill if you
-    need them).
+    output, and NULL-key rows are dropped too (null group keys can't
+    ride Ray's sort-based shuffle) — mirror with ``WHERE value IS NOT
+    NULL AND key IS NOT NULL`` in SQL twins.
     """
     import pyarrow.compute as pc
 
     def pairs(batch: pa.Table) -> pa.Table:
         t = batch.select([key_col, value_col]).combine_chunks()
-        t = t.filter(pc.invert(pc.is_null(t[value_col])))
+        t = t.filter(
+            pc.and_(pc.is_valid(t[value_col]), pc.is_valid(t[key_col]))
+        )
         return t.group_by([key_col, value_col]).aggregate([])
 
     deduped = (

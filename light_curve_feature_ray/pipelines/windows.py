@@ -518,35 +518,54 @@ def rolling_zscore(
                 }
             )
         new_key = np.r_[True, keys[1:] != keys[:-1]]
-        seg_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
-        w_start = np.maximum(np.arange(n) - k + 1, seg_start)
-        ok = ~np.isnan(v)
-        cs = np.concatenate(([0.0], np.cumsum(np.where(ok, v, 0.0))))
-        cs2 = np.concatenate(([0.0], np.cumsum(np.where(ok, v * v, 0.0))))
-        cn = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
         idx = np.arange(n)
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        w_start = np.maximum(idx - k + 1, seg_start)
+        ok = ~np.isnan(v)
+        # Shift each value by a per-key-segment baseline (the segment's
+        # first non-null value) BEFORE building the prefix sums: variance
+        # is shift-invariant, but the textbook (s2 - n*mean^2) form
+        # catastrophically cancels when |mean| >> std (e.g. values
+        # 1e8 + N(0, 1e-3)), while the SQL oracle's stddev_samp is
+        # numerically stable. Windows never cross segments, so a
+        # per-segment constant shift is exact. Same epoch-offset lesson
+        # as t - min(t) in group_linear_trend.
+        seg_id = np.cumsum(new_key) - 1
+        ok_pos = np.where(ok, idx, n)
+        starts = np.flatnonzero(new_key)
+        first_ok = np.minimum.reduceat(ok_pos, starts)[seg_id]
+        baseline = np.where(first_ok < n, v[np.minimum(first_ok, n - 1)], 0.0)
+        vs = v - baseline
+        cs = np.concatenate(([0.0], np.cumsum(np.where(ok, vs, 0.0))))
+        cs2 = np.concatenate(([0.0], np.cumsum(np.where(ok, vs * vs, 0.0))))
+        cn = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
         s1 = cs[idx + 1] - cs[w_start]
         s2 = cs2[idx + 1] - cs2[w_start]
         nw = cn[idx + 1] - cn[w_start]
         # exact constant-window detection (win min == max over non-null):
-        # the textbook (s2 - n*mean^2) form can leave a tiny positive
+        # even the shifted prefix-sum form can leave a tiny positive
         # residue on constant windows of non-dyadic values, which would
-        # disagree with SQL's numerically-stable stddev about std == 0
+        # disagree with SQL's numerically-stable stddev about std == 0.
+        # Full windows reduce straight over the sliding view (no n*k
+        # materialization); the clipped first k-1 rows of each segment
+        # see a segment PREFIX, handled by a grouped cummin/cummax.
         pad_lo = np.concatenate((np.full(k - 1, np.inf), np.where(ok, v, np.inf)))
         pad_hi = np.concatenate((np.full(k - 1, -np.inf), np.where(ok, v, -np.inf)))
-        win_lo = np.lib.stride_tricks.sliding_window_view(pad_lo, k)
-        win_hi = np.lib.stride_tricks.sliding_window_view(pad_hi, k)
-        pos = idx[:, None] - (k - 1) + np.arange(k)[None, :]
-        before_seg = pos < seg_start[:, None]
-        wmin = np.where(before_seg, np.inf, win_lo).min(axis=1)
-        wmax = np.where(before_seg, -np.inf, win_hi).max(axis=1)
+        wmin = np.lib.stride_tricks.sliding_window_view(pad_lo, k).min(axis=1)
+        wmax = np.lib.stride_tricks.sliding_window_view(pad_hi, k).max(axis=1)
+        clipped = w_start > idx - k + 1
+        if clipped.any():
+            pre_min = pd.Series(pad_lo[k - 1 :]).groupby(seg_id).cummin().to_numpy()
+            pre_max = pd.Series(pad_hi[k - 1 :]).groupby(seg_id).cummax().to_numpy()
+            wmin = np.where(clipped, pre_min, wmin)
+            wmax = np.where(clipped, pre_max, wmax)
         with np.errstate(invalid="ignore", divide="ignore"):
             mean = s1 / np.maximum(nw, 1)
             var = (s2 - nw * mean * mean) / np.maximum(nw - 1, 1)
             var = np.where(wmin == wmax, 0.0, var)
             std = np.sqrt(np.maximum(var, 0.0))
             z = np.where(
-                (nw >= 2) & (std > 0) & ok, (v - mean) / std, np.nan
+                (nw >= 2) & (std > 0) & ok, (vs - mean) / std, np.nan
             )
         return pd.DataFrame(
             {

@@ -269,6 +269,97 @@ def test_trend_and_last_state_null_ts(ray_session, entry_mod):
     assert list(got2["value"]) == list(want2["value"]) == [2.0, 4.0]
 
 
+def test_null_key_rows_dropped_both_sides(ray_session, entry_mod):
+    """NULL-KEY rows: the operators drop them (null keys can't ride the
+    hash partitioner / crash np.unique), and the SQL twins carry the
+    mirroring `key IS NOT NULL` — a null user_id/event_type must not
+    produce an extra NULL-key group on the oracle side."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        group_corr,
+        group_count_distinct,
+        group_linear_trend,
+        last_value_per_key,
+    )
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(8, dtype=np.int64),
+            "user_id": pd.array(
+                [1, 1, None, 2, 2, None, 1, 2], dtype="Int64"
+            ),
+            "event_type": ["a", "a", "a", None, "b", "b", "b", "b"],
+            "ts": pd.to_datetime(
+                np.arange(8, dtype=np.int64) * 1_000_000, unit="us"
+            ),
+            "value": [1.0, 2.0, 99.0, 4.0, 5.0, 88.0, 3.0, 6.0],
+        }
+    )
+    ds = rd.from_pandas(df)
+    con = duckdb.connect()
+    con.register("events", df)
+
+    # last_value_per_key: no NULL-key snapshot row on either side
+    got = (
+        last_value_per_key(ds)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_LAST_STATE)
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 2
+    assert list(got["value"]) == list(want["value"])
+
+    # count distinct: NULL event_type group absent on both sides
+    got2 = (
+        group_count_distinct(
+            ds.select_columns(["event_type", "user_id"]),
+            key_col="event_type",
+            value_col="user_id",
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want2 = (
+        con.execute(entry_mod.SQL_EVENTS_DISTINCT_USERS)
+        .df()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert list(got2["event_type"]) == list(want2["event_type"]) == ["a", "b"]
+    assert list(got2["n_distinct"]) == list(want2["n_distinct"])
+
+    # trend / corr: NULL-key rows silently dropped, no crash, no group
+    t = (
+        group_linear_trend(ds.select_columns(["user_id", "ts", "value"]))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(t["user_id"]) == [1, 2]
+    c = (
+        group_corr(
+            ds.select_columns(["user_id", "event_id", "value"]).map_batches(
+                lambda b: b, batch_format="pyarrow", batch_size=None
+            ),
+            key_col="user_id",
+            x_col="event_id",
+            y_col="value",
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(c["user_id"]) == [1, 2]
+
+
 def test_rolling_zscore_constant_window(ray_session):
     import ray.data as rd
 

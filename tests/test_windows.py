@@ -309,6 +309,49 @@ def test_rolling_zscore_matches_naive(ray_session):
         rolling_zscore(rd.from_pandas(df), k=1)
 
 
+def test_rolling_zscore_large_offset_stable(ray_session):
+    """Large-mean/low-variance windows (1e8 + N(0, 1e-3)): the textbook
+    s2 - n*mean^2 prefix-sum form catastrophically cancels here (z off
+    by 1000x); the segment-baseline shift must agree with the two-pass
+    (SQL stddev_samp-style) answer to full precision."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import rolling_zscore
+
+    rng = np.random.default_rng(42)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 3, size=n).astype(np.int64),
+            "ts": pd.to_datetime(np.arange(n) * 1_000_000, unit="us"),
+            "value": 1e8 + rng.normal(scale=1e-3, size=n),
+        }
+    )
+    k = 5
+    got = (
+        rolling_zscore(rd.from_pandas(df).repartition(3), k=k, num_partitions=5)
+        .to_pandas()
+        .sort_values(["user_id", "t_us", "event_id"])
+    )
+    n_checked = 0
+    for _, grp in got.groupby("user_id"):
+        vals = grp["value"].to_numpy()
+        for i in range(len(vals)):
+            w = vals[max(0, i - k + 1) : i + 1]
+            z = grp["zscore"].iloc[i]
+            if len(w) < 2:
+                assert np.isnan(z)
+                continue
+            # naive np.std on raw 1e8-magnitude values is itself ~5e-5
+            # off (mean rounds at ulp(1e8)); shift first for the truth
+            ws = w - w[0]
+            want = (ws[-1] - ws.mean()) / np.std(ws, ddof=1)
+            assert z == pytest.approx(want, rel=1e-9, abs=1e-9)
+            n_checked += 1
+    assert n_checked > 100
+
+
 def test_running_agg_matches_pandas(ray_session):
     import ray.data as rd
 
