@@ -1110,6 +1110,126 @@ def q_rollup_full_tiers(sf_dir: str):
     return _finalize(ds)
 
 
+def q_rollup_full_tiers_sql(sf_dir: str):
+    """Value-checkable projection of the flagship: the SAME full-tiers
+    run as rollup_full_tiers (DEFAULT_FEATURES incl. periodogram,
+    gap_fill='linear', store_points=True), projected onto its
+    SQL-checkable columns (n_points, observation_count, amplitude,
+    duration) so the 113k-row flagship flips from rows-only to
+    value-hash-checked. Bins cascade semantics per
+    /root/reference/src/features/bins.rs:171-201; the SQL twin replays
+    the engine's linear gap-fill (m0 + frac*(m1-m0), frac computed
+    first; gaps > max_fill_gap slots left unfilled) at both the minute
+    (cap 2880) and hour (cap 48) levels. mean/weighted_mean are NOT in
+    the projection for the same measured reason as
+    q_rollup_1d_gapfill_linear: linear fill produces dyadic-rational
+    values whose window MEAN can land exactly on a round-6 halfway
+    point (sf0.01 conv c66 1h@2024-01-19T17: exactly 8.8984375) where
+    numpy-pairwise and DuckDB-sequential sums straddle the boundary by
+    an ulp; amplitude/duration are order statistics (summation-free),
+    so they pin the interpolation itself bit-for-bit, and the fill-free
+    mean path is value-checked by rollup_1h_cascade/rollup_1d_cascade."""
+    from light_curve_feature_ray.stages.rollup import DEFAULT_FEATURES
+
+    ds = _rollup(
+        sf_dir,
+        features=DEFAULT_FEATURES,
+        tiers=("1m", "1h", "1d"),
+        gap_fill="linear",
+        store_points=True,
+    )
+    keep = [
+        "conv_id",
+        "tier",
+        "bucket_ts",
+        "n_points",
+        "observation_count",
+        "amplitude",
+        "duration",
+    ]
+    return _finalize(
+        ds.map_batches(lambda b: b.select(keep), batch_format="pyarrow")
+    )
+
+
+# mirrors stages/rollup.py: _bin_series (per-slot weighted mean, w=1 ->
+# plain avg), _gap_fill 'linear' (fill = m0 + (off/den)*(m1-m0), frac
+# FIRST; gaps > max_gap slots unfilled) at minute (max_fill_gap=2880)
+# then hour (2880//60=48) level, then per-tier feature evaluation
+SQL_ROLLUP_FULL_TIERS_SQL = f"""
+WITH {_TM},
+bins AS (SELECT conv_id, j, avg(m) AS bm FROM tm GROUP BY conv_id, j),
+nx AS (
+    SELECT conv_id, j, bm,
+           lead(j)  OVER (PARTITION BY conv_id ORDER BY j) AS nj,
+           lead(bm) OVER (PARTITION BY conv_id ORDER BY j) AS nbm
+    FROM bins
+),
+gaps AS (
+    SELECT conv_id, j, nj, bm, nbm,
+           unnest(generate_series(j + 1, nj - 1)) AS s
+    FROM nx WHERE nj IS NOT NULL AND nj - j - 1 BETWEEN 1 AND 2880
+),
+fm AS (
+    SELECT conv_id, j AS s, bm AS fv FROM bins
+    UNION ALL
+    SELECT conv_id, s,
+           bm + (CAST(s - j AS DOUBLE) / CAST(nj - j AS DOUBLE)) * (nbm - bm)
+    FROM gaps
+),
+hb AS (SELECT conv_id, s // 60 AS h, avg(fv) AS hm FROM fm GROUP BY conv_id, s // 60),
+nxh AS (
+    SELECT conv_id, h, hm,
+           lead(h)  OVER (PARTITION BY conv_id ORDER BY h) AS nh,
+           lead(hm) OVER (PARTITION BY conv_id ORDER BY h) AS nhm
+    FROM hb
+),
+gapsh AS (
+    SELECT conv_id, h, nh, hm, nhm,
+           unnest(generate_series(h + 1, nh - 1)) AS s
+    FROM nxh WHERE nh IS NOT NULL AND nh - h - 1 BETWEEN 1 AND 48
+),
+fh AS (
+    SELECT conv_id, h AS s, hm AS fv FROM hb
+    UNION ALL
+    SELECT conv_id, s,
+           hm + (CAST(s - h AS DOUBLE) / CAST(nh - h AS DOUBLE)) * (nhm - hm)
+    FROM gapsh
+),
+t1m AS (
+    SELECT conv_id, '1m' AS tier,
+           make_timestamp(j * 60 * 1000000) AS bucket_ts,
+           count(*) AS n_points,
+           CAST(count(*) AS DOUBLE) AS observation_count,
+           round((max(m) - min(m)) / 2, 6) AS amplitude,
+           round(max(t) - min(t), 6) AS duration
+    FROM tm GROUP BY conv_id, j
+),
+t1h AS (
+    -- engine evaluates the 1h tier on 1m bin CENTERS t = s*60 + 30,
+    -- so duration = (max(s) - min(s)) * 60
+    SELECT conv_id, '1h' AS tier,
+           make_timestamp((s // 60) * 3600 * 1000000) AS bucket_ts,
+           count(*) AS n_points,
+           CAST(count(*) AS DOUBLE) AS observation_count,
+           round((max(fv) - min(fv)) / 2, 6) AS amplitude,
+           round(CAST((max(s) - min(s)) * 60 AS DOUBLE), 6) AS duration
+    FROM fm GROUP BY conv_id, s // 60
+),
+t1d AS (
+    -- 1d tier evaluates on 1h bin centers t = s*3600 + 1800
+    SELECT conv_id, '1d' AS tier,
+           make_timestamp((s // 24) * 86400 * 1000000) AS bucket_ts,
+           count(*) AS n_points,
+           CAST(count(*) AS DOUBLE) AS observation_count,
+           round((max(fv) - min(fv)) / 2, 6) AS amplitude,
+           round(CAST((max(s) - min(s)) * 3600 AS DOUBLE), 6) AS duration
+    FROM fh GROUP BY conv_id, s // 24
+)
+SELECT * FROM t1m UNION ALL SELECT * FROM t1h UNION ALL SELECT * FROM t1d
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming-shaped window operators over the raw events log
 # ---------------------------------------------------------------------------
@@ -3777,26 +3897,80 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the external driver materializes only the first
+    # ~50 entries per round into CORRECTNESS_r{N}.json. Rotation plan
+    # (round 4): positions 1-27 are the 27 queries that had never
+    # appeared in any driver correctness file through r03 (the round-3
+    # curation/sketch/packing family), 28 is this round's new
+    # value-checked flagship projection, 29-50 re-check the headline /
+    # heaviest pipelines plus every query whose code changed this round.
+    # Everything from position 51 on is green in r01-r03 driver files.
+    # Round-5 note: rotate any entry that misses r04 back to the front.
     return {
+        # -- never driver-checked through r03 (27) ------------------------
+        "events_approx_quantiles": q_events_approx_quantiles,
+        "events_type_quantiles": q_events_type_quantiles,
+        "events_hll_users": q_events_hll_users,
+        "events_cms_users": q_events_cms_users,
+        "events_pivot": q_events_pivot,
+        "events_top_users": q_events_top_users,
+        "doc_normalize": q_doc_normalize,
+        "doc_top_terms": q_doc_top_terms,
+        "doc_tfidf": q_doc_tfidf,
+        "doc_hash_sample": q_doc_hash_sample,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_split": q_doc_split,
+        "doc_pack": q_doc_pack,
+        "doc_shuffle": q_doc_shuffle,
+        "doc_curation": q_doc_curation,
+        "doc_top_k_per_lang": q_doc_top_k_per_lang,
+        "doc_dedup_groups": q_doc_dedup_groups,
+        "doc_canonical": q_doc_canonical,
+        "doc_repetition": q_doc_repetition,
+        "doc_chunks": q_doc_chunks,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_lm_score": q_doc_lm_score,
+        "doc_quality_filter": q_doc_quality_filter,
+        "lineitem_bloom": q_lineitem_bloom,
+        "emb_group_centroid": q_emb_group_centroid,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        # -- new this round (28) ------------------------------------------
+        "rollup_full_tiers_sql": q_rollup_full_tiers_sql,
+        # -- headline / changed-this-round re-checks (29-50) ---------------
         "turns_clean": q_turns_clean,
         "rollup_1m_stats": q_rollup_1m_stats,
-        "rollup_1m_quantiles": q_rollup_1m_quantiles,
         "rollup_1h_cascade": q_rollup_1h_cascade,
-        "rollup_1h_by_band": q_rollup_1h_by_band,
         "rollup_1d_cascade": q_rollup_1d_cascade,
-        "rollup_1d_gapfill_prev": q_rollup_1d_gapfill_prev,
         "rollup_1d_gapfill_linear": q_rollup_1d_gapfill_linear,
-        "rollup_retention": q_rollup_retention,
         "rollup_incremental": q_rollup_incremental,
         "rollup_full_tiers": q_rollup_full_tiers,
         "conv_moments": q_conv_moments,
+        "conv_advanced": q_conv_advanced,
+        "doc_minhash_dups": q_doc_minhash_dups,
+        "doc_simhash_dups": q_doc_simhash_dups,
+        "emb_cosine_dups": q_emb_cosine_dups,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "events_asof_join": q_events_asof_join,
+        "events_interval_join": q_events_interval_join,
+        "lineitem_orders_join": q_lineitem_orders_join,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_value_quantiles": q_events_value_quantiles,
+        "events_zscore": q_events_zscore,
+        # -- green in r01-r03 driver files (51+) ---------------------------
+        "rollup_1m_quantiles": q_rollup_1m_quantiles,
+        "rollup_1h_by_band": q_rollup_1h_by_band,
+        "rollup_1d_gapfill_prev": q_rollup_1d_gapfill_prev,
+        "rollup_retention": q_rollup_retention,
         "conv_time": q_conv_time,
         "conv_shape": q_conv_shape,
         "conv_quantiles": q_conv_quantiles,
         "conv_bins": q_conv_bins,
         "conv_transformed": q_conv_transformed,
         "conv_role_features": q_conv_role_features,
-        "conv_advanced": q_conv_advanced,
         "conv_otsu": q_conv_otsu,
         "conv_biweight": q_conv_biweight,
         "conv_bazin_fit": q_conv_bazin_fit,
@@ -3810,10 +3984,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": q_events_rolling,
         "events_rolling_time": q_events_rolling_time,
         "events_ewma": q_events_ewma,
-        "events_zscore": q_events_zscore,
         "events_user_trend": q_events_user_trend,
         "events_last_state": q_events_last_state,
-        "events_grouping_sets": q_events_grouping_sets,
         "events_running": q_events_running,
         "events_value_histogram": q_events_value_histogram,
         "events_json_props": q_events_json_props,
@@ -3823,55 +3995,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_semi_join": q_events_semi_join,
         "events_deciles": q_events_deciles,
         "doc_anti_join": q_doc_anti_join,
-        "events_asof_join": q_events_asof_join,
-        "events_interval_join": q_events_interval_join,
         "orders_enriched": q_orders_enriched,
-        "lineitem_orders_join": q_lineitem_orders_join,
-        "events_value_quantiles": q_events_value_quantiles,
-        "events_approx_quantiles": q_events_approx_quantiles,
-        "events_type_quantiles": q_events_type_quantiles,
-        "events_hll_users": q_events_hll_users,
-        "events_cms_users": q_events_cms_users,
-        "events_pivot": q_events_pivot,
-        "events_top_users": q_events_top_users,
-        "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
         "doc_token_count": q_doc_token_count,
         "doc_fingerprint": q_doc_fingerprint,
-        "doc_normalize": q_doc_normalize,
-        "doc_top_terms": q_doc_top_terms,
-        "doc_tfidf": q_doc_tfidf,
-        "doc_hash_sample": q_doc_hash_sample,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_split": q_doc_split,
-        "doc_pack": q_doc_pack,
-        "doc_shuffle": q_doc_shuffle,
-        "doc_curation": q_doc_curation,
-        "doc_top_k_per_lang": q_doc_top_k_per_lang,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
-        "doc_dedup_groups": q_doc_dedup_groups,
-        "doc_canonical": q_doc_canonical,
         "doc_redact": q_doc_redact,
         "doc_winnow": q_doc_winnow,
-        "doc_repetition": q_doc_repetition,
-        "doc_chunks": q_doc_chunks,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_lm_score": q_doc_lm_score,
-        "doc_quality_filter": q_doc_quality_filter,
-        "lineitem_bloom": q_lineitem_bloom,
-        "emb_group_centroid": q_emb_group_centroid,
-        "emb_cosine_dups": q_emb_cosine_dups,
-        "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash": q_doc_simhash,
-        "doc_simhash_dups": q_doc_simhash_dups,
-        "knn_cosine": q_knn_cosine,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_meta": q_multimodal_meta,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -3887,6 +4021,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d_gapfill_linear": SQL_ROLLUP_1D_GAPFILL_LINEAR,
         "rollup_retention": SQL_ROLLUP_RETENTION,
         "rollup_incremental": SQL_ROLLUP_1H_CASCADE,
+        "rollup_full_tiers_sql": SQL_ROLLUP_FULL_TIERS_SQL,
         "conv_moments": SQL_CONV_MOMENTS,
         "conv_time": SQL_CONV_TIME,
         "conv_shape": SQL_CONV_SHAPE,
