@@ -243,27 +243,146 @@ def lsh_knn_cosine(
     )
 
 
-def embedding_cosine_dups(emb_ds, threshold: float = 0.9,
-                          max_broadcast: int = 1_000_000):
-    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cosine) for
-    all pairs with cosine >= threshold, vec_a < vec_b.
+def _pairs_empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype=np.int64),
+            "vec_b": pd.Series([], dtype=np.int64),
+            "cosine": pd.Series([], dtype=np.float64),
+        }
+    )
 
-    Baseline exact path: the normalized matrix is broadcast once via
-    ``ray.put`` and every batch computes one matmul block-row against it —
-    the brute-force tier of the task's dedup family. This intentionally
-    materializes the WHOLE embedding table once (that is what exact
-    all-pairs requires); ``max_broadcast`` makes the bound explicit and
-    fails loudly past it — the scale path for a corpus that can't
-    broadcast is LSH (:func:`lsh_knn_cosine` buckets) or IVF
-    (:func:`ivf_knn_cosine` cells) candidate generation followed by the
-    same exact verification.
+
+def _auto_pair_blocks(n_rows: int, target_rows: int = 131_072) -> int:
+    """Block count for the exact pair grid: enough pair-groups to feed
+    every cluster CPU (B*(B+1)/2 >= 2*CPU) AND each block side bounded
+    to ``target_rows`` vectors so a pair-group's two matrices fit one
+    worker's heap at any corpus size."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    b_cpu = int(np.ceil((np.sqrt(16 * ncpu + 1) - 1) / 2))  # B(B+1)/2>=2cpu
+    b_mem = int(np.ceil(n_rows / target_rows))
+    return max(4, b_cpu, b_mem)
+
+
+def embedding_cosine_dups(
+    emb_ds,
+    threshold: float = 0.9,
+    *,
+    num_blocks: int | None = None,
+    method: str = "blockpair",
+    max_broadcast: int = 1_000_000,
+):
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cosine) for
+    all pairs with cosine >= threshold, vec_a < vec_b. EXACT.
+
+    Default ``method='blockpair'`` — the distributed exact all-pairs
+    grid (classic block-nested theta-join): vectors are normalized once
+    and hashed into B blocks by id; each row is replicated to the B
+    pair-groups (i, j) containing its block, one shuffle co-locates each
+    pair-group, and one matmul per group scores its cross (or upper
+    triangle for i == j) — every unordered pair is scored EXACTLY once,
+    in the group keyed by its two blocks. Nothing materializes on the
+    driver and no whole-table broadcast exists; per-task memory is
+    bounded by 2 * target block rows regardless of corpus size, and the
+    replicated shuffle volume (N*B rows) is the data movement inherent
+    to exact all-pairs at scale. The approximate tier for corpora where
+    O(N^2) compute itself is unaffordable is LSH (:func:`lsh_knn_cosine`
+    buckets) or IVF (:func:`ivf_knn_cosine` cells) candidate generation
+    + exact verification of candidates only.
+
+    ``method='broadcast'`` keeps the single-broadcast brute-force
+    baseline (whole normalized matrix via one ``ray.put``, one matmul
+    block-row per batch) — the pytest cross-check oracle, loudly bounded
+    by ``max_broadcast``.
     """
+    if method == "broadcast":
+        return _embedding_cosine_dups_broadcast(
+            emb_ds, threshold, max_broadcast
+        )
+    if method != "blockpair":
+        raise ValueError(f"unknown method {method!r}")
+    n_total = emb_ds.count()
+    B = num_blocks or _auto_pair_blocks(n_total)
+
+    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "pair_id": pd.Series([], dtype=np.int64),
+                    "blk": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "embedding": pd.Series([], dtype=object),
+                }
+            )
+        mat = _normalize(_to_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy()
+        blk = (ids % B).astype(np.int64)
+        frames = []
+        for o in range(B):
+            i = np.minimum(blk, o)
+            j = np.maximum(blk, o)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "pair_id": i * B + j,
+                        "blk": blk,
+                        "vec_id": ids,
+                        "embedding": list(mat),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _pairs_empty()
+        pid = int(g["pair_id"].iloc[0])
+        i, j = divmod(pid, B)
+        mat = np.stack(list(g["embedding"]))
+        ids = g["vec_id"].to_numpy()
+        if i == j:
+            cos = mat @ mat.T
+            mask = (cos >= threshold) & (ids[:, None] < ids[None, :])
+            r, c = np.nonzero(mask)
+            return pd.DataFrame(
+                {"vec_a": ids[r], "vec_b": ids[c], "cosine": cos[r, c]}
+            )
+        left = g["blk"].to_numpy() == i
+        ml, mr = mat[left], mat[~left]
+        il, ir = ids[left], ids[~left]
+        if ml.shape[0] == 0 or mr.shape[0] == 0:
+            return _pairs_empty()
+        cos = ml @ mr.T
+        r, c = np.nonzero(cos >= threshold)
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(il[r], ir[c]),
+                "vec_b": np.maximum(il[r], ir[c]),
+                "cosine": cos[r, c],
+            }
+        )
+
+    return (
+        emb_ds.map_batches(replicate, batch_format="pandas", batch_size=None)
+        .groupby("pair_id")
+        .map_groups(score, batch_format="pandas")
+    )
+
+
+def _embedding_cosine_dups_broadcast(
+    emb_ds, threshold: float, max_broadcast: int
+):
+    """Single-broadcast brute-force baseline (the pytest cross-check
+    oracle for the blockpair grid). Materializes the WHOLE normalized
+    matrix once via ``ray.put`` — loudly bounded by ``max_broadcast``."""
     n_total = emb_ds.count()
     if n_total > max_broadcast:
         raise ValueError(
-            f"embedding_cosine_dups is the exact-broadcast baseline; "
-            f"{n_total} rows > max_broadcast={max_broadcast}. Use the "
-            "LSH/IVF candidate path for corpora that cannot broadcast."
+            f"broadcast method is the bounded baseline; {n_total} rows > "
+            f"max_broadcast={max_broadcast}. Use method='blockpair'."
         )
     rows = emb_ds.to_pandas()
     rows = rows.sort_values("vec_id")
@@ -273,7 +392,7 @@ def embedding_cosine_dups(emb_ds, threshold: float = 0.9,
 
     def block(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+            return _pairs_empty()
         all_ids, all_mat = ray.get(ref)
         bmat = _normalize(_to_matrix(batch["embedding"]))
         bids = batch["vec_id"].to_numpy()
@@ -328,8 +447,25 @@ def ivf_knn_cosine(
     outside the queries' probed cells BEFORE the groupby, so the exchange
     moves an expected nprobe/n_centroids fraction of the table. Cells are
     data-adaptive (unlike LSH hyperplanes), which is the standard recall
-    advantage of IVF on clustered embeddings."""
-    train = emb_ds.limit(train_sample).to_pandas()
+    advantage of IVF on clustered embeddings. The training sample is a
+    deterministic lehmer-hash sample of the WHOLE corpus (not
+    ``limit(n)``, which would train only on the first parquet fragments
+    — a first-files bias on sorted/sharded corpora)."""
+    n_total = emb_ds.count()
+    if n_total > train_sample:
+        from .sampling import hash_sample
+
+        train = hash_sample(
+            emb_ds,
+            rate=train_sample / n_total,
+            seed=seed,
+            id_col="vec_id",
+            hash_col=None,
+        ).to_pandas()
+        if len(train) == 0:  # pathological tiny-rate corner
+            train = emb_ds.limit(train_sample).to_pandas()
+    else:
+        train = emb_ds.to_pandas()
     cents = _kmeans_cosine(
         _normalize(_to_matrix(train["embedding"])), n_centroids, seed=seed
     )

@@ -322,6 +322,77 @@ def test_embedding_cosine_dups_exact(emb_ds):
         assert abs(got[key] - want[key]) < 1e-9
 
 
+def test_embedding_cosine_dups_blockpair_matches_broadcast(emb_ds):
+    """The default exact pair grid must emit EXACTLY the broadcast
+    baseline's pairs (same set, same cosines) at any block count —
+    each unordered pair is scored once, in the group of its two blocks."""
+    from light_curve_feature_ray.pipelines.similarity import (
+        embedding_cosine_dups,
+    )
+
+    ds, _ = emb_ds
+    thr = 0.3
+
+    def as_dict(out):
+        return {
+            (int(r["vec_a"]), int(r["vec_b"])): r["cosine"]
+            for _, r in out.iterrows()
+        }
+
+    base = as_dict(
+        embedding_cosine_dups(ds, threshold=thr, method="broadcast")
+        .to_pandas()
+    )
+    for nb in (3, 7):
+        got = as_dict(
+            embedding_cosine_dups(
+                ds.repartition(5), threshold=thr, num_blocks=nb
+            ).to_pandas()
+        )
+        assert set(got) == set(base)
+        for key in base:
+            assert abs(got[key] - base[key]) < 1e-12
+
+
+def test_embedding_cosine_dups_planted_recall(ray_session):
+    """Planted near-duplicates (tiny perturbations of shared base
+    vectors) must all surface as pairs — exact path, recall 1.0."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.similarity import (
+        embedding_cosine_dups,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(10, 16))
+    vecs, planted = [], set()
+    vid = 0
+    for b in range(10):
+        for _ in range(3):  # 3 near-copies of each base -> 3 pairs each
+            vecs.append(base[b] + rng.normal(scale=1e-3, size=16))
+            vid += 1
+    ids = np.arange(vid)
+    for b in range(10):
+        trio = ids[3 * b : 3 * b + 3]
+        for x in range(3):
+            for y in range(x + 1, 3):
+                planted.add((int(trio[x]), int(trio[y])))
+    # background noise vectors (orthogonal-ish, below threshold w.h.p.)
+    noise = rng.normal(size=(50, 16))
+    all_vecs = np.vstack([np.stack(vecs), noise])
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(all_vecs), dtype=np.int64),
+            "embedding": list(all_vecs.astype(np.float32)),
+        }
+    )
+    out = embedding_cosine_dups(
+        rd.from_pandas(df).repartition(4), threshold=0.999
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["vec_a"], out["vec_b"])}
+    assert planted <= got  # every planted pair recovered
+
+
 def test_knn_lsh_multi_table_recall_improves(emb_ds):
     from light_curve_feature_ray.pipelines.similarity import (
         knn_cosine,
