@@ -216,7 +216,7 @@ def last_value_per_key(
     ts_col: str = "ts",
     value_cols: tuple = ("value",),
     id_col: str | None = "event_id",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Latest state per key: the row with the maximum (ts, id) per key —
     the standard "current snapshot" materialization of an event stream

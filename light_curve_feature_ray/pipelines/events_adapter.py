@@ -35,13 +35,19 @@ TRANSCRIPTS_SQL = """
 """
 
 
-def events_turns_dataset(sf_dir: str, num_partitions: int = 32):
+def events_turns_dataset(sf_dir: str, num_partitions: int | None = None):
     """Ray Dataset of derived turn rows:
     (conv_id, turn_idx, role, text, tool, ts, part).
 
     turn_idx needs per-conversation ordering, so this performs the engine's
     usual single hash shuffle and a per-partition lexsort + cumcount.
+    ``num_partitions=None`` uses the cluster-aware default (driver
+    queries pin 16 for the fixed small inputs).
     """
+    if num_partitions is None:
+        from .windows import auto_shuffle_partitions
+
+        num_partitions = auto_shuffle_partitions()
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],

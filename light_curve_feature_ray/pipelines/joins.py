@@ -67,13 +67,17 @@ def _merge_join(
     right_ts_col: str,
     end_col: str | None,
     right_value_cols: list[str],
-    num_partitions: int,
+    num_partitions: int | None,
     op_name: str,
 ):
     """Shared tagged-union merge core of asof_join / interval_join.
     ``end_col=None`` means no containment check (pure backward as-of);
     otherwise the matched interval must still cover the left timestamp,
     and the matched start/end bounds are emitted as float columns."""
+    if num_partitions is None:
+        from .windows import auto_shuffle_partitions
+
+        num_partitions = auto_shuffle_partitions()
     schema = left_ds.schema()
     left_payload = [n for n in schema.names if n not in (key_col, ts_col)]
     payload_dtypes = {}
@@ -191,7 +195,7 @@ def asof_join(
     key_col: str,
     ts_col: str,
     right_value_cols: list[str],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Backward as-of join of two Datasets on ``key_col`` ordered by
     ``ts_col`` (both int64-comparable; cast timestamps to epoch integers
@@ -221,7 +225,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     right_value_cols: list[str],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Range join: attach to each left row the interval of the same key
     that CONTAINS its timestamp (``start <= ts <= end``, both int64),

@@ -29,7 +29,28 @@ def _epoch_seconds(col: pd.Series) -> np.ndarray:
     )
 
 
-def _with_part(ds, key_col: str, num_partitions: int):
+def auto_shuffle_partitions(min_partitions: int = 32) -> int:
+    """Cluster-aware default reduce parallelism for the keyed-window /
+    join / snapshot shuffles: 2 per cluster CPU, floored at the
+    historical fixed 32 — the same rule as ``scan._auto_buckets``, so
+    reduce-task count grows with the cluster instead of capping at a
+    literal. Outputs are invariant to the value
+    (tests/test_parallelism_invariance.py); only task granularity and
+    per-task memory change."""
+    try:
+        import ray
+
+        return max(
+            min_partitions, 2 * int(ray.cluster_resources().get("CPU", 8))
+        )
+    except Exception:
+        return min_partitions
+
+
+def _with_part(ds, key_col: str, num_partitions: int | None):
+    if num_partitions is None:
+        num_partitions = auto_shuffle_partitions()
+
     def f(batch: pa.Table) -> pa.Table:
         key = batch[key_col]
         if not pa.types.is_string(key.type):
@@ -61,7 +82,7 @@ def sliding_window_agg(
     value_col: str = "value",
     window_s: int = 3600,
     slide_s: int = 900,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Mean/count/sum of ``value`` per (key, sliding window). Window k
     covers [k*slide, k*slide + window); an event at time t belongs to
@@ -104,7 +125,7 @@ def session_windows(
     ts_col: str = "ts",
     value_col: str = "value",
     gap_s: int = 1800,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Gap-based sessionization: a new session starts when the time since
     the previous event of the same key exceeds ``gap_s``. Returns
@@ -158,7 +179,7 @@ def rolling_agg(
     value_col: str = "value",
     id_col: str = "event_id",
     k: int = 5,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Per-key rolling-last-``k``-rows aggregates + lag/delta — the
     ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` window over each key's
@@ -267,7 +288,7 @@ def rolling_time_agg(
     value_col: str = "value",
     id_col: str = "event_id",
     window_s: int = 3600,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Per-key TIME-window rolling aggregates — SQL's ``RANGE BETWEEN
     <interval> PRECEDING AND CURRENT ROW``: for each event, count/sum/mean
@@ -346,7 +367,7 @@ def tumbling_window_agg(
     ts_col: str = "ts",
     value_col: str = "value",
     window_s: int = 3600,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Count/sum/min/max/mean of ``value`` per (key, tumbling window).
 
@@ -415,7 +436,7 @@ def ewma(
     value_col: str = "value",
     id_col: str = "event_id",
     alpha: float = 0.3,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Per-key exponentially-weighted moving average over each key's
     event stream in (ts, id) order — the classic streaming smoother:
@@ -481,7 +502,7 @@ def rolling_zscore(
     value_col: str = "value",
     id_col: str = "event_id",
     k: int = 5,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Per-key rolling z-score over the last ``k`` rows — the streaming
     anomaly signal: z = (x - mean_w) / std_w with the SAMPLE standard
@@ -592,7 +613,7 @@ def running_agg(
     ts_col: str = "ts",
     value_col: str = "value",
     id_col: str = "event_id",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Per-key RUNNING aggregates — the UNBOUNDED PRECEDING frame
     (``SUM/COUNT/MAX(value) OVER (PARTITION BY key ORDER BY ts, id)``):
