@@ -318,6 +318,57 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["doc_shuffle"] = round(time.perf_counter() - t0, 3)
 
+        # connected-components dedup over exact n-gram Jaccard pairs
+        # (the heaviest doc-family graph op; mirrors q_doc_dedup_groups)
+        from light_curve_feature_ray.pipelines.graph import (
+            dedup_keep_representatives,
+        )
+        from light_curve_feature_ray.pipelines.text import ngram_jaccard_dups
+
+        t0 = time.perf_counter()
+        dedup_keep_representatives(
+            ngram_jaccard_dups(docs, k=5, threshold=0.3, max_df=100)
+        ).count()
+        timings["doc_dedup_groups"] = round(time.perf_counter() - t0, 3)
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(emb_path):
+        from light_curve_feature_ray.pipelines.similarity import (
+            embedding_cosine_dups,
+            ivf_knn_cosine,
+            knn_cosine,
+            lsh_knn_cosine,
+        )
+
+        emb = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        t0 = time.perf_counter()
+        knn_cosine(emb, n_queries=5, k=10).count()
+        timings["knn_cosine"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        lsh_knn_cosine(emb, n_queries=5, k=10).count()
+        timings["knn_lsh"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ivf_knn_cosine(emb, n_queries=5, k=10).count()
+        timings["knn_ivf"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        embedding_cosine_dups(emb, threshold=0.45).count()
+        timings["emb_cosine_dups"] = round(time.perf_counter() - t0, 3)
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    if os.path.exists(li_path) and os.path.exists(f"{sf_dir}/orders.parquet"):
+        li = rd.read_parquet(
+            li_path, columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+        )
+        od = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        )
+        t0 = time.perf_counter()
+        li.join(
+            od, "inner", 32, on=("l_orderkey",), right_on=("o_orderkey",)
+        ).count()
+        timings["lineitem_orders_join"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "rollup_throughput",
         "value": round(headline, 3),

@@ -20,6 +20,8 @@ from ..stages.rollup import (
     RollupConfig,
     RollupWorker,
     detect_hot_convs,
+    pack_derived,
+    unpack_packed,
 )
 
 INPUT_COLUMNS = ["conv_id", "turn_idx", "text", "ts"]
@@ -62,7 +64,7 @@ def _derive_fn(config: RollupConfig, hot_ref):
     return fn
 
 
-def _worker_fn(config: RollupConfig, hot_ref=None):
+def _worker_fn(config: RollupConfig, hot_ref=None, packed: bool = False):
     cfg_key = json.dumps(config.to_dict(), sort_keys=True)
     if hot_ref is not None:
         cfg_key += ":" + hot_ref.hex()
@@ -78,9 +80,20 @@ def _worker_fn(config: RollupConfig, hot_ref=None):
                 hot = _HOT_CACHE[key]
             worker = RollupWorker(config, hot_list=hot)
             _WORKER_CACHE[cfg_key] = worker
+        if packed:
+            batch = unpack_packed(batch)
         return worker(batch)
 
     return fn
+
+
+class _PackedRollupWorker(RollupWorker):
+    """Actor-pool variant of :class:`RollupWorker` for the packed
+    exchange: unpack the list-packed partition group, then the unchanged
+    worker."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        return super().__call__(unpack_packed(batch))
 
 
 def rollup_dataset(
@@ -90,6 +103,7 @@ def rollup_dataset(
     worker_concurrency: int | tuple | None = None,
     hot_detect_ds=None,
     hot_list=None,
+    packed_exchange: bool = True,
 ):
     """Build the streaming rollup pipeline (lazy Dataset of tier rows).
 
@@ -98,6 +112,15 @@ def rollup_dataset(
     (per-actor suite state built once in ``__init__``); by default it runs
     as tasks whose per-worker-process module cache provides the same state
     amortization.
+
+    ``packed_exchange`` (default True) inserts the :func:`pack_derived`
+    combiner before the groupby: the exchange then moves one list-packed
+    row per (block, part, conv-run) instead of one row per turn,
+    attacking the row-count-proportional part of the sort barrier
+    (measured same-session: 8-cpu leg 1.16-1.27x faster, 2->8 efficiency
+    +0.12-0.15, 2-cpu leg neutral with the zero-copy run packing; see
+    BASELINE.md round 4). Output is bit-identical (the worker unpacks,
+    then sorts/dedups as usual — tests/test_parallelism_invariance.py).
     """
     config = config or RollupConfig()
     # auto partition count resolves BEFORE any worker state keys on
@@ -125,17 +148,27 @@ def rollup_dataset(
         batch_size=None,  # whole blocks; the default 1024-row batches add
         zero_copy_batch=True,  # ~100x task overhead on wide scans
     )
+    if packed_exchange:
+        derived = derived.map_batches(
+            pack_derived,
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
     grouped = derived.groupby("part")
     if worker_concurrency is not None:
         hot_items = ray.get(hot_ref) if hot_ref is not None else None
         return grouped.map_groups(
-            RollupWorker,
+            _PackedRollupWorker if packed_exchange else RollupWorker,
             fn_constructor_args=(config,),
             fn_constructor_kwargs={"hot_list": hot_items},
             batch_format="pyarrow",
             concurrency=worker_concurrency,
         )
-    return grouped.map_groups(_worker_fn(config, hot_ref), batch_format="pyarrow")
+    return grouped.map_groups(
+        _worker_fn(config, hot_ref, packed=packed_exchange),
+        batch_format="pyarrow",
+    )
 
 
 def rollup_table(table: pa.Table, config: RollupConfig | None = None) -> pa.Table:

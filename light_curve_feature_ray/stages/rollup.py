@@ -247,6 +247,110 @@ class DeriveAssign:
         )
 
 
+def pack_derived(batch: pa.Table) -> pa.Table:
+    """Exchange combiner: collapse this block's derived rows to ONE row
+    per (part, conv) with the (turn_idx, ts_us, m) triples packed as
+    Arrow list columns. The sort-based exchange's scale-independent cost
+    (block sorts, boundary sampling, reduce-side merges) grows with ROW
+    COUNT, not bytes — packing moves rows/(convs-per-block) times fewer
+    rows through the barrier while the list values ride as one
+    contiguous buffer per column (no per-run Python: one composite
+    argsort + ListArray.from_arrays wraps). The reduce side unpacks with
+    :func:`unpack_packed` before the unchanged worker — dedup and all
+    ordering happen in the worker exactly as with the row exchange, so
+    output (including retry/duplicate resolution) is bit-identical.
+    """
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "part": pa.array([], type=pa.int32()),
+                "conv_id": pa.array([], type=pa.string()),
+                "ti": pa.array([], type=pa.list_(pa.int64())),
+                "ts": pa.array([], type=pa.list_(pa.int64())),
+                "m": pa.array([], type=pa.list_(pa.float64())),
+            }
+        )
+    conv = batch["conv_id"].combine_chunks()
+    if not pa.types.is_dictionary(conv.type):
+        conv = pc.dictionary_encode(conv)
+    codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    part = batch["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = (part << np.int64(32)) | codes
+    # A packed row per RUN of equal (part, conv), not per unique value:
+    # ingest layouts keep a conv's turns contiguous, so runs ~ convs and
+    # the list arrays wrap the ORIGINAL buffers zero-copy (no sort, no
+    # gather). A conv split across several runs just yields several
+    # packed rows — the reduce side merges them anyway. Only when the
+    # block is badly interleaved (runs > n/4) is a sort worth its cost.
+    new_run = np.r_[True, key[1:] != key[:-1]]
+    n_runs = int(new_run.sum())
+    if n_runs > n // 4:
+        order = np.argsort(key)
+        key = key[order]
+        part_s = part[order]
+        codes_s = codes[order]
+        ti = (
+            batch["turn_idx"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[order]
+        )
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)[order]
+        m = batch["m"].to_numpy(zero_copy_only=False)[order]
+        new_run = np.r_[True, key[1:] != key[:-1]]
+    else:
+        part_s = part
+        codes_s = codes
+        ti = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        m = batch["m"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(new_run)
+    offsets = pa.array(
+        np.append(starts, n).astype(np.int32), type=pa.int32()
+    )
+    return pa.table(
+        {
+            "part": pa.array(part_s[starts].astype(np.int32), type=pa.int32()),
+            # dictionary-encoded conv ids: per-run codes over this
+            # block's dictionary (same shuffle-byte trick as DeriveAssign)
+            "conv_id": pa.DictionaryArray.from_arrays(
+                pa.array(codes_s[starts].astype(np.int32), type=pa.int32()),
+                conv.dictionary,
+            ),
+            "ti": pa.ListArray.from_arrays(offsets, pa.array(ti)),
+            "ts": pa.ListArray.from_arrays(offsets, pa.array(ts)),
+            "m": pa.ListArray.from_arrays(offsets, pa.array(m)),
+        }
+    )
+
+
+def unpack_packed(batch: pa.Table) -> pa.Table:
+    """Inverse of :func:`pack_derived` for one co-located partition group:
+    flatten the list columns back to derived rows (row order is
+    irrelevant — the worker sorts and dedups internally)."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], type=pa.string()),
+                "turn_idx": pa.array([], type=pa.int64()),
+                "ts_us": pa.array([], type=pa.int64()),
+                "m": pa.array([], type=pa.float64()),
+            }
+        )
+    b = batch.combine_chunks()
+    ti = b["ti"].combine_chunks()
+    counts = pc.list_value_length(ti).to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return pa.table(
+        {
+            "conv_id": b["conv_id"].take(pa.array(row_idx)),
+            "turn_idx": ti.flatten(),
+            "ts_us": b["ts"].combine_chunks().flatten(),
+            "m": b["m"].combine_chunks().flatten(),
+        }
+    )
+
+
 def detect_hot_convs(ds, threshold: int):
     """Pre-pass: per-batch partial counts -> tiny groupby -> hot conv list.
 

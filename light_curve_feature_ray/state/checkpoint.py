@@ -81,16 +81,26 @@ class CheckpointedRollupWorker:
     manifest row (the Dataset output is the tiny manifest table)."""
 
     def __init__(
-        self, config: RollupConfig, out_dir: str, lineage: dict, hot_list=None
+        self,
+        config: RollupConfig,
+        out_dir: str,
+        lineage: dict,
+        hot_list=None,
+        packed: bool = False,
     ):
         # hot_list must match DeriveAssign's so salted gap-fill truncates
         # at salt-window boundaries (partition-count independence)
         self.worker = RollupWorker(config, hot_list=hot_list)
         self.out_dir = out_dir
         self.lineage = lineage
+        self.packed = packed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         part = int(batch["part"][0].as_py()) if batch.num_rows else -1
+        if self.packed:
+            from ..stages.rollup import unpack_packed
+
+            batch = unpack_packed(batch)
         table = self.worker(batch)
         manifest = _write_partition(table, self.out_dir, part, self.lineage)
         return pa.table(
@@ -157,8 +167,17 @@ def run_rollup_job(
     }
     with open(job_path, "w") as f:
         json.dump(lineage, f)
+    from ..stages.rollup import pack_derived
+
     derived = ds.map_batches(
         _derive_fn(config, hot_ref),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    ).map_batches(
+        # same packed exchange as rollup_dataset: the shuffle moves one
+        # list-packed row per (block, part, conv-run); bit-identical
+        pack_derived,
         batch_format="pyarrow",
         batch_size=None,
         zero_copy_batch=True,
@@ -173,7 +192,9 @@ def run_rollup_job(
 
         derived = derived.map_batches(drop_done, batch_format="pyarrow")
 
-    worker = CheckpointedRollupWorker(config, out_dir, lineage, hot_list=hot)
+    worker = CheckpointedRollupWorker(
+        config, out_dir, lineage, hot_list=hot, packed=True
+    )
 
     def checkpointed_rollup(batch: pa.Table) -> pa.Table:
         return worker(batch)
