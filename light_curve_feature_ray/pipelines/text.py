@@ -83,12 +83,24 @@ def _md5_hex_arrow(texts) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 
+def _texts_as_polars(texts):
+    """Polars String series from numpy-object/list OR Arrow input —
+    Arrow arrays convert zero-copy (no object-dtype hop), which is what
+    lets the full-corpus minhash/simhash stages stay Arrow-native."""
+    import polars as pl
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(texts)
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        return s.cast(pl.String).fill_null("")
+    return pl.Series("t", texts, dtype=pl.String).fill_null("")
+
+
 def _word_hashes_flat(texts) -> tuple[np.ndarray, np.ndarray]:
     """Lowercased whitespace tokens of each text, hashed. Returns
     (flat uint64 word hashes, per-doc word counts)."""
-    import polars as pl
-
-    s = pl.Series("t", texts, dtype=pl.String).fill_null("")
+    s = _texts_as_polars(texts)
     words = s.str.to_lowercase().str.extract_all(r"\S+")
     lens = words.list.len().to_numpy().astype(np.int64)
     flat = words.explode().drop_nulls()  # empty lists explode to one null
@@ -576,6 +588,22 @@ def _hash_mod_part(batch: pd.DataFrame, cols, num_partitions: int) -> pd.DataFra
     return batch
 
 
+def _hash_mod_part_arrow(
+    batch: pa.Table, cols, num_partitions: int
+) -> pa.Table:
+    """Arrow twin of :func:`_hash_mod_part` (same mix, same partitions) —
+    for stages that stay pyarrow end-to-end."""
+    acc = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in cols:
+        v = batch[c].to_numpy(zero_copy_only=False)
+        v = v.view(np.uint64) if v.dtype.itemsize == 8 else v.astype(np.uint64)
+        acc = acc * _POLY + v
+    return batch.append_column(
+        "part",
+        pa.array((acc % np.uint64(num_partitions)).astype(np.int32)),
+    )
+
+
 def _segment_bounds(*keys: np.ndarray):
     """Group ids / sizes / starts / within-group offsets for rows already
     sorted by ``keys`` (lexicographic). All vectorized."""
@@ -733,30 +761,38 @@ def minhash_lsh_dups(
     }
     poly = hasher == "poly"
 
-    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        # Arrow-native full-corpus stage: text flows zero-copy into the
+        # polars hashers (no object-dtype hop for the corpus bytes)
         mh = MinHasher(**hasher_kwargs)
-        sigs = mh.signatures(batch["text"].to_numpy())
+        sigs = mh.signatures(batch["text"])
         bh = (
             _band_hashes_poly(sigs, bands)
             if poly
             else _band_hashes(sigs, bands).view(np.int64)
         )  # (n, bands)
         n = bh.shape[0]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                "band_hash": bh.reshape(-1),
-                "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
+                "doc_id": pa.array(
+                    np.repeat(
+                        batch["doc_id"].to_numpy(zero_copy_only=False), bands
+                    )
+                ),
             }
         )
 
     num_partitions = _auto_pair_parts()
 
     buckets = docs_ds.map_batches(
-        explode_bands, batch_format="pandas", batch_size=None
+        explode_bands, batch_format="pyarrow", batch_size=None
     ).map_batches(
-        lambda b: _hash_mod_part(b, ["band_hash", "band"], num_partitions),
-        batch_format="pandas",
+        lambda b: _hash_mod_part_arrow(
+            b, ["band_hash", "band"], num_partitions
+        ),
+        batch_format="pyarrow",
         batch_size=None,
     )
 
@@ -815,40 +851,50 @@ def minhash_lsh_dups(
         return ray.data.from_pandas(
             pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
         )
-    ids_ref = ray.put(frozenset(cand_ids))
+    ids_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
 
-    def filter_cands(batch: pd.DataFrame) -> pd.DataFrame:
+    def filter_cands(batch: pa.Table) -> pa.Table:
+        # Arrow-native full-corpus scan: pc.is_in + filter keep the text
+        # column as Arrow buffers (the non-candidate 99% never leaves
+        # the block; candidates slice zero-copy)
         ids = ray.get(ids_ref)
-        sel = batch[batch[id_col].isin(ids)]
-        return pd.DataFrame(
+        sel = batch.filter(
+            pc.is_in(batch[id_col], value_set=pa.array(ids))
+        )
+        n = sel.num_rows
+        return pa.table(
             {
-                "doc_id": sel[id_col].to_numpy(),
-                "doc_a": np.zeros(len(sel), dtype=np.int64),
-                "doc_b": np.zeros(len(sel), dtype=np.int64),
-                "is_text": np.ones(len(sel), dtype=np.int8),
-                "text": sel["text"].to_numpy(),
+                "doc_id": sel[id_col],
+                "doc_a": pa.array(np.zeros(n, dtype=np.int64)),
+                "doc_b": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_text": pa.array(np.ones(n, dtype=np.int8)),
+                "text": sel["text"],
             }
         )
 
     cand_texts = docs_ds.map_batches(
-        filter_cands, batch_format="pandas", batch_size=None
+        filter_cands, batch_format="pyarrow", batch_size=None
     )
 
-    def pair_sides(batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        a = batch["doc_a"].to_numpy()
-        b = batch["doc_b"].to_numpy()
-        return pd.DataFrame(
+    def pair_sides(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "doc_id": np.concatenate([a, b]),
-                "doc_a": np.concatenate([a, a]),
-                "doc_b": np.concatenate([b, b]),
-                "is_text": np.zeros(2 * n, dtype=np.int8),
-                "text": np.full(2 * n, "", dtype=object),
+                "doc_id": pa.array(np.concatenate([a, b])),
+                "doc_a": pa.array(np.concatenate([a, a])),
+                "doc_b": pa.array(np.concatenate([b, b])),
+                "is_text": pa.array(np.zeros(2 * n, dtype=np.int8)),
+                "text": pa.array(
+                    np.full(2 * n, "", dtype=object), type=pa.string()
+                ),
             }
         )
 
-    sides = pairs.map_batches(pair_sides, batch_format="pandas", batch_size=None)
+    sides = pairs.map_batches(
+        pair_sides, batch_format="pyarrow", batch_size=None
+    )
 
     def attach_partition(grp: pd.DataFrame) -> pd.DataFrame:
         """ALL candidate docs of a hash partition at once: scatter each
@@ -886,8 +932,8 @@ def minhash_lsh_dups(
     attached = (
         cand_texts.union(sides)
         .map_batches(
-            lambda b: _hash_mod_part(b, ["doc_id"], num_partitions),
-            batch_format="pandas",
+            lambda b: _hash_mod_part_arrow(b, ["doc_id"], num_partitions),
+            batch_format="pyarrow",
             batch_size=None,
         )
         .groupby("part")
@@ -972,9 +1018,7 @@ def _word_poly_hashes_flat(texts) -> tuple[np.ndarray, np.ndarray]:
     see ``_WINNOW_MOD``). Returns (flat int64 word hashes, per-doc word
     counts). Vectorized: one string join + utf-32 decode for the whole
     batch, then at most max-word-length folding rounds across ALL words."""
-    import polars as pl
-
-    s = pl.Series("t", texts, dtype=pl.String).fill_null("")
+    s = _texts_as_polars(texts)
     words = s.str.to_lowercase().str.extract_all(r"\S+")
     lens = words.list.len().to_numpy().astype(np.int64)
     flat = words.explode().drop_nulls()
