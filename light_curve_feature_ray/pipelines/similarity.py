@@ -25,6 +25,36 @@ def _to_matrix(col) -> np.ndarray:
     return np.stack(vs)
 
 
+def _arrow_matrix(col) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list/fixed_size_list column —
+    one flatten + reshape over the contiguous values buffer, no per-row
+    Python objects (the Arrow-native twin of :func:`_to_matrix`)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        d = int(col.type.list_size)
+    elif not (
+        pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+    ):
+        # Ray's ArrowTensorArray extension (from_pandas of ndarray rows)
+        vals = col.to_numpy(zero_copy_only=False)
+        if getattr(vals, "ndim", 1) == 2:
+            return np.ascontiguousarray(vals, dtype=np.float64)
+        return np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+    else:
+        widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        d = int(widths[0])
+        if not (widths == d).all():
+            raise ValueError("embeddings must be fixed-length")
+    vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return vals.reshape(n, d)
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -32,30 +62,44 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 class _BatchTopK:
-    """map_batches actor: scores one batch against the broadcast queries."""
+    """map_batches actor: scores one batch against the broadcast queries.
+    Arrow-native: the corpus embeddings reach the matmul via one
+    flatten/reshape per block, never as per-row Python objects."""
 
     def __init__(self, query_ref, k: int):
+        import pyarrow as pa
+
         queries = ray.get(query_ref) if query_ref is not None else None
         self.q_ids = queries[0]
         self.q_mat = _normalize(queries[1])  # (Q, d)
         self.k = k
+        self._empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
-        mat = _normalize(_to_matrix(batch["embedding"]))  # (n, d)
-        ids = batch["vec_id"].to_numpy()
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        if batch.num_rows == 0:
+            return self._empty
+        mat = _normalize(_arrow_matrix(batch["embedding"]))  # (n, d)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         cos = self.q_mat @ mat.T  # (Q, n)
         k = min(self.k, cos.shape[1])
         # partial top-k per query within this batch
         idx = np.argpartition(-cos, k - 1, axis=1)[:, :k]
-        rows = np.repeat(self.q_ids, k)
         cols = idx.ravel()
-        return pd.DataFrame(
+        return pa.table(
             {
-                "query_id": rows,
-                "vec_id": ids[cols],
-                "cosine": cos[np.repeat(np.arange(len(self.q_ids)), k), cols],
+                "query_id": pa.array(np.repeat(self.q_ids, k)),
+                "vec_id": pa.array(ids[cols]),
+                "cosine": pa.array(
+                    cos[np.repeat(np.arange(len(self.q_ids)), k), cols]
+                ),
             }
         )
 
@@ -86,7 +130,7 @@ def knn_cosine(emb_ds, n_queries: int = 5, k: int = 10):
     partials = emb_ds.map_batches(
         _BatchTopK,
         fn_constructor_args=(query_ref, k),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=(1, 8),
     )
     return partials.groupby("query_id").map_groups(
@@ -94,28 +138,65 @@ def knn_cosine(emb_ds, n_queries: int = 5, k: int = 10):
     )
 
 
-def _empty_candidates() -> pd.DataFrame:
-    return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+def _empty_candidates():
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
+
+
+def _norm_list_array(mat: np.ndarray):
+    """Arrow list<float64> column over a (n, d) matrix — one wrap, the
+    values buffer is the matrix itself."""
+    import pyarrow as pa
+
+    n, d = mat.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int32) * d, type=pa.int32()),
+        pa.array(mat.ravel()),
+    )
+
+
+def _cand_empty():
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "bucket": pa.array([], type=pa.int64()),
+            "embedding": pa.array([], type=pa.list_(pa.float64())),
+        }
+    )
 
 
 def _score_candidates_fn(ref, key_col: str):
     """Shared LSH/IVF bucket scorer: one matmul of the bucket's members
-    against the queries mapped to this bucket key."""
+    against the queries mapped to this bucket key (Arrow-native)."""
+    import pyarrow as pa
 
-    def score(g: pd.DataFrame) -> pd.DataFrame:
+    def score(g: pa.Table) -> pa.Table:
         q_by_key, q_ids, q_mat = ray.get(ref)[:3]
-        key = int(g[key_col].iloc[0])
-        qs = q_by_key.get(key, [])
-        if not qs or len(g) == 0:
+        if g.num_rows == 0:
             return _empty_candidates()
-        mat = np.stack(list(g["embedding"]))
+        key = int(g[key_col][0].as_py())
+        qs = q_by_key.get(key, [])
+        if not qs:
+            return _empty_candidates()
+        mat = _arrow_matrix(g["embedding"])
         cos = q_mat[qs] @ mat.T
         n = mat.shape[0]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "query_id": np.repeat(q_ids[np.asarray(qs)], n),
-                "vec_id": np.tile(g["vec_id"].to_numpy(), len(qs)),
-                "cosine": cos.ravel(),
+                "query_id": pa.array(np.repeat(q_ids[np.asarray(qs)], n)),
+                "vec_id": pa.array(
+                    np.tile(g["vec_id"].to_numpy(zero_copy_only=False), len(qs))
+                ),
+                "cosine": pa.array(cos.ravel()),
             }
         )
 
@@ -200,43 +281,42 @@ def lsh_knn_cosine(
     ref = ray.put((q_by_key, q_ids, q_mat))
     wanted_ref = ray.put(np.unique(np.array(wanted_keys, dtype=np.int64)))
 
-    def bucket_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame(
-                {"vec_id": pd.Series([], dtype=np.int64),
-                 "bucket": pd.Series([], dtype=np.int64),
-                 "embedding": pd.Series([], dtype=object)}
-            )
+    def bucket_and_filter(batch):
+        import pyarrow as pa
+
+        if batch.num_rows == 0:
+            return _cand_empty()
         wanted = ray.get(wanted_ref)
-        mat = _normalize(_to_matrix(batch["embedding"]))
+        mat = _normalize(_arrow_matrix(batch["embedding"]))
+        emb = _norm_list_array(mat)
+        ids = (
+            batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
         frames = []
         for t, b in enumerate(bucketers):
             keys = (t << n_planes) | b.bucket_of(mat).astype(np.int64)
             sel = np.isin(keys, wanted)
             if sel.any():
+                m = pa.array(sel)
                 frames.append(
-                    pd.DataFrame(
+                    pa.table(
                         {
-                            "vec_id": batch["vec_id"].to_numpy()[sel],
-                            "bucket": keys[sel],
-                            "embedding": [m for m in mat[sel]],
+                            "vec_id": pa.array(ids[sel]),
+                            "bucket": pa.array(keys[sel]),
+                            "embedding": emb.filter(m),
                         }
                     )
                 )
         if not frames:
-            return pd.DataFrame(
-                {"vec_id": pd.Series([], dtype=np.int64),
-                 "bucket": pd.Series([], dtype=np.int64),
-                 "embedding": pd.Series([], dtype=object)}
-            )
-        return pd.concat(frames, ignore_index=True)
+            return _cand_empty()
+        return pa.concat_tables(frames)
 
     bucketed = emb_ds.map_batches(
-        bucket_and_filter, batch_format="pandas", batch_size=None
+        bucket_and_filter, batch_format="pyarrow", batch_size=None
     )
 
     candidates = bucketed.groupby("bucket").map_groups(
-        _score_candidates_fn(ref, "bucket"), batch_format="pandas"
+        _score_candidates_fn(ref, "bucket"), batch_format="pyarrow"
     )
     return candidates.groupby("query_id").map_groups(
         _merge_topk_dedup(k), batch_format="pandas"
@@ -304,71 +384,101 @@ def embedding_cosine_dups(
         )
     if method != "blockpair":
         raise ValueError(f"unknown method {method!r}")
+    import pyarrow as pa
+
     n_total = emb_ds.count()
     B = num_blocks or _auto_pair_blocks(n_total)
 
-    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame(
-                {
-                    "pair_id": pd.Series([], dtype=np.int64),
-                    "blk": pd.Series([], dtype=np.int64),
-                    "vec_id": pd.Series([], dtype=np.int64),
-                    "embedding": pd.Series([], dtype=object),
-                }
-            )
-        mat = _normalize(_to_matrix(batch["embedding"]))
-        ids = batch["vec_id"].to_numpy()
-        blk = (ids % B).astype(np.int64)
-        frames = []
+    def _rep_empty() -> pa.Table:
+        return pa.table(
+            {
+                "pair_id": pa.array([], type=pa.int64()),
+                "blk": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float64())),
+            }
+        )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        # Arrow-native full-table stage: normalize once via one
+        # flatten/reshape, then the B pair-group copies SHARE the
+        # normalized values buffer (concat of zero-copy references —
+        # only the tiny pair_id column differs per copy)
+        n = batch.num_rows
+        if n == 0:
+            return _rep_empty()
+        mat = _normalize(_arrow_matrix(batch["embedding"]))
+        d = mat.shape[1]
+        emb = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * d, type=pa.int32()),
+            pa.array(mat.ravel()),
+        )
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = ids % B
+        blk_a = pa.array(blk)
+        ids_a = pa.array(ids)
+        tables = []
         for o in range(B):
             i = np.minimum(blk, o)
             j = np.maximum(blk, o)
-            frames.append(
-                pd.DataFrame(
+            tables.append(
+                pa.table(
                     {
-                        "pair_id": i * B + j,
-                        "blk": blk,
-                        "vec_id": ids,
-                        "embedding": list(mat),
+                        "pair_id": pa.array(i * B + j),
+                        "blk": blk_a,
+                        "vec_id": ids_a,
+                        "embedding": emb,
                     }
                 )
             )
-        return pd.concat(frames, ignore_index=True)
+        return pa.concat_tables(tables)
 
-    def score(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return _pairs_empty()
-        pid = int(g["pair_id"].iloc[0])
+    def _score_empty() -> pa.Table:
+        return pa.table(
+            {
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+
+    def score(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _score_empty()
+        pid = int(g["pair_id"][0].as_py())
         i, j = divmod(pid, B)
-        mat = np.stack(list(g["embedding"]))
-        ids = g["vec_id"].to_numpy()
+        mat = _arrow_matrix(g["embedding"])
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
         if i == j:
             cos = mat @ mat.T
             mask = (cos >= threshold) & (ids[:, None] < ids[None, :])
             r, c = np.nonzero(mask)
-            return pd.DataFrame(
-                {"vec_a": ids[r], "vec_b": ids[c], "cosine": cos[r, c]}
+            return pa.table(
+                {
+                    "vec_a": pa.array(ids[r]),
+                    "vec_b": pa.array(ids[c]),
+                    "cosine": pa.array(cos[r, c]),
+                }
             )
-        left = g["blk"].to_numpy() == i
+        left = g["blk"].to_numpy(zero_copy_only=False) == i
         ml, mr = mat[left], mat[~left]
         il, ir = ids[left], ids[~left]
         if ml.shape[0] == 0 or mr.shape[0] == 0:
-            return _pairs_empty()
+            return _score_empty()
         cos = ml @ mr.T
         r, c = np.nonzero(cos >= threshold)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "vec_a": np.minimum(il[r], ir[c]),
-                "vec_b": np.maximum(il[r], ir[c]),
-                "cosine": cos[r, c],
+                "vec_a": pa.array(np.minimum(il[r], ir[c])),
+                "vec_b": pa.array(np.maximum(il[r], ir[c])),
+                "cosine": pa.array(cos[r, c]),
             }
         )
 
     return (
-        emb_ds.map_batches(replicate, batch_format="pandas", batch_size=None)
+        emb_ds.map_batches(replicate, batch_format="pyarrow", batch_size=None)
         .groupby("pair_id")
-        .map_groups(score, batch_format="pandas")
+        .map_groups(score, batch_format="pyarrow")
     )
 
 
@@ -484,32 +594,38 @@ def ivf_knn_cosine(
     ref = ray.put((q_by_cell, q_ids, q_mat, cents))
     wanted_ref = ray.put(wanted)
 
-    def assign_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame(
-                {"vec_id": pd.Series([], dtype=np.int64),
-                 "cell": pd.Series([], dtype=np.int64),
-                 "embedding": pd.Series([], dtype=object)}
+    def assign_and_filter(batch):
+        import pyarrow as pa
+
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cell": pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=pa.list_(pa.float64())),
+                }
             )
         _, _, _, cents_w = ray.get(ref)
         want = ray.get(wanted_ref)
-        mat = _normalize(_to_matrix(batch["embedding"]))
+        mat = _normalize(_arrow_matrix(batch["embedding"]))
         cell = np.argmax(mat @ cents_w.T, axis=1).astype(np.int64)
         sel = np.isin(cell, want)
-        return pd.DataFrame(
+        m = pa.array(sel)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "vec_id": batch["vec_id"].to_numpy()[sel],
-                "cell": cell[sel],
-                "embedding": [m for m in mat[sel]],
+                "vec_id": pa.array(ids[sel]),
+                "cell": pa.array(cell[sel]),
+                "embedding": _norm_list_array(mat).filter(m),
             }
         )
 
     assigned = emb_ds.map_batches(
-        assign_and_filter, batch_format="pandas", batch_size=None
+        assign_and_filter, batch_format="pyarrow", batch_size=None
     )
 
     candidates = assigned.groupby("cell").map_groups(
-        _score_candidates_fn(ref, "cell"), batch_format="pandas"
+        _score_candidates_fn(ref, "cell"), batch_format="pyarrow"
     )
     return candidates.groupby("query_id").map_groups(
         _merge_topk_dedup(k), batch_format="pandas"
