@@ -1059,12 +1059,13 @@ class SimHasher:
         self.hasher = hasher
         self.bits = 48 if hasher == "poly" else 64
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # Arrow-native: text reaches the polars hashers zero-copy
         if self.hasher == "poly":
-            hp, lens = _word_poly_hashes_flat(batch["text"].to_numpy())
+            hp, lens = _word_poly_hashes_flat(batch["text"])
             h = hp.astype(np.uint64)  # < 2^48: bits 48..63 are 0
         else:
-            h, lens = _word_hashes_flat(batch["text"].to_numpy())
+            h, lens = _word_hashes_flat(batch["text"])
         ndocs = lens.shape[0]
         out = np.zeros(ndocs, dtype=np.uint64)
         nz = np.flatnonzero(lens > 0)
@@ -1081,16 +1082,14 @@ class SimHasher:
             )
             out[nz] = packed.view(np.uint64).ravel()
         sig = out.view(np.int64) if self.hasher == "poly" else out
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"].to_numpy(), "simhash": sig}
-        )
+        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sig)})
 
 
 def simhash_signatures(docs_ds, hasher: str = "ahash"):
     return docs_ds.map_batches(
         SimHasher,
         fn_constructor_kwargs={"hasher": hasher},
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=(1, 8),
         batch_size=None,
     )
@@ -1122,39 +1121,41 @@ def ngram_jaccard_dups(
     """
     import pyarrow as pa
 
-    def explode_grams(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame(
-                {"gram": pd.Series([], dtype=np.int64),
-                 "doc_id": pd.Series([], dtype=np.int64),
-                 "n_grams": pd.Series([], dtype=np.int64)}
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_grams": pa.array([], type=pa.int64()),
+                }
             )
-        h, lens = _word_hashes_flat(batch["text"].to_numpy())
+        h, lens = _word_hashes_flat(batch["text"])
         sh, counts = _shingle_hashes_flat(h, lens, k)
-        starts = np.r_[0, np.cumsum(counts)[:-1]]
-        doc_ids = batch["doc_id"].to_numpy()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         # distinct grams per doc: sort within doc segments and dedup
-        doc_of = np.repeat(np.arange(len(batch)), counts)
+        doc_of = np.repeat(np.arange(n), counts)
         order = np.lexsort((sh, doc_of))
         d, g = doc_of[order], sh[order]
         keep = np.r_[True, (d[1:] != d[:-1]) | (g[1:] != g[:-1])]
         d, g = d[keep], g[keep]
-        n_grams = np.bincount(d, minlength=len(batch)).astype(np.int64)
-        return pd.DataFrame(
+        n_grams = np.bincount(d, minlength=n).astype(np.int64)
+        return pa.table(
             {
-                "gram": g.view(np.int64),
-                "doc_id": doc_ids[d],
-                "n_grams": n_grams[d],
+                "gram": pa.array(g.view(np.int64)),
+                "doc_id": pa.array(doc_ids[d]),
+                "n_grams": pa.array(n_grams[d]),
             }
         )
 
     num_partitions = _auto_pair_parts()
 
     grams = docs_ds.map_batches(
-        explode_grams, batch_format="pandas", batch_size=None
+        explode_grams, batch_format="pyarrow", batch_size=None
     ).map_batches(
-        lambda b: _hash_mod_part(b, ["gram"], num_partitions),
-        batch_format="pandas",
+        lambda b: _hash_mod_part_arrow(b, ["gram"], num_partitions),
+        batch_format="pyarrow",
         batch_size=None,
     )
 
@@ -1400,34 +1401,40 @@ def simhash_dups(
     sig_bits = SimHasher(hasher).bits
     edges = np.linspace(0, sig_bits, nbands + 1).astype(np.int64)
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        sig_df = SimHasher(hasher)(batch)
-        sigs = sig_df["simhash"].to_numpy().astype(np.uint64)
+    def explode(batch: pa.Table) -> pa.Table:
+        sig_t = SimHasher(hasher)(batch)
+        sigs = (
+            sig_t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
         n = sigs.shape[0]
-        frames = []
+        doc = sig_t["doc_id"]
+        sig_col = pa.array(sigs.view(np.int64))
+        tables = []
         for b in range(nbands):
             lo, hi = edges[b], edges[b + 1]
             width = np.uint64(hi - lo)
             vals = (sigs >> np.uint64(lo)) & ((np.uint64(1) << width) - np.uint64(1))
-            frames.append(
-                pd.DataFrame(
+            tables.append(
+                pa.table(
                     {
-                        "band": np.full(n, b, dtype=np.int32),
-                        "band_val": vals.view(np.int64),
-                        "doc_id": sig_df["doc_id"].to_numpy(),
-                        "sig": sigs.view(np.int64),
+                        "band": pa.array(np.full(n, b, dtype=np.int32)),
+                        "band_val": pa.array(vals.view(np.int64)),
+                        "doc_id": doc,
+                        "sig": sig_col,
                     }
                 )
             )
-        return pd.concat(frames, ignore_index=True)
+        return pa.concat_tables(tables)
 
     num_partitions = _auto_pair_parts()
 
     rows = docs_ds.map_batches(
-        explode, batch_format="pandas", batch_size=None
+        explode, batch_format="pyarrow", batch_size=None
     ).map_batches(
-        lambda b: _hash_mod_part(b, ["band_val", "band"], num_partitions),
-        batch_format="pandas",
+        lambda b: _hash_mod_part_arrow(
+            b, ["band_val", "band"], num_partitions
+        ),
+        batch_format="pyarrow",
         batch_size=None,
     )
 
