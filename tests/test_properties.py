@@ -155,3 +155,60 @@ def test_extractor_aggregated_info():
     out = ext.eval(Series(t, m, w))
     assert out.shape == (8,)
     assert len(ext.names()) == 8
+
+
+def test_pack_unpack_roundtrip_property():
+    """pack_derived -> unpack_packed preserves the exact row multiset for
+    arbitrary (part, conv) layouts — both the zero-copy run path and the
+    argsort fallback (interleaved convs)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from light_curve_feature_ray.stages.rollup import (
+        pack_derived,
+        unpack_packed,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=200),
+        nconv=st.integers(min_value=1, max_value=8),
+        nparts=st.integers(min_value=1, max_value=5),
+        shuffled=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, nconv, nparts, shuffled, seed):
+        rng = np.random.default_rng(seed)
+        conv = np.array(
+            [f"c{i}" for i in rng.integers(0, nconv, n)], dtype=str
+        )
+        if not shuffled:  # contiguous convs -> zero-copy run path
+            conv = np.sort(conv)
+        t = pa.table(
+            {
+                "conv_id": pa.array(conv),
+                "turn_idx": pa.array(
+                    rng.integers(0, 1000, n).astype(np.int64)
+                ),
+                "ts_us": pa.array(
+                    rng.integers(0, 10**12, n).astype(np.int64)
+                ),
+                "m": pa.array(rng.normal(size=n)),
+                "part": pa.array(
+                    rng.integers(0, nparts, n).astype(np.int32),
+                    type=pa.int32(),
+                ),
+            }
+        )
+        packed = pack_derived(t)
+        out = unpack_packed(packed)
+        a = t.select(["conv_id", "turn_idx", "ts_us", "m"]).to_pandas()
+        b = out.to_pandas()
+        b["conv_id"] = b["conv_id"].astype(str)
+        key = ["conv_id", "turn_idx", "ts_us", "m"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+
+    check()
