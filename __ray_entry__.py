@@ -2792,6 +2792,23 @@ FROM p WHERE cos >= 0.45
 """
 
 
+def q_emb_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (pipelines/similarity.py
+    semantic_dedup): k-means cells from a deterministic hash sample,
+    one cell-keyed shuffle, within-cell cosine pruning against
+    smaller-id members. Rows-only by design (k-means cells are not
+    SQL-expressible); determinism + planted-group recall pinned in
+    tests/test_text_similarity.py."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.similarity import semantic_dedup
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(emb, threshold=0.8)
+
+
 def q_doc_minhash_dups(sf_dir: str):
     """MinHash-LSH near-dup pairs with the SQL-reproducible ``poly``
     hasher: sub-2^48 word/shingle hashes, two chained small-coefficient
@@ -3935,8 +3952,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_group_centroid": q_emb_group_centroid,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        # -- new this round (28) ------------------------------------------
+        # -- new this round (28-29) ----------------------------------------
         "rollup_full_tiers_sql": q_rollup_full_tiers_sql,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         # -- headline / changed-this-round re-checks (29-50) ---------------
         "turns_clean": q_turns_clean,
         "rollup_1m_stats": q_rollup_1m_stats,
@@ -3945,7 +3963,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1d_gapfill_linear": q_rollup_1d_gapfill_linear,
         "rollup_incremental": q_rollup_incremental,
         "rollup_full_tiers": q_rollup_full_tiers,
-        "conv_moments": q_conv_moments,
         "conv_advanced": q_conv_advanced,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash_dups": q_doc_simhash_dups,
@@ -3961,6 +3978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": q_events_value_quantiles,
         "events_zscore": q_events_zscore,
         # -- green in r01-r03 driver files (51+) ---------------------------
+        "conv_moments": q_conv_moments,
         "rollup_1m_quantiles": q_rollup_1m_quantiles,
         "rollup_1h_by_band": q_rollup_1h_by_band,
         "rollup_1d_gapfill_prev": q_rollup_1d_gapfill_prev,

@@ -539,6 +539,146 @@ def _kmeans_cosine(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
     return cents
 
 
+def _train_rows(emb_ds, train_sample: int, seed: int) -> pd.DataFrame:
+    """Deterministic bounded training sample for coarse quantizers: a
+    lehmer-hash sample of the WHOLE corpus (not ``limit(n)`` — first-
+    parquet-fragment bias), sorted by vec_id so the k-means result is
+    independent of block arrival order."""
+    n_total = emb_ds.count()
+    if n_total > train_sample:
+        from .sampling import hash_sample
+
+        train = hash_sample(
+            emb_ds,
+            rate=train_sample / n_total,
+            seed=seed,
+            id_col="vec_id",
+            hash_col=None,
+        ).to_pandas()
+        if len(train) == 0:  # pathological tiny-rate corner
+            train = emb_ds.limit(train_sample).to_pandas()
+    else:
+        train = emb_ds.to_pandas()
+    return train.sort_values("vec_id").reset_index(drop=True)
+
+
+def semantic_dedup(
+    emb_ds,
+    *,
+    threshold: float = 0.95,
+    n_centroids: int | None = None,
+    train_sample: int = 2048,
+    max_cell: int = 4096,
+    seed: int = 5,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): a
+    spherical k-means coarse quantizer partitions the corpus into cells;
+    within each cell, documents whose embedding cosine to a SMALLER-id
+    cell member reaches ``threshold`` are marked duplicates of that
+    member. The approximate scale tier of the embedding-dedup family —
+    near-dups straddling a cell boundary are not compared (the standard
+    SemDeDup trade); :func:`embedding_cosine_dups` is the exact tier.
+
+    Scale shape: centroids train on a deterministic lehmer-hash sample
+    and broadcast once; assignment is a pure vectorized map; ONE
+    cell-keyed shuffle co-locates each cell and one matmul per cell
+    prunes it. Cells larger than ``max_cell`` are pruned only among
+    their ``max_cell`` smallest ids (overflow rows pass through as
+    keepers, loudly logged) so the in-task cosine matrix stays bounded.
+    Output is independent of block layout (assignment is per-row; the
+    in-cell rule sorts by id). Returns (vec_id, cell, rep_id, keep):
+    ``rep_id`` is the smallest same-cell id within threshold (self when
+    kept).
+    """
+    import logging
+
+    import pyarrow as pa
+
+    logger = logging.getLogger(__name__)
+    n_total = emb_ds.count()
+    if n_centroids is None:
+        n_centroids = max(8, min(256, n_total // 1024))
+    train = _train_rows(emb_ds, train_sample, seed)
+    cents = _kmeans_cosine(
+        _normalize(_to_matrix(train["embedding"])), n_centroids, seed=seed
+    )
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cell": pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        c = ray.get(cents_ref)
+        mat = _normalize(_arrow_matrix(batch["embedding"]))
+        cell = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    batch["vec_id"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "cell": pa.array(cell),
+                "embedding": _norm_list_array(mat),
+            }
+        )
+
+    def prune(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "cell": pa.array([], type=pa.int64()),
+                "rep_id": pa.array([], type=pa.int64()),
+                "keep": pa.array([], type=pa.bool_()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        cell = int(g["cell"][0].as_py())
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _arrow_matrix(g["embedding"])[order]
+        n = ids.shape[0]
+        checked = min(n, max_cell)
+        if n > max_cell:
+            logger.warning(
+                "semantic_dedup: cell %d has %d members > max_cell=%d; "
+                "the %d largest ids pass through unpruned",
+                cell, n, max_cell, n - max_cell,
+            )
+        keep = np.ones(n, dtype=bool)
+        rep = ids.copy()
+        if checked >= 2:
+            m = mat[:checked]
+            cos = m @ m.T
+            dup = cos >= threshold
+            dup[np.triu_indices(checked)] = False  # only j < i counts
+            has = dup.any(axis=1)
+            first = dup.argmax(axis=1)  # smallest j (ids sorted asc)
+            keep[:checked] = ~has
+            rep[:checked] = np.where(has, ids[first], ids[:checked])
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cell": pa.array(np.full(n, cell, dtype=np.int64)),
+                "rep_id": pa.array(rep),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+        .groupby("cell")
+        .map_groups(prune, batch_format="pyarrow")
+    )
+
+
 def ivf_knn_cosine(
     emb_ds,
     n_queries: int = 5,
@@ -561,21 +701,7 @@ def ivf_knn_cosine(
     deterministic lehmer-hash sample of the WHOLE corpus (not
     ``limit(n)``, which would train only on the first parquet fragments
     — a first-files bias on sorted/sharded corpora)."""
-    n_total = emb_ds.count()
-    if n_total > train_sample:
-        from .sampling import hash_sample
-
-        train = hash_sample(
-            emb_ds,
-            rate=train_sample / n_total,
-            seed=seed,
-            id_col="vec_id",
-            hash_col=None,
-        ).to_pandas()
-        if len(train) == 0:  # pathological tiny-rate corner
-            train = emb_ds.limit(train_sample).to_pandas()
-    else:
-        train = emb_ds.to_pandas()
+    train = _train_rows(emb_ds, train_sample, seed)
     cents = _kmeans_cosine(
         _normalize(_to_matrix(train["embedding"])), n_centroids, seed=seed
     )

@@ -393,6 +393,70 @@ def test_embedding_cosine_dups_planted_recall(ray_session):
     assert planted <= got  # every planted pair recovered
 
 
+def test_semantic_dedup_planted_groups(ray_session):
+    """Planted near-identical groups: identical/near-identical vectors
+    land in the same k-means cell, so every group member except its
+    smallest id must be dropped with rep_id = that smallest id; isolated
+    noise vectors are all kept. Output independent of block layout."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, 16))
+    vecs = []
+    groups = []
+    for b in range(6):
+        trio = []
+        for _ in range(3):
+            trio.append(len(vecs))
+            vecs.append(base[b] + rng.normal(scale=1e-4, size=16))
+        groups.append(trio)
+    noise_start = len(vecs)
+    vecs.extend(rng.normal(size=(40, 16)))
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [v.astype(np.float32) for v in vecs],
+        }
+    )
+    out = (
+        semantic_dedup(
+            rd.from_pandas(df).repartition(4),
+            threshold=0.999,
+            n_centroids=8,
+            seed=3,
+        )
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert len(out) == len(vecs)
+    for trio in groups:
+        lead = min(trio)
+        assert bool(out.loc[lead, "keep"])
+        for v in trio:
+            if v != lead:
+                assert not bool(out.loc[v, "keep"])
+                assert int(out.loc[v, "rep_id"]) == lead
+    for v in range(noise_start, len(vecs)):
+        assert bool(out.loc[v, "keep"])
+        assert int(out.loc[v, "rep_id"]) == v
+    # block-layout invariance
+    again = (
+        semantic_dedup(
+            rd.from_pandas(df).repartition(9),
+            threshold=0.999,
+            n_centroids=8,
+            seed=3,
+        )
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_knn_lsh_multi_table_recall_improves(emb_ds):
     from light_curve_feature_ray.pipelines.similarity import (
         knn_cosine,
