@@ -354,6 +354,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         embedding_cosine_dups(emb, threshold=0.45).count()
         timings["emb_cosine_dups"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.similarity import (
+            semantic_dedup,
+        )
+
+        t0 = time.perf_counter()
+        semantic_dedup(emb, threshold=0.8).count()
+        timings["emb_semantic_dedup"] = round(time.perf_counter() - t0, 3)
+
     li_path = f"{sf_dir}/lineitem.parquet"
     if os.path.exists(li_path) and os.path.exists(f"{sf_dir}/orders.parquet"):
         li = rd.read_parquet(

@@ -139,6 +139,7 @@ from .pipelines.similarity import (  # noqa: F401
     ivf_knn_cosine,
     knn_cosine,
     lsh_knn_cosine,
+    semantic_dedup,
 )
 
 # --- pivot ---------------------------------------------------------------
