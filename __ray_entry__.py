@@ -1362,7 +1362,8 @@ s AS (
            sum(((epoch_us(ts) - m.x0) / 1000000.0)
                * ((epoch_us(ts) - m.x0) / 1000000.0)) AS sxx
     FROM events CROSS JOIN m
-    WHERE value IS NOT NULL AND ts IS NOT NULL
+    -- user_id IS NOT NULL mirrors the operator's NULL-key drop
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
     GROUP BY user_id
 )
 SELECT user_id, CAST(n AS BIGINT) AS n,
@@ -1411,7 +1412,9 @@ WITH s AS (
            sum(CAST(l_quantity AS DOUBLE) * l_quantity) AS sxx,
            sum(CAST(l_extendedprice AS DOUBLE) * l_extendedprice) AS syy
     FROM lineitem
+    -- l_returnflag IS NOT NULL mirrors the operator's NULL-key drop
     WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_returnflag IS NOT NULL
     GROUP BY l_returnflag
 )
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,

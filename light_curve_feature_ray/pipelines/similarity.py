@@ -151,13 +151,15 @@ def _empty_candidates():
 
 
 def _norm_list_array(mat: np.ndarray):
-    """Arrow list<float64> column over a (n, d) matrix — one wrap, the
-    values buffer is the matrix itself."""
+    """Arrow large_list<float64> column over a (n, d) matrix — one wrap,
+    the values buffer is the matrix itself. int64 offsets: n*d exceeds
+    2^31 for a few million rows of wide embeddings, and int32 offsets
+    would SILENTLY wrap (pa.ListArray.from_arrays does not validate)."""
     import pyarrow as pa
 
     n, d = mat.shape
-    return pa.ListArray.from_arrays(
-        pa.array(np.arange(n + 1, dtype=np.int32) * d, type=pa.int32()),
+    return pa.LargeListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int64) * d, type=pa.int64()),
         pa.array(mat.ravel()),
     )
 
@@ -169,7 +171,7 @@ def _cand_empty():
         {
             "vec_id": pa.array([], type=pa.int64()),
             "bucket": pa.array([], type=pa.int64()),
-            "embedding": pa.array([], type=pa.list_(pa.float64())),
+            "embedding": pa.array([], type=pa.large_list(pa.float64())),
         }
     )
 
@@ -395,7 +397,7 @@ def embedding_cosine_dups(
                 "pair_id": pa.array([], type=pa.int64()),
                 "blk": pa.array([], type=pa.int64()),
                 "vec_id": pa.array([], type=pa.int64()),
-                "embedding": pa.array([], type=pa.list_(pa.float64())),
+                "embedding": pa.array([], type=pa.large_list(pa.float64())),
             }
         )
 
@@ -408,11 +410,7 @@ def embedding_cosine_dups(
         if n == 0:
             return _rep_empty()
         mat = _normalize(_arrow_matrix(batch["embedding"]))
-        d = mat.shape[1]
-        emb = pa.ListArray.from_arrays(
-            pa.array(np.arange(n + 1, dtype=np.int32) * d, type=pa.int32()),
-            pa.array(mat.ravel()),
-        )
+        emb = _norm_list_array(mat)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         blk = ids % B
         blk_a = pa.array(blk)
@@ -596,6 +594,19 @@ def semantic_dedup(
 
     logger = logging.getLogger(__name__)
     n_total = emb_ds.count()
+    if n_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cell": pa.array([], type=pa.int64()),
+                    "rep_id": pa.array([], type=pa.int64()),
+                    "keep": pa.array([], type=pa.bool_()),
+                }
+            )
+        )
     if n_centroids is None:
         n_centroids = max(8, min(256, n_total // 1024))
     train = _train_rows(emb_ds, train_sample, seed)
@@ -610,7 +621,7 @@ def semantic_dedup(
                 {
                     "vec_id": pa.array([], type=pa.int64()),
                     "cell": pa.array([], type=pa.int64()),
-                    "embedding": pa.array([], type=pa.list_(pa.float64())),
+                    "embedding": pa.array([], type=pa.large_list(pa.float64())),
                 }
             )
         c = ray.get(cents_ref)
@@ -728,7 +739,7 @@ def ivf_knn_cosine(
                 {
                     "vec_id": pa.array([], type=pa.int64()),
                     "cell": pa.array([], type=pa.int64()),
-                    "embedding": pa.array([], type=pa.list_(pa.float64())),
+                    "embedding": pa.array([], type=pa.large_list(pa.float64())),
                 }
             )
         _, _, _, cents_w = ray.get(ref)

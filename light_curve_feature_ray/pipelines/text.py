@@ -561,15 +561,13 @@ def _segment_pairs(starts: np.ndarray, sizes: np.ndarray):
 
 
 def _auto_pair_parts(min_parts: int = 32) -> int:
-    """Reduce-partition count for the pair-explosion shuffles: 2 tasks per
-    cluster CPU (floored at 32) so one partition's exploded rows stay a
-    bounded fraction of the corpus as the cluster grows."""
-    try:
-        import ray
+    """Reduce-partition count for the pair-explosion shuffles — the ONE
+    cluster-aware rule shared with the window/join family (delegates to
+    ``windows.auto_shuffle_partitions`` so a tuning change propagates to
+    every keyed shuffle at once)."""
+    from .windows import auto_shuffle_partitions
 
-        return max(min_parts, 2 * int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        return min_parts
+    return auto_shuffle_partitions(min_parts)
 
 
 def _hash_mod_part(batch: pd.DataFrame, cols, num_partitions: int) -> pd.DataFrame:

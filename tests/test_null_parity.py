@@ -336,28 +336,51 @@ def test_null_key_rows_dropped_both_sides(ray_session, entry_mod):
     assert list(got2["event_type"]) == list(want2["event_type"]) == ["a", "b"]
     assert list(got2["n_distinct"]) == list(want2["n_distinct"])
 
-    # trend / corr: NULL-key rows silently dropped, no crash, no group
+    # trend: NULL-key rows dropped on BOTH sides (operator vs actual twin)
     t = (
         group_linear_trend(ds.select_columns(["user_id", "ts", "value"]))
         .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)
     )
-    assert list(t["user_id"]) == [1, 2]
-    c = (
-        group_corr(
-            ds.select_columns(["user_id", "event_id", "value"]).map_batches(
-                lambda b: b, batch_format="pyarrow", batch_size=None
-            ),
-            key_col="user_id",
-            x_col="event_id",
-            y_col="value",
-        )
-        .to_pandas()
+    want3 = (
+        con.execute(entry_mod.SQL_EVENTS_USER_TREND)
+        .df()
         .sort_values("user_id")
         .reset_index(drop=True)
     )
-    assert list(c["user_id"]) == [1, 2]
+    assert list(t["user_id"]) == list(want3["user_id"]) == [1, 2]
+    assert list(t["n"]) == list(want3["n"])
+    _cmp_float(_round6(t["slope"]), want3["slope"])
+
+    # corr: NULL-key rows dropped on BOTH sides (lineitem-shaped twin)
+    li = pd.DataFrame(
+        {
+            "l_returnflag": ["A", "A", "A", None, "B", "B", "B"],
+            "l_quantity": [1.0, 2.0, 3.0, 9.0, 4.0, 5.0, 7.0],
+            "l_extendedprice": [10.0, 19.0, 31.0, 99.0, 42.0, 50.0, 71.0],
+        }
+    )
+    con.register("lineitem", li)
+    c = (
+        group_corr(
+            rd.from_pandas(li),
+            key_col="l_returnflag",
+            x_col="l_quantity",
+            y_col="l_extendedprice",
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    want4 = (
+        con.execute(entry_mod.SQL_LINEITEM_CORR)
+        .df()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    assert list(c["l_returnflag"]) == list(want4["l_returnflag"]) == ["A", "B"]
+    _cmp_float(_round6(c["corr"]), want4["corr"])
 
 
 def test_rolling_zscore_constant_window(ray_session):

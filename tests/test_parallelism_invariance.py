@@ -71,7 +71,7 @@ def test_packed_exchange_bit_identical(ray_session, synth_dir):
         store_points=True,
     )
     base = (
-        rollup_dataset(read_transcripts(synth_dir), cfg)
+        rollup_dataset(read_transcripts(synth_dir), cfg, packed_exchange=False)
         .to_pandas()
         .sort_values(["conv_id", "tier", "bucket_ts"])
         .reset_index(drop=True)
@@ -149,7 +149,7 @@ def test_packed_exchange_salted_and_dups(ray_session, salted_dir):
         store_points=True,
     )
     a = (
-        rollup_dataset(ds, cfg2)
+        rollup_dataset(ds, cfg2, packed_exchange=False)
         .to_pandas()
         .sort_values(["conv_id", "bucket_ts"])
         .reset_index(drop=True)
