@@ -2236,6 +2236,47 @@ FROM alldocs a LEFT JOIN persum p USING (doc_id)
 """
 
 
+def q_doc_boilerplate(sf_dir: str):
+    """Cross-corpus boilerplate signal (pipelines/text.py
+    boilerplate_score): fraction of each document's distinct word
+    trigrams whose corpus document frequency is >= 2 — the
+    across-documents complement of doc_repetition (CCNet shard-dedup as
+    a score, Wenzek et al. 2020 §4.1). DF pass with block-local distinct
+    combiner + one gram-keyed groupby; common grams broadcast once; the
+    corpus itself never shuffles."""
+    from light_curve_feature_ray.pipelines.text import boilerplate_score
+
+    return _finalize(
+        boilerplate_score(_docs(sf_dir), n=3, df_threshold=2), skip=()
+    )
+
+
+SQL_DOC_BOILERPLATE = rf"""
+WITH w AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(coalesce(text, '')), '{_TOKEN_REGEX}') AS toks
+    FROM documents
+), base AS (SELECT doc_id, toks, len(toks) AS n FROM w),
+dg AS (
+    SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(range(1, n - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        FROM base WHERE n >= 3)
+), df AS (SELECT g, count(*) AS df FROM dg GROUP BY g),
+per AS (
+    SELECT dg.doc_id, count(*) AS nd,
+           sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS nc
+    FROM dg JOIN df USING (g) GROUP BY dg.doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(p.nd, 0) AS BIGINT) AS n_distinct_grams,
+       CAST(coalesce(p.nc, 0) AS BIGINT) AS n_common_grams,
+       round(CASE WHEN p.nd > 0
+             THEN CAST(p.nc AS DOUBLE) / p.nd END, 6) AS common_gram_frac
+FROM base b LEFT JOIN per p USING (doc_id)
+"""
+
+
 BLOOM_K, BLOOM_M_BITS, BLOOM_PRICE = 4, 1 << 15, 400000.0
 
 
@@ -4027,6 +4068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": q_doc_simhash,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_meta": q_multimodal_meta,
+        # -- added after the round-4 rotation cut (rotate to front in r05) --
+        "doc_boilerplate": q_doc_boilerplate,
     }
 
 
@@ -4112,6 +4155,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": SQL_DOC_CHUNKS,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "doc_lm_score": SQL_DOC_LM_SCORE,
+        "doc_boilerplate": SQL_DOC_BOILERPLATE,
         "doc_quality_filter": _build_sql_doc_quality_filter(),
         "lineitem_bloom": _build_sql_lineitem_bloom(),
         "emb_group_centroid": SQL_EMB_GROUP_CENTROID,

@@ -107,6 +107,7 @@ from .pipelines.sampling import (  # noqa: F401
 
 # --- text analysis + dedup family ---------------------------------------
 from .pipelines.text import (  # noqa: F401
+    boilerplate_score,
     chunk_text,
     exact_dedup,
     fingerprint,

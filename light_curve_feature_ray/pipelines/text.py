@@ -1846,6 +1846,104 @@ def lm_score(docs_ds, *, max_vocab_broadcast: int = 5_000_000):
     return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+def boilerplate_score(
+    docs_ds,
+    *,
+    n: int = 3,
+    df_threshold: int = 2,
+    max_gram_broadcast: int = 20_000_000,
+):
+    """Cross-corpus boilerplate signal per document: the fraction of a
+    document's DISTINCT word n-grams whose corpus document frequency is
+    >= ``df_threshold`` — the across-documents complement of the
+    within-document :func:`repetition_stats` (CCNet drops paragraphs
+    duplicated across shards, Wenzek et al. 2020 §4.1; here surfaced as
+    a per-doc score to threshold instead of a destructive rewrite).
+    High = headers/footers/licence blocks shared verbatim by many pages.
+    Output (doc_id, n_distinct_grams, n_common_grams, common_gram_frac);
+    the fraction is NaN for documents shorter than ``n`` tokens.
+
+    Scale shape: document-frequency pass = block-local distinct
+    (doc, gram) -> per-block partial counts (docs live whole in one row,
+    so block-local distinct is exact) -> ONE vocabulary-sized
+    groupby-sum; only the grams with df >= threshold are broadcast ONCE
+    via ``ray.put`` (loud ``max_gram_broadcast`` bound — at 100 TB raise
+    the threshold or partition docs by gram hash and join instead); the
+    scoring pass is one streaming map_batches with a vectorized ``is_in``
+    — the corpus itself is never shuffled."""
+    import polars as pl
+
+    import ray
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if df_threshold < 1:
+        raise ValueError(f"df_threshold must be >= 1, got {df_threshold}")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        dg = _word_ngrams_long(batch["text"], n).unique(subset=["i", "g"])
+        c = dg.group_by("g").len()
+        return pa.table(
+            {
+                "g": c["g"].to_arrow().cast(pa.string()),
+                "c": pa.array(c["len"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    df_ds = (
+        docs_ds.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("g")
+        .sum("c")
+    )
+
+    def keep_common(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch["sum(c)"], df_threshold)
+        return pa.table({"g": batch.filter(mask)["g"].cast(pa.string())})
+
+    common_tbl = pa.concat_tables(
+        ray.get(
+            df_ds.map_batches(
+                keep_common, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    if common_tbl.num_rows > max_gram_broadcast:
+        raise ValueError(
+            f"{common_tbl.num_rows} corpus-common grams > "
+            f"max_gram_broadcast={max_gram_broadcast}; raise df_threshold "
+            "or partition docs by gram hash and join instead"
+        )
+    common_ref = ray.put(pl.from_arrow(common_tbl["g"].cast(pa.string())))
+
+    def score(batch: pa.Table) -> pa.Table:
+        common = ray.get(common_ref)
+        n_rows = batch.num_rows
+        nd = np.zeros(n_rows, dtype=np.int64)
+        nc = np.zeros(n_rows, dtype=np.int64)
+        dg = _word_ngrams_long(batch["text"], n).unique(subset=["i", "g"])
+        if dg.height:
+            agg = (
+                dg.with_columns(pl.col("g").is_in(common).alias("hit"))
+                .group_by("i")
+                .agg(pl.len().alias("d"), pl.col("hit").sum().alias("c"))
+            )
+            nd[agg["i"].to_numpy()] = agg["d"].to_numpy()
+            nc[agg["i"].to_numpy()] = agg["c"].to_numpy()
+        with np.errstate(invalid="ignore"):
+            frac = np.where(nd > 0, nc / np.maximum(nd, 1), np.nan)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_distinct_grams": pa.array(nd),
+                "n_common_grams": pa.array(nc),
+                "common_gram_frac": pa.array(frac),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 def json_extract_fields(
     ds,
     *,

@@ -18,6 +18,7 @@ import pytest
 
 from light_curve_feature_ray.pipelines.similarity import group_centroid
 from light_curve_feature_ray.pipelines.text import (
+    boilerplate_score,
     chunk_text,
     ngram_decontaminate,
     repetition_stats,
@@ -211,6 +212,101 @@ def test_group_centroid_matches_numpy(ray_session):
         rows = got[got.label == lab]
         assert list(rows.n_vectors) == [int(mask.sum())] * d
         np.testing.assert_allclose(rows.centroid.to_numpy(), want, rtol=1e-12)
+
+
+BOILER_DOCS = [
+    "",  # no grams -> NaN fraction
+    "one two",  # shorter than n=3 -> NaN fraction
+    "copyright footer text all rights reserved",  # shared boilerplate A
+    "page one content copyright footer text all rights reserved",  # A again
+    "totally unique words nobody else repeats here",
+    "another page copyright footer text plus extras",  # shares a prefix of A
+    "x y x y x y x y",  # internal repetition only (df of its grams = 1)
+]
+
+
+def _naive_boilerplate(docs, n=3, threshold=2):
+    grams = [_naive_grams(t, n) for t in docs]
+    df = Counter(g for s in grams for g in s)
+    out = []
+    for s in grams:
+        nd = len(s)
+        nc = sum(1 for g in s if df[g] >= threshold)
+        out.append((nd, nc, nc / nd if nd else np.nan))
+    return out
+
+
+def test_boilerplate_matches_naive(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(len(BOILER_DOCS), dtype=np.int64),
+                "text": BOILER_DOCS,
+            }
+        )
+    ).repartition(3)
+    got = boilerplate_score(ds, n=3, df_threshold=2).to_pandas().sort_values(
+        "doc_id"
+    )
+    want = _naive_boilerplate(BOILER_DOCS)
+    for _, row in got.iterrows():
+        nd, nc, frac = want[int(row.doc_id)]
+        assert row.n_distinct_grams == nd
+        assert row.n_common_grams == nc
+        assert (np.isnan(row.common_gram_frac) and np.isnan(frac)) or (
+            row.common_gram_frac == pytest.approx(frac)
+        )
+    # the planted shared block is actually detected
+    assert got.set_index("doc_id").loc[2, "n_common_grams"] > 0
+    # purely self-repetitive doc shares nothing across the corpus
+    assert got.set_index("doc_id").loc[6, "n_common_grams"] == 0
+
+
+def test_boilerplate_partition_invariance(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(BOILER_DOCS), dtype=np.int64),
+            "text": BOILER_DOCS,
+        }
+    )
+    a = boilerplate_score(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    b = (
+        boilerplate_score(rd.from_pandas(df).repartition(5))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_boilerplate_broadcast_bound(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(BOILER_DOCS), dtype=np.int64),
+            "text": BOILER_DOCS,
+        }
+    )
+    with pytest.raises(ValueError, match="max_gram_broadcast"):
+        boilerplate_score(
+            rd.from_pandas(df), n=1, df_threshold=1, max_gram_broadcast=2
+        )
+
+
+def test_boilerplate_validates_params(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a"]}))
+    with pytest.raises(ValueError):
+        boilerplate_score(ds, n=0)
+    with pytest.raises(ValueError):
+        boilerplate_score(ds, df_threshold=0)
 
 
 def test_group_centroid_rejects_ragged(ray_session):
