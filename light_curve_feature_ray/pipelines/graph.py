@@ -23,6 +23,19 @@ means converged. Each round's labels are materialized (iterative
 algorithms must pin their frontier or lineage re-executes every round).
 Deterministic: pure min-lattice, independent of partitioning and
 arrival order.
+
+Sized-to-data routing (same philosophy as the join family): near-dup
+edge lists are output of already-bounded candidate generation and are
+typically orders of magnitude smaller than the corpus, while each
+distributed round pays two shuffle barriers on a tiny label table. So
+``method='auto'`` collects the normalized edge list to the driver when
+it fits under a loud bound (``max_driver_edges``, 5M edges ~ 80 MB) and
+runs the SAME min-label propagation vectorized in numpy with pointer
+jumping (O(E) per round, O(log diameter) rounds) — identical output,
+none of the per-round barrier constants. Above the bound it runs the
+distributed rounds. Either way the edge list is normalized and
+materialized ONCE, so the upstream pair-generation pipeline (minhash /
+simhash / cosine) executes once, not once per consumer.
 """
 
 from __future__ import annotations
@@ -46,6 +59,39 @@ def _auto_parts(min_parts: int = 32) -> int:
         return min_parts
 
 
+def _cc_driver_numpy(a: np.ndarray, b: np.ndarray, max_rounds: int, strict: bool):
+    """Min-label propagation with pointer jumping over in-memory edge
+    arrays — the small-side fast path; same min-lattice fixpoint as the
+    distributed rounds (identical output)."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    # index-space labels: nodes is sorted, so index order == value order
+    lab = np.arange(nodes.size, dtype=np.int64)
+    for _ in range(max_rounds):
+        prev = lab
+        lab = lab.copy()
+        np.minimum.at(lab, ia, prev[ib])
+        np.minimum.at(lab, ib, prev[ia])
+        # full pointer-jump contraction (lab[i] <= i throughout, so the
+        # chase strictly shortens and terminates)
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, prev):
+            break
+    else:
+        msg = (
+            f"connected_components: no fixpoint after {max_rounds} rounds"
+        )
+        if strict:
+            raise RuntimeError(msg + " — raise max_rounds")
+        logger.warning(msg)
+    return nodes, nodes[lab]
+
+
 def connected_components_min_label(
     pairs_ds,
     *,
@@ -54,6 +100,8 @@ def connected_components_min_label(
     num_partitions: int | None = None,
     max_rounds: int = 64,
     strict: bool = True,
+    method: str = "auto",
+    max_driver_edges: int = 5_000_000,
 ):
     """(node, rep) for every node appearing in ``pairs_ds``; ``rep`` is the
     minimum node id of its connected component. Node ids must be
@@ -65,13 +113,67 @@ def connected_components_min_label(
     failing loudly is the only safe default. Dedup clusters are
     near-cliques (diameter 2-3); 64 rounds is far beyond any real corpus.
     ``num_partitions`` defaults to 2 tasks per cluster CPU (each reduce
-    task holds one partition of the edge list in memory)."""
+    task holds one partition of the edge list in memory).
+
+    ``method``: 'auto' (default) routes by edge count — the driver
+    numpy fast path under ``max_driver_edges``, distributed rounds
+    above; 'driver' forces the fast path (raises loudly over the
+    bound); 'distributed' forces the shuffle rounds."""
+    if method not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
     if num_partitions is None:
         num_partitions = _auto_parts()
 
+    def norm_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": batch[id_a].to_numpy(dtype=np.int64),
+                "b": batch[id_b].to_numpy(dtype=np.int64),
+            }
+        )
+
+    # ONE materialization of the normalized edge list: the upstream pair
+    # generation (minhash/simhash/cosine verify) executes exactly once,
+    # and the count for routing comes free
+    edges_ab = pairs_ds.map_batches(
+        norm_edges, batch_format="pandas", batch_size=None
+    ).materialize()
+    n_edges = edges_ab.count()
+
+    if method == "driver" and n_edges > max_driver_edges:
+        raise ValueError(
+            f"method='driver' but {n_edges} edges > max_driver_edges="
+            f"{max_driver_edges}; use method='auto'/'distributed'"
+        )
+    if method != "distributed" and n_edges <= max_driver_edges:
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        if n_edges == 0:
+            empty = pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "lab": pa.array([], pa.int64()),
+                }
+            )
+            return rd.from_arrow(empty)
+        tbl = pa.concat_tables(
+            ray.get(edges_ab.to_arrow_refs()), promote_options="default"
+        )
+        nodes, rep = _cc_driver_numpy(
+            tbl["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            tbl["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            max_rounds,
+            strict,
+        )
+        return rd.from_arrow(
+            pa.table({"node": pa.array(nodes), "lab": pa.array(rep)})
+        )
+
     def first_msgs(batch: pd.DataFrame) -> pd.DataFrame:
-        a = batch[id_a].to_numpy(dtype=np.int64)
-        b = batch[id_b].to_numpy(dtype=np.int64)
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
         m = np.minimum(a, b)
         return pd.DataFrame(
             {
@@ -96,13 +198,13 @@ def connected_components_min_label(
     # round 1 directly from the edges (labels start as node ids; the first
     # propagation folds in, saving one attach shuffle)
     labels = min_combine(
-        pairs_ds.map_batches(first_msgs, batch_format="pandas", batch_size=None)
+        edges_ab.map_batches(first_msgs, batch_format="pandas", batch_size=None)
     ).materialize()
     prev_sum = labels.sum("lab")
 
     def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        a = batch[id_a].to_numpy(dtype=np.int64)
-        b = batch[id_b].to_numpy(dtype=np.int64)
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {
                 "key": np.concatenate([a, b]),
@@ -150,7 +252,7 @@ def connected_components_min_label(
             }
         )
 
-    edges = pairs_ds.map_batches(
+    edges = edges_ab.map_batches(
         edge_rows, batch_format="pandas", batch_size=None
     ).materialize()
 

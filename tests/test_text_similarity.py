@@ -731,16 +731,28 @@ def test_connected_components_min_label(ray_session):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {n: find(n) for n in parent}
 
-    for nparts in (4, 32):
-        out = (
-            connected_components_min_label(
-                rd.from_pandas(df), num_partitions=nparts
+    # both routing paths must produce the identical min-label fixpoint
+    for method in ("driver", "distributed"):
+        for nparts in (4, 32):
+            out = (
+                connected_components_min_label(
+                    rd.from_pandas(df), num_partitions=nparts, method=method
+                )
+                .to_pandas()
+                .sort_values("node")
             )
-            .to_pandas()
-            .sort_values("node")
+            got = dict(zip(out["node"], out["lab"]))
+            assert got == expect, (method, nparts)
+
+    # auto routes small edge lists to the driver path; loud over the bound
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_driver_edges"):
+        connected_components_min_label(
+            rd.from_pandas(df), method="driver", max_driver_edges=2
         )
-        got = dict(zip(out["node"], out["lab"]))
-        assert got == expect, nparts
+    with _pytest.raises(ValueError, match="unknown method"):
+        connected_components_min_label(rd.from_pandas(df), method="bogus")
 
     keep = dedup_keep_representatives(rd.from_pandas(df)).to_pandas()
     reps = set(keep.loc[keep["keep"], "doc_id"])
