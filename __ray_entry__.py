@@ -3962,9 +3962,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ~50 entries per round into CORRECTNESS_r{N}.json. Rotation plan
     # (round 4): positions 1-27 are the 27 queries that had never
     # appeared in any driver correctness file through r03 (the round-3
-    # curation/sketch/packing family), 28 is this round's new
-    # value-checked flagship projection, 29-50 re-check the headline /
-    # heaviest pipelines plus every query whose code changed this round.
+    # curation/sketch/packing family), 28-30 are this round's new
+    # queries, 31-50 re-check the headline / heaviest pipelines plus
+    # every query whose code changed this round.
     # Everything from position 51 on is green in r01-r03 driver files.
     # Round-5 note: rotate any entry that misses r04 back to the front.
     return {
@@ -3996,10 +3996,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_group_centroid": q_emb_group_centroid,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        # -- new this round (28-29) ----------------------------------------
+        # -- new this round (28-30) ----------------------------------------
         "rollup_full_tiers_sql": q_rollup_full_tiers_sql,
         "emb_semantic_dedup": q_emb_semantic_dedup,
-        # -- headline / changed-this-round re-checks (29-50) ---------------
+        "doc_boilerplate": q_doc_boilerplate,
+        # -- headline / changed-this-round re-checks (31-50) ---------------
         "turns_clean": q_turns_clean,
         "rollup_1m_stats": q_rollup_1m_stats,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -4068,8 +4069,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": q_doc_simhash,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_meta": q_multimodal_meta,
-        # -- added after the round-4 rotation cut (rotate to front in r05) --
-        "doc_boilerplate": q_doc_boilerplate,
     }
 
 
