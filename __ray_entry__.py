@@ -3401,6 +3401,93 @@ SQL_EVENTS_TYPE_QUANTILES = "\nUNION ALL\n".join(
 )
 
 
+def q_events_heavy_users(sf_dir: str):
+    """EXACT heavy hitters with bounded memory (pipelines/sketches.py
+    heavy_hitters): a Misra-Gries candidate pass (O(k) state per block,
+    summed MG counts undercount by at most N/(k+1)) followed by an exact
+    rescore of only the bounded candidate set — output is exactly
+    ``GROUP BY user_id HAVING count(*) >= ceil(0.008 * N)``, independent
+    of partitioning/retries, which the SQL twin states directly."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sketches import heavy_hitters
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters(ev, "user_id", min_frac=0.008)
+
+
+# the twin IS the spec: ceil(min_frac * N) in the same double arithmetic
+# (ceil of an IEEE product) as sketches.heavy_hitters' math.ceil
+SQL_EVENTS_HEAVY_USERS = """
+SELECT user_id, count(*) AS cnt
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING count(*) >= ceil(0.008 * (SELECT count(user_id) FROM events))
+"""
+
+
+def q_events_winsorized(sf_dir: str):
+    """Percentile-clip normalization (pipelines/quantiles.py winsorize):
+    exact [p01, p99] bounds from the distributed quantile_cont passes
+    (bit-parity with DuckDB quantile_cont), then a shuffle-free clamp
+    map — min(max(x, lo), hi) in identical double arithmetic to the
+    twin's least(greatest(...))."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import winsorize
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return _finalize(winsorize(ev, "value"))
+
+
+SQL_EVENTS_WINSORIZED = """
+WITH q AS (SELECT quantile_cont(value, 0.01) AS lo,
+                  quantile_cont(value, 0.99) AS hi
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+SELECT event_id, round(value, 6) AS value,
+       -- NaN passes through (numpy min/max propagate; SQL least/greatest
+       -- would treat NaN as greatest) — mirror of winsorize()
+       CASE WHEN value IS NULL OR isnan(value) THEN value
+            ELSE round(least(greatest(value, lo), hi), 6) END AS value_w
+FROM events, q
+"""
+
+
+def q_events_mad_outliers(sf_dir: str):
+    """Robust per-user outlier flags (pipelines/quantiles.py
+    mad_outliers): per-group median + MAD in ONE hash shuffle
+    (grouped_mad runs the second order-statistics round over
+    |x - med| inside the same co-located partition task), stats
+    broadcast once, then a shuffle-free flag map. med/MAD are
+    bit-parity with the twin's nested quantile_cont, so the
+    ``dev > thresh*mad`` booleans match exactly."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import mad_outliers
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return _finalize(mad_outliers(ev, "user_id", "value", thresh=2.5))
+
+
+SQL_EVENTS_MAD_OUTLIERS = """
+WITH v AS (SELECT event_id, user_id, value FROM events
+           WHERE user_id IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(value)),
+med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+        FROM v GROUP BY user_id),
+mad AS (SELECT v.user_id, quantile_cont(abs(v.value - m.med), 0.5) AS mad
+        FROM v JOIN med m USING (user_id) GROUP BY v.user_id)
+SELECT v.event_id, v.user_id, round(v.value, 6) AS value,
+       round(abs(v.value - med), 6) AS dev,
+       (abs(v.value - med) > 2.5 * mad) AS is_outlier
+FROM v JOIN med USING (user_id) JOIN mad USING (user_id)
+"""
+
+
 def q_events_hll_users(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via the
     HyperLogLog aggregate (pipelines/sketches.py) with the
@@ -3962,8 +4049,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ~50 entries per round into CORRECTNESS_r{N}.json. Rotation plan
     # (round 4): positions 1-27 are the 27 queries that had never
     # appeared in any driver correctness file through r03 (the round-3
-    # curation/sketch/packing family), 28-30 are this round's new
-    # queries, 31-50 re-check the headline / heaviest pipelines plus
+    # curation/sketch/packing family), 28-33 are this round's new
+    # queries, 34-50 re-check the headline / heaviest pipelines plus
     # every query whose code changed this round.
     # Everything from position 51 on is green in r01-r03 driver files.
     # Round-5 note: rotate any entry that misses r04 back to the front.
@@ -3996,11 +4083,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_group_centroid": q_emb_group_centroid,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        # -- new this round (28-30) ----------------------------------------
+        # -- new this round (28-33) ----------------------------------------
         "rollup_full_tiers_sql": q_rollup_full_tiers_sql,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_boilerplate": q_doc_boilerplate,
-        # -- headline / changed-this-round re-checks (31-50) ---------------
+        "events_heavy_users": q_events_heavy_users,
+        "events_winsorized": q_events_winsorized,
+        "events_mad_outliers": q_events_mad_outliers,
+        # -- headline / changed-this-round re-checks (34-50) ---------------
         "turns_clean": q_turns_clean,
         "rollup_1m_stats": q_rollup_1m_stats,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -4128,6 +4218,9 @@ def oracle_sql() -> dict[str, str]:
         "events_type_quantiles": SQL_EVENTS_TYPE_QUANTILES,
         "events_top_users": SQL_EVENTS_TOP_USERS,
         "events_hll_users": SQL_EVENTS_HLL_USERS,
+        "events_heavy_users": SQL_EVENTS_HEAVY_USERS,
+        "events_winsorized": SQL_EVENTS_WINSORIZED,
+        "events_mad_outliers": SQL_EVENTS_MAD_OUTLIERS,
         "events_cms_users": _build_sql_events_cms_users(),
         "events_pivot": _build_sql_events_pivot(),
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,

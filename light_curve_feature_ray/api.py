@@ -84,8 +84,11 @@ from .pipelines.quantiles import (  # noqa: F401
     approx_quantile_hist,
     histogram,
     exact_order_stats,
+    grouped_mad,
     grouped_quantile_cont,
+    mad_outliers,
     quantile_cont,
+    winsorize,
 )
 
 # --- scan: packing, deterministic shuffle, rank/ntile --------------------
@@ -153,6 +156,7 @@ from .pipelines.sketches import (  # noqa: F401
     bloom_sketch,
     cms_estimate,
     cms_sketch,
+    heavy_hitters,
     hll_distinct,
 )
 

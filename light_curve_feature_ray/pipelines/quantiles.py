@@ -514,3 +514,169 @@ def histogram(ds, value_col: str, *, bins: int = 64, lo=None, hi=None):
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def winsorize(ds, col: str, *, p_lo: float = 0.01, p_hi: float = 0.99, **kw):
+    """Winsorize (percentile-clip) a numeric column: append ``{col}_w``
+    with values clamped into the exact [quantile(p_lo), quantile(p_hi)]
+    range — the standard robust-normalization step before feature
+    scaling. The clip bounds come from :func:`quantile_cont` (exact,
+    bit-parity with DuckDB ``quantile_cont``), so the clamp —
+    ``min(max(x, lo), hi)`` in identical double arithmetic — matches the
+    SQL twin's ``least(greatest(x, lo), hi)`` bit-for-bit.
+
+    Null/NaN values pass through unclamped (NaN would compare as GREATEST
+    in SQL but propagates in numpy — the twin mirrors the passthrough
+    with an ``isnan`` CASE guard). ``ds`` is consumed twice (the bounded
+    quantile passes + the clip map): pass a source-backed Dataset or
+    materialize first."""
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo <= p_hi <= 1, got {p_lo}, {p_hi}")
+    import pyarrow as pa
+
+    qdf = quantile_cont(ds, col, [p_lo, p_hi], **kw)
+    lo, hi = float(qdf["value"].iloc[0]), float(qdf["value"].iloc[1])
+
+    def clip(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # NaN propagates through both minimum and maximum (passthrough)
+        return batch.append_column(
+            f"{col}_w", pa.array(np.minimum(np.maximum(v, lo), hi))
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_mad(
+    ds,
+    group_col: str,
+    col: str,
+    num_partitions: int | None = None,
+):
+    """Per-group median and MAD (median absolute deviation) in ONE hash
+    shuffle: the :func:`grouped_quantile_cont` kernel extended to a
+    second order-statistics round over ``|x - median(group)|`` inside
+    the same per-partition task (the group is already co-located and
+    sorted — the deviation pass is one more lexsort + gather, no extra
+    exchange). Interpolation is the same ``lo*(1-frac) + hi*frac`` form,
+    so both outputs are bit-parity with DuckDB ``quantile_cont(..., 0.5)``
+    (and ``mad`` with the nested median-of-deviations SQL).
+
+    Null keys and null/NaN values are dropped (grouped-op contract;
+    mirrored by the twin's IS NOT NULL / NOT isnan filters). Returns a
+    Dataset of (group, med, mad)."""
+    from .text import _auto_pair_parts
+
+    import pandas as pd
+
+    num_partitions = num_partitions or _auto_pair_parts()
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b[group_col].notna().to_numpy()
+        b = b[ok].copy()
+        h = pd.util.hash_array(b[group_col].to_numpy(), categorize=False)
+        b["part"] = (h % np.uint64(num_partitions)).astype(np.int32)
+        return b
+
+    def _seg_median(v: np.ndarray, starts: np.ndarray, counts: np.ndarray):
+        """Vectorized per-segment median of a segment-sorted value array
+        (quantile_cont q=0.5 interpolation)."""
+        h = 0.5 * (counts - 1.0)
+        k = np.floor(h).astype(np.int64)
+        frac = h - k
+        k2 = np.where(frac == 0.0, k, k + 1)
+        lo = v[starts + k]
+        hi = v[starts + np.minimum(k2, counts - 1)]
+        return lo * (1.0 - frac) + hi * frac
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part[group_col].to_numpy()
+        v = part[col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        g, v = g[ok], v[ok]
+        if g.size == 0:
+            return pd.DataFrame({group_col: [], "med": [], "mad": []})
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        new = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, g.size])
+        med = _seg_median(v, starts, counts)
+        seg_id = np.cumsum(new) - 1
+        dev = np.abs(v - med[seg_id])
+        # second order-statistics round over the deviations, same segments
+        order2 = np.lexsort((dev, seg_id))
+        mad = _seg_median(dev[order2], starts, counts)
+        return pd.DataFrame({group_col: g[starts], "med": med, "mad": mad})
+
+    return (
+        ds.map_batches(assign, batch_format="pandas", batch_size=None)
+        .groupby("part")
+        .map_groups(
+            lambda p: per_part(p.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def mad_outliers(
+    ds,
+    group_col: str,
+    col: str,
+    *,
+    thresh: float = 3.0,
+    max_groups: int = 8_000_000,
+    num_partitions: int | None = None,
+):
+    """Robust per-group outlier flags: ``is_outlier = |x - med| >
+    thresh * mad`` with med/MAD from :func:`grouped_mad`. The per-group
+    stats table (one row per group, loudly bounded by ``max_groups``) is
+    collected once and broadcast via ``ray.put`` — the flag pass is a
+    shuffle-free vectorized map, the 100-TB shape for scoring a huge
+    stream against a boundable per-key model. The comparison uses the
+    exact same doubles as the SQL twin (bit-parity med/MAD, one multiply,
+    one abs), so flags match exactly. Rows with null keys or null/NaN
+    values are dropped on both sides.
+
+    ``ds`` is consumed twice (stats shuffle + flag map): pass a
+    source-backed Dataset or materialize first."""
+    import pyarrow as pa
+
+    import ray
+
+    stats = grouped_mad(ds, group_col, col, num_partitions=num_partitions)
+    sdf = stats.to_pandas()
+    if len(sdf) > max_groups:
+        raise ValueError(
+            f"mad_outliers: {len(sdf)} groups exceeds max_groups="
+            f"{max_groups}; raise the bound or pre-aggregate"
+        )
+    lut_ref = ray.put(
+        {
+            "keys": sdf[group_col].to_numpy(),
+            "med": sdf["med"].to_numpy(),
+            "mad": sdf["mad"].to_numpy(),
+        }
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lut = ray.get(lut_ref)
+        keys, med, mad = lut["keys"], lut["med"], lut["mad"]
+        order = np.argsort(keys, kind="mergesort")
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        gv = pa.chunked_array([batch[group_col]]).combine_chunks()
+        ok = ~np.isnan(v)
+        if gv.null_count:
+            ok &= np.asarray(pc.is_valid(gv))
+        batch = batch.filter(pa.array(ok))
+        g, v = g[ok], v[ok]
+        pos = order[np.searchsorted(keys[order], g)]
+        dev = np.abs(v - med[pos])
+        return batch.append_column(
+            "dev", pa.array(dev)
+        ).append_column("is_outlier", pa.array(dev > thresh * mad[pos]))
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)

@@ -405,3 +405,139 @@ def bloom_semi_join(ds, col: str, words: np.ndarray, *, k: int = 4):
         return batch.append_column("bloom_hit", pa.array(hit))
 
     return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+def heavy_hitters(
+    ds,
+    value_col: str,
+    *,
+    min_frac: float,
+    total_rows: int | None = None,
+    k: int | None = None,
+    max_candidates: int = 4_000_000,
+):
+    """EXACT frequent items above a frequency threshold, computed with
+    bounded memory via a Misra-Gries candidate pass (Misra & Gries 1982;
+    mergeable-summary form per Agarwal et al. 2013) + an exact rescore of
+    only the surviving candidates.
+
+    Pass 1 (candidates): each block reduces to its exact value counts and
+    then MG-truncates to at most ``k`` survivors by subtracting the
+    (k+1)-th largest count ``d_b`` (so the per-block state is O(k)
+    regardless of the block's distinct count). Because
+    ``sum_b d_b <= sum_b n_b/(k+1) = N/(k+1)``, the summed truncated
+    counts undercount any item's true frequency by at most ``N/(k+1)``;
+    with ``k >= 2/min_frac`` every item whose true count reaches
+    ``threshold = ceil(min_frac*N)`` therefore keeps a summed MG count of
+    at least ``threshold - N/(k+1) >= threshold/2 > 0`` and survives the
+    distributed candidate filter. At most ``N/(threshold/2) <= 2/min_frac``
+    items can pass that filter, so the collected candidate set is small
+    and BOUNDED (loudly checked against ``max_candidates``).
+
+    Pass 2 (exact rescore): the candidate set is broadcast once
+    (``ray.put``), every block counts ONLY candidate rows, and a
+    vocabulary-sized ``groupby().sum`` produces exact counts filtered at
+    ``threshold`` — the output is exactly ``GROUP BY value_col HAVING
+    count(*) >= ceil(min_frac * N)`` (the SQL twin), independent of
+    partitioning, block order and retries. Null values are excluded
+    (mirrored by the twin's ``IS NOT NULL``).
+
+    ``ds`` is consumed twice (counting pass + rescore pass): pass a
+    source-backed Dataset (e.g. the ``read_parquet`` output) or
+    materialize the input first, otherwise upstream transforms re-execute
+    per pass. ``total_rows`` (non-null rows of ``value_col``) skips the
+    initial count when the caller already knows it."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import polars as pl
+
+    import ray
+
+    if not 0.0 < min_frac < 1.0:
+        raise ValueError(f"min_frac must be in (0, 1), got {min_frac}")
+
+    def _value_counts(col) -> tuple[pa.Array, np.ndarray]:
+        vc = pl.from_arrow(col).drop_nulls().value_counts()
+        cnt = vc["count"].to_numpy().astype(np.int64)
+        items = vc.to_arrow()[vc.columns[0]].combine_chunks()
+        return items, cnt
+
+    if total_rows is None:
+        # non-null row count of the target column (pruned single-column agg)
+        total_rows = int(
+            ds.map_batches(
+                lambda b: pa.table(
+                    {"n": pa.array([len(b[value_col].combine_chunks().drop_null())], pa.int64())}
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            ).sum("n")
+        )
+    n = int(total_rows)
+    if n == 0:
+        raise ValueError(f"no non-null values in {value_col!r}")
+    threshold = int(math.ceil(min_frac * n))
+    if k is None:
+        k = max(64, int(math.ceil(2.0 / min_frac)))
+    slack = n // (k + 1)
+    cand_min = threshold - slack
+    if cand_min <= 0:
+        raise ValueError(
+            f"k={k} too small for min_frac={min_frac}: the MG undercount "
+            f"bound N/(k+1)={slack} reaches the threshold {threshold}; "
+            f"use k >= {int(math.ceil(2.0 / min_frac))}"
+        )
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        items, cnt = _value_counts(batch[value_col])
+        if cnt.size > k:
+            d = np.partition(cnt, cnt.size - (k + 1))[cnt.size - (k + 1)]
+            keep = cnt - d > 0
+            items = items.filter(pa.array(keep))
+            cnt = cnt[keep] - d
+        return pa.table({value_col: items, "mg": pa.array(cnt, pa.int64())})
+
+    cand_rows = (
+        ds.map_batches(mg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(value_col)
+        .sum("mg")
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["sum(mg)"], cand_min))
+            .select([value_col]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .take_all()
+    )
+    if len(cand_rows) > max_candidates:
+        raise ValueError(
+            f"heavy_hitters candidate set {len(cand_rows)} exceeds "
+            f"max_candidates={max_candidates} (theoretical bound "
+            f"{int(2.0 / min_frac)}) — raise k or max_candidates"
+        )
+    cands = pa.array([r[value_col] for r in cand_rows])
+    cands_ref = ray.put(cands)
+
+    def rescore(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cands_ref)
+        col = batch[value_col].combine_chunks().drop_null()
+        if len(cand) == 0:
+            col = col.slice(0, 0)
+        else:
+            col = col.filter(pc.is_in(col, value_set=cand))
+        items, cnt = _value_counts(col)
+        return pa.table({value_col: items, "cnt": pa.array(cnt, pa.int64())})
+
+    return (
+        ds.map_batches(rescore, batch_format="pyarrow", batch_size=None)
+        .groupby(value_col)
+        .sum("cnt")
+        .map_batches(
+            lambda t: pa.table(
+                {value_col: t[value_col], "cnt": t["sum(cnt)"]}
+            ).filter(pc.greater_equal(t["sum(cnt)"], threshold)),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )

@@ -15,7 +15,8 @@ def test_api_surface_importable():
         "windows": ["tumbling_window_agg", "sliding_window_agg",
                     "session_windows", "rolling_agg"],
         "quantiles": ["quantile_cont", "grouped_quantile_cont",
-                      "approx_quantile_hist", "exact_order_stats"],
+                      "approx_quantile_hist", "exact_order_stats",
+                      "winsorize", "grouped_mad", "mad_outliers"],
         "scan": ["ordered_prefix_sum", "pack_sequences", "shuffle_rank",
                  "rank_rows", "global_ntile"],
         "sampling": ["hash_sample", "stratified_hash_sample", "hash_split",
@@ -28,7 +29,7 @@ def test_api_surface_importable():
                   "dedup_keep_representatives"],
         "similarity": ["knn_cosine", "lsh_knn_cosine", "ivf_knn_cosine",
                        "embedding_cosine_dups"],
-        "sketches": ["hll_distinct"],
+        "sketches": ["hll_distinct", "heavy_hitters"],
         "multimodal": ["decode_images", "resize_images", "sample_frames"],
     }
     for group, names in groups.items():

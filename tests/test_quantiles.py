@@ -224,3 +224,120 @@ def test_histogram_matches_numpy(ray_session):
     assert list(g1["bin"]) == [0] and list(g1["n"]) == [10]
     with pytest.raises(ValueError):
         histogram(rd.from_pandas(one), "value", bins=0)
+
+
+def test_winsorize_matches_duckdb_and_nan_passthrough(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import winsorize
+
+    rng = np.random.default_rng(11)
+    v = rng.lognormal(2, 1.5, 5000)
+    v[::97] = np.nan
+    ids = np.arange(v.size)
+    ds = rd.from_pandas(pd.DataFrame({"i": ids, "x": v})).repartition(7)
+    got = (
+        winsorize(ds, "x", p_lo=0.05, p_hi=0.95)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """
+        WITH v AS (SELECT unnest($i) i, unnest($v) x),
+        q AS (SELECT quantile_cont(x, 0.05) lo, quantile_cont(x, 0.95) hi
+              FROM v WHERE NOT isnan(x))
+        SELECT i, CASE WHEN isnan(x) THEN x
+                       ELSE least(greatest(x, lo), hi) END AS x_w
+        FROM v, q ORDER BY i
+        """,
+        params={"i": ids.tolist(), "v": v.tolist()},
+    ).df()
+    nan = np.isnan(v)
+    assert np.isnan(got["x_w"].to_numpy()[nan]).all()  # NaN passthrough
+    ok = ~nan
+    assert (got["x_w"].to_numpy()[ok] == exp["x_w"].to_numpy()[ok]).all()
+    # the clip really clipped something on a lognormal tail
+    assert (got["x_w"].to_numpy()[ok] != v[ok]).any()
+    with pytest.raises(ValueError):
+        winsorize(ds, "x", p_lo=0.9, p_hi=0.1)
+
+
+def _mad_frame():
+    rng = np.random.default_rng(23)
+    n = 4000
+    key = rng.integers(0, 37, n)
+    # large offset: the segment-baseline/robust path must not cancel
+    x = 1e6 + rng.normal(0, 2.0, n) + key * 10.0
+    x[::211] = np.nan
+    kf = key.astype(float)
+    kf[::149] = np.nan  # null keys must be dropped
+    return pd.DataFrame(
+        {"i": np.arange(n), "k": pd.array(kf).astype("Int64"), "x": x}
+    )
+
+
+def test_grouped_mad_bitexact_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import grouped_mad
+
+    df = _mad_frame()
+    outs = []
+    for p in (1, 11):
+        ds = rd.from_pandas(df).repartition(p)
+        got = (
+            grouped_mad(ds, "k", "x", num_partitions=5)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    exp = duckdb.sql(
+        """
+        WITH v AS (SELECT * FROM df WHERE k IS NOT NULL AND NOT isnan(x)),
+        med AS (SELECT k, quantile_cont(x, 0.5) med FROM v GROUP BY k)
+        SELECT v.k, any_value(m.med) AS med,
+               quantile_cont(abs(v.x - m.med), 0.5) AS mad
+        FROM v JOIN med m USING (k) GROUP BY v.k ORDER BY v.k
+        """
+    ).df()
+    got = outs[0]
+    assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (got["med"].to_numpy() == exp["med"].to_numpy()).all()
+    assert (got["mad"].to_numpy() == exp["mad"].to_numpy()).all()
+
+
+def test_mad_outliers_flags_match_sql(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import mad_outliers
+
+    df = _mad_frame()
+    ds = rd.from_pandas(df).repartition(6)
+    got = (
+        mad_outliers(ds, "k", "x", thresh=2.0, num_partitions=4)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """
+        WITH v AS (SELECT * FROM df WHERE k IS NOT NULL AND NOT isnan(x)),
+        med AS (SELECT k, quantile_cont(x, 0.5) med FROM v GROUP BY k),
+        mad AS (SELECT v.k, quantile_cont(abs(v.x - m.med), 0.5) mad
+                FROM v JOIN med m USING (k) GROUP BY v.k)
+        SELECT v.i, abs(v.x - med) AS dev,
+               (abs(v.x - med) > 2.0 * mad) AS is_outlier
+        FROM v JOIN med USING (k) JOIN mad USING (k) ORDER BY v.i
+        """
+    ).df()
+    # null-key / NaN-value rows dropped on both sides
+    assert len(got) == len(exp)
+    assert (got["i"].to_numpy() == exp["i"].to_numpy()).all()
+    assert (got["dev"].to_numpy() == exp["dev"].to_numpy()).all()
+    assert (
+        got["is_outlier"].to_numpy() == exp["is_outlier"].to_numpy()
+    ).all()
+    assert got["is_outlier"].any() and not got["is_outlier"].all()
