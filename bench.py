@@ -303,6 +303,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ewma(ev_roll).count()
         timings["events_ewma"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.quantiles import (
+            mad_outliers,
+            winsorize,
+        )
+        from light_curve_feature_ray.pipelines.sketches import heavy_hitters
+
+        ev_users = rd.read_parquet(events_path, columns=["user_id"])
+        t0 = time.perf_counter()
+        heavy_hitters(ev_users, "user_id", min_frac=0.008).count()
+        timings["events_heavy_users"] = round(time.perf_counter() - t0, 3)
+        ev_win = rd.read_parquet(events_path, columns=["event_id", "value"])
+        t0 = time.perf_counter()
+        winsorize(ev_win, "value").count()
+        timings["events_winsorized"] = round(time.perf_counter() - t0, 3)
+        ev_mad = rd.read_parquet(
+            events_path, columns=["event_id", "user_id", "value"]
+        )
+        t0 = time.perf_counter()
+        mad_outliers(ev_mad, "user_id", "value", thresh=2.5).count()
+        timings["events_mad_outliers"] = round(time.perf_counter() - t0, 3)
+
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
             pack_sequences,

@@ -441,11 +441,12 @@ def heavy_hitters(
     partitioning, block order and retries. Null values are excluded
     (mirrored by the twin's ``IS NOT NULL``).
 
-    ``ds`` is consumed twice (counting pass + rescore pass): pass a
+    ``ds`` is consumed twice (MG pass + rescore pass), plus an initial
+    single-column count pass when ``total_rows`` is not given: pass a
     source-backed Dataset (e.g. the ``read_parquet`` output) or
     materialize the input first, otherwise upstream transforms re-execute
     per pass. ``total_rows`` (non-null rows of ``value_col``) skips the
-    initial count when the caller already knows it."""
+    count pass when the caller already knows it."""
     import math
 
     import pyarrow as pa
