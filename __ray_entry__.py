@@ -2027,6 +2027,42 @@ GROUP BY event_type
 """
 
 
+def q_events_mode(sf_dir: str):
+    """Exact per-user MODE of event_type (pipelines/aggregates.py
+    group_mode): block-local (key, value) pair-count combiner, one
+    pair-keyed groupby-sum, then a key-hash repartition of the tiny
+    pair table and a vectorized block argmax. Ties break to the
+    lexicographically smallest value (deterministic at any
+    parallelism, unlike DuckDB's arrival-order mode())."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import group_mode
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return group_mode(ev, key_col="user_id", value_col="event_type")
+
+
+SQL_EVENTS_MODE = """
+WITH c AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+), r AS (
+    SELECT user_id, event_type, cnt,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY cnt DESC, event_type ASC
+           ) AS rn,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_values
+    FROM c
+)
+SELECT user_id, event_type AS mode_value, cnt AS mode_count, n_values
+FROM r WHERE rn = 1
+"""
+
+
 HIST_BINS = 32
 
 
@@ -2232,6 +2268,62 @@ alldocs AS (
 )
 SELECT a.doc_id, a.n AS n_tokens,
        round(CASE WHEN a.n > 0 THEN -p.lp / a.n END, 6) AS avg_neg_logprob
+FROM alldocs a LEFT JOIN persum p USING (doc_id)
+"""
+
+
+def q_doc_dsir_weights(sf_dir: str):
+    """DSIR importance weight per document (pipelines/text.py
+    dsir_weights, Xie et al. 2023): sum over tokens of
+    ln p_target - ln p_raw with add-one-smoothed unigram LMs (target =
+    lang='en' docs, raw = whole corpus, shared corpus vocabulary). One
+    counts pass producing both LMs, broadcast (term, log-ratio) table,
+    one vectorized scoring pass."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import dsir_weights
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return _finalize(
+        dsir_weights(docs, target_col="lang", target_value="en"), skip=()
+    )
+
+
+SQL_DOC_DSIR_WEIGHTS = rf"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(regexp_extract_all(lower(coalesce(text, '')),
+                  '{_TOKEN_REGEX}')) AS term
+    FROM documents
+),
+cnt AS (
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS c_raw,
+           CAST(count(*) FILTER (WHERE coalesce(lang, '') = 'en')
+                AS BIGINT) AS c_tgt
+    FROM toks GROUP BY term
+),
+tot AS (SELECT (SELECT count(*) FROM toks) AS t_raw,
+               (SELECT count(*) FROM toks
+                WHERE coalesce(lang, '') = 'en') AS t_tgt,
+               (SELECT count(*) FROM cnt) AS v),
+persum AS (
+    SELECT tk.doc_id,
+           sum(ln((cnt.c_tgt + 1.0) / (tot.t_tgt + tot.v))
+               - ln((cnt.c_raw + 1.0) / (tot.t_raw + tot.v))) AS lw
+    FROM toks tk JOIN cnt USING (term) CROSS JOIN tot
+    GROUP BY tk.doc_id
+),
+alldocs AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                '{_TOKEN_REGEX}')) AS BIGINT) AS n
+    FROM documents
+)
+SELECT a.doc_id, a.n AS n_tokens,
+       round(coalesce(p.lw, 0.0), 6) AS log_importance
 FROM alldocs a LEFT JOIN persum p USING (doc_id)
 """
 
@@ -2851,6 +2943,23 @@ def q_emb_semantic_dedup(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return semantic_dedup(emb, threshold=0.8)
+
+
+def q_emb_kcenter_sample(sf_dir: str):
+    """Greedy k-center diversity sample (pipelines/similarity.py
+    kcenter_sample): farthest-first selection over cosine distance,
+    smallest-id seed, deterministic ties. Rows-only by design (greedy
+    iterative selection is not SQL-expressible); driver-path ==
+    distributed-rounds parity and planted-cluster coverage pinned in
+    tests/test_text_similarity.py."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.similarity import kcenter_sample
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return _finalize(kcenter_sample(emb, k=16), skip=())
 
 
 def q_doc_minhash_dups(sf_dir: str):
@@ -4090,6 +4199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_users": q_events_heavy_users,
         "events_winsorized": q_events_winsorized,
         "events_mad_outliers": q_events_mad_outliers,
+        "events_mode": q_events_mode,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "emb_kcenter_sample": q_emb_kcenter_sample,
         # -- headline / changed-this-round re-checks (34-50) ---------------
         "turns_clean": q_turns_clean,
         "rollup_1m_stats": q_rollup_1m_stats,
@@ -4108,11 +4220,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
         "lineitem_orders_join": q_lineitem_orders_join,
+        "events_zscore": q_events_zscore,
+        # -- green in r01-r03 driver files (51+) ---------------------------
+        # (doc_exact_dedup / events_grouping_sets / events_value_quantiles
+        #  moved below the ~50-entry window for the three round-4 query
+        #  additions above: green in r02/r03 driver files and unchanged)
         "doc_exact_dedup": q_doc_exact_dedup,
         "events_grouping_sets": q_events_grouping_sets,
         "events_value_quantiles": q_events_value_quantiles,
-        "events_zscore": q_events_zscore,
-        # -- green in r01-r03 driver files (51+) ---------------------------
         "conv_moments": q_conv_moments,
         "rollup_1m_quantiles": q_rollup_1m_quantiles,
         "rollup_1h_by_band": q_rollup_1h_by_band,
@@ -4204,6 +4319,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": SQL_EVENTS_VALUE_HISTOGRAM,
         "events_json_props": SQL_EVENTS_JSON_PROPS,
         "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
+        "events_mode": SQL_EVENTS_MODE,
+        "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
         "lineitem_corr": SQL_LINEITEM_CORR,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,

@@ -63,6 +63,7 @@ from .pipelines.aggregates import (  # noqa: F401
     group_corr,
     group_count_distinct,
     group_linear_trend,
+    group_mode,
     grouping_sets_agg,
     last_value_per_key,
 )
@@ -112,6 +113,7 @@ from .pipelines.sampling import (  # noqa: F401
 from .pipelines.text import (  # noqa: F401
     boilerplate_score,
     chunk_text,
+    dsir_weights,
     exact_dedup,
     fingerprint,
     json_extract_fields,
@@ -141,6 +143,7 @@ from .pipelines.similarity import (  # noqa: F401
     embedding_cosine_dups,
     group_centroid,
     ivf_knn_cosine,
+    kcenter_sample,
     knn_cosine,
     lsh_knn_cosine,
     semantic_dedup,

@@ -467,3 +467,89 @@ def group_count_distinct(ds, *, key_col: str, value_col: str):
             batch_size=None,
         )
     )
+
+
+def group_mode(
+    ds,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "event_type",
+    num_partitions: int | None = None,
+):
+    """Exact per-key MODE: the most frequent ``value_col`` per key, ties
+    broken by the LEXICOGRAPHICALLY SMALLEST value (deterministic at any
+    parallelism — SQL's row_number() OVER (PARTITION BY key ORDER BY
+    cnt DESC, value ASC) = 1, NOT DuckDB's arrival-order ``mode()``).
+    NULL values and NULL keys are dropped (SQL aggregate semantics /
+    the shuffle-key rule of :func:`group_count_distinct`) — mirror with
+    ``WHERE key IS NOT NULL AND value IS NOT NULL`` in SQL twins.
+
+    Returns (key, mode_value, mode_count, n_values) where ``n_values``
+    is the key's distinct non-null value count (free byproduct of the
+    pair table).
+
+    Scale shape: block-local (key, value) pair counts (Arrow hash
+    group_by — each block ships one partial row per pair, never data
+    rows), ONE pair-keyed groupby-sum for exact global counts, then a
+    hash repartition of the tiny pair table by key and a vectorized
+    block argmax. The argmax CANNOT be a block-local combiner before
+    the sum (a value's count is split across blocks), which is why the
+    pair table — not the raw rows — pays the second, key-cardinality
+    exchange.
+    """
+    import pyarrow.compute as pc
+
+    from .windows import _with_part
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, value_col]).combine_chunks()
+        t = t.filter(
+            pc.and_(pc.is_valid(t[value_col]), pc.is_valid(t[key_col]))
+        )
+        g = t.group_by([key_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, value_col, "cnt"])
+
+    counted = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby([key_col, value_col])
+        .sum("cnt")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        cnt = t["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if keys.size == 0:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    "mode_value": t[value_col],
+                    "mode_count": pa.array(cnt),
+                    "n_values": pa.array(cnt),
+                }
+            )
+        # primary key asc, then cnt desc, then value asc -> the first
+        # row of each key segment is the mode under the documented tie
+        order = np.lexsort((vals, -cnt, keys))
+        k_s, v_s, c_s = keys[order], vals[order], cnt[order]
+        first = np.r_[True, k_s[1:] != k_s[:-1]]
+        seg_id = np.cumsum(first) - 1
+        n_values = np.bincount(seg_id)
+        sel = np.flatnonzero(first)
+        return pa.table(
+            {
+                key_col: pa.array(k_s[sel]).cast(t.schema.field(key_col).type),
+                "mode_value": pa.array(v_s[sel]).cast(
+                    t.schema.field(value_col).type
+                ),
+                "mode_count": pa.array(c_s[sel]),
+                "n_values": pa.array(n_values.astype(np.int64)),
+            }
+        )
+
+    return (
+        _with_part(counted, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(finish, batch_format="pyarrow")
+    )

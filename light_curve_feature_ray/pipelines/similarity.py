@@ -849,3 +849,172 @@ def group_centroid(emb_ds, *, key: str = "label", emb_col: str = "embedding"):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def kcenter_sample(
+    emb_ds,
+    *,
+    k: int = 32,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    method: str = "auto",
+    max_driver_rows: int = 2_000_000,
+):
+    """Greedy k-center (farthest-first / Gonzalez) diversity sample over
+    cosine distance — the coreset-selection step of diversity-aware
+    data curation (k-Center coresets, Sener & Savarese 2018): seed with
+    the smallest id, then repeatedly add the point farthest from the
+    chosen set (distance = 1 - cosine; ties -> smallest id, so the
+    output is deterministic at any parallelism). Returns one row per
+    selected point, (sel_rank, id, min_dist) where ``min_dist`` is the
+    point's distance to the previously chosen centers at selection time
+    (NaN for the rank-0 seed); min_dist is non-increasing and the last
+    value bounds the corpus covering radius.
+
+    Sized-to-data routing (the ``connected_components_min_label``
+    precedent): corpora up to ``max_driver_rows`` pull the normalized
+    matrix to the driver and run the k numpy rounds in-process — greedy
+    selection is inherently sequential, and at this size k tiny gemms
+    beat k distributed barriers. Above the bound (``method='rounds'``
+    forces it) the input normalizes and materializes ONCE (object
+    store, spillable); each round broadcasts the center matrix chosen
+    so far, one streaming map_batches computes per-point min distance
+    and a block-local top-1 candidate, and the driver reduces
+    num_blocks candidate rows — per-round driver traffic is O(blocks *
+    d), never O(N). Both paths must stay selection-identical (the
+    parity test runs both).
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if method not in ("auto", "driver", "rounds"):
+        raise ValueError(f"unknown method {method!r}")
+
+    def _result(ids_sel, dists_sel, id_type):
+        n = len(ids_sel)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "sel_rank": pa.array(np.arange(n, dtype=np.int64)),
+                    id_col: pa.array(np.asarray(ids_sel)).cast(id_type),
+                    "min_dist": pa.array(np.asarray(dists_sel, dtype=np.float64)),
+                }
+            )
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mat = _normalize(_arrow_matrix(batch[emb_col]))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "_e": _norm_list_array(mat) if ids.size else pa.array(
+                    [], type=pa.large_list(pa.float64())
+                ),
+            }
+        )
+
+    norm = emb_ds.map_batches(
+        prep, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    id_type = norm.schema().base_schema.field(id_col).type
+    n_total = norm.count()
+    if n_total == 0:
+        return _result([], [], id_type)
+    k = min(k, n_total)
+
+    if method == "driver" or (method == "auto" and n_total <= max_driver_rows):
+        import ray
+
+        t = pa.concat_tables(
+            ray.get(norm.to_arrow_refs()), promote_options="default"
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mat = _arrow_matrix(t["_e"])
+        order = np.argsort(ids)  # seed + tie rule need id order
+        ids, mat = ids[order], mat[order]
+        sel = [0]
+        dists = [np.nan]
+        mind = np.full(ids.shape[0], np.inf)
+        for _ in range(k - 1):
+            mind = np.minimum(mind, 1.0 - mat @ mat[sel[-1]])
+            nxt = int(np.argmax(mind))  # argmax takes FIRST max = min id
+            sel.append(nxt)
+            dists.append(float(mind[nxt]))
+        return _result(ids[sel], dists, id_type)
+
+    # distributed rounds: one streaming pass per selection
+    import ray
+
+    def block_min_id(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.take(pa.array([int(np.argmin(ids))]))
+
+    seed_t = pa.concat_tables(
+        ray.get(
+            norm.map_batches(
+                block_min_id, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    s_ids = seed_t[id_col].to_numpy(zero_copy_only=False)
+    pick = int(np.argmin(s_ids))
+    sel_ids = [s_ids[pick]]
+    dists = [np.nan]
+    centers = _arrow_matrix(seed_t["_e"])[pick][None, :]
+
+    def far_candidate(cents_ref):
+        def f(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    id_col: pa.array([], type=id_type),
+                    "_e": pa.array([], type=pa.large_list(pa.float64())),
+                    "_d": pa.array([], type=pa.float64()),
+                }
+            )
+            if batch.num_rows == 0:
+                return empty
+            c = ray.get(cents_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            mat = _arrow_matrix(batch["_e"])
+            mind = (1.0 - mat @ c.T).min(axis=1)
+            # block top-1 under (max dist, min id): among rows at the
+            # max, argmin id — associative, so block winners reduce to
+            # the global winner
+            at_max = np.flatnonzero(mind == mind.max())
+            j = int(at_max[np.argmin(ids[at_max])])
+            return pa.table(
+                {
+                    id_col: batch[id_col].take(pa.array([j])),
+                    "_e": batch["_e"].take(pa.array([j])),
+                    "_d": pa.array([float(mind[j])]),
+                }
+            )
+
+        return f
+
+    for _ in range(k - 1):
+        cents_ref = ray.put(centers)
+        cand = pa.concat_tables(
+            ray.get(
+                norm.map_batches(
+                    far_candidate(cents_ref),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                ).to_arrow_refs()
+            ),
+            promote_options="default",
+        )
+        d = cand["_d"].to_numpy(zero_copy_only=False)
+        c_ids = cand[id_col].to_numpy(zero_copy_only=False)
+        at_max = np.flatnonzero(d == d.max())
+        j = int(at_max[np.argmin(c_ids[at_max])])
+        sel_ids.append(c_ids[j])
+        dists.append(float(d[j]))
+        centers = np.vstack([centers, _arrow_matrix(cand["_e"])[j][None, :]])
+    return _result(sel_ids, dists, id_type)

@@ -1984,3 +1984,128 @@ def json_extract_fields(
         return pa.table(out)
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def dsir_weights(
+    docs_ds,
+    *,
+    target_col: str = "lang",
+    target_value: str = "en",
+    max_vocab_broadcast: int = 5_000_000,
+):
+    """DSIR-style importance weight per document (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    log w(doc) = sum over tokens of ln p_target(t) - ln p_raw(t), where
+    p_target is the add-one-smoothed unigram LM fit on the documents
+    whose ``target_col`` equals ``target_value`` and p_raw is the same
+    LM fit on the whole corpus, both smoothed over the SHARED corpus
+    vocabulary (V = corpus distinct terms). Positive = the document
+    looks more like the target domain than the raw corpus; feeding
+    exp(log_importance) into a Gumbel top-k gives the paper's sampler.
+    DSIR hashes n-grams into buckets to bound the feature space; with a
+    broadcast-bounded exact unigram vocabulary the hashing step is
+    unnecessary and exact counts are used (the same trade
+    :func:`lm_score` makes vs. KenLM).
+
+    Output (doc_id, n_tokens, log_importance); empty documents weigh
+    0.0 (an empty product of ratios — mirror with ``coalesce(lw, 0.0)``
+    in SQL twins).
+
+    Scale shape: ONE counts pass produces both LMs (block-local
+    value_counts combiner carrying a raw and a target partial per term,
+    one vocabulary-sized groupby-sum); the (term, log-ratio) table is
+    broadcast ONCE via ``ray.put`` (loud ``max_vocab_broadcast``
+    bound); scoring is one map_batches with a vectorized polars join +
+    group sum — identical shape to :func:`lm_score`."""
+    import polars as pl
+
+    import ray
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        # cast before fill_null: an all-null block arrives null-typed
+        is_tgt = pc.equal(
+            pc.fill_null(pc.cast(batch[target_col], pa.string()), ""),
+            pa.scalar(target_value),
+        )
+        toks = _tokens_long(batch["text"]).rename({"w": "term"})
+        tgt_rows = np.flatnonzero(
+            is_tgt.to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        flagged = toks.with_columns(
+            pl.col("i").is_in(tgt_rows).cast(pl.Int64).alias("t")
+        )
+        agg = flagged.group_by("term").agg(
+            pl.len().cast(pl.Int64).alias("cnt_raw"),
+            pl.col("t").sum().alias("cnt_tgt"),
+        )
+        return agg.to_arrow().cast(
+            pa.schema(
+                [("term", pa.string()), ("cnt_raw", pa.int64()),
+                 ("cnt_tgt", pa.int64())]
+            )
+        )
+
+    counts_ds = (
+        docs_ds.map_batches(
+            count_partial, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("term")
+        .sum(["cnt_raw", "cnt_tgt"])
+    )
+    vocab = pa.concat_tables(
+        ray.get(counts_ds.to_arrow_refs()), promote_options="default"
+    )
+    if vocab.num_rows > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary has {vocab.num_rows} terms > max_vocab_broadcast="
+            f"{max_vocab_broadcast}; shuffle docs by term instead"
+        )
+    c_raw = vocab["sum(cnt_raw)"].to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    c_tgt = vocab["sum(cnt_tgt)"].to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    t_raw, t_tgt = float(c_raw.sum()), float(c_tgt.sum())
+    v_size = float(vocab.num_rows)
+    # per-term addend, computed EXACTLY as the SQL twin's per-token
+    # expression: ln((c_tgt+1)/(T_tgt+V)) - ln((c_raw+1)/(T_raw+V))
+    lw_v = np.log((c_tgt + 1.0) / (t_tgt + v_size)) - np.log(
+        (c_raw + 1.0) / (t_raw + v_size)
+    )
+    lm = pl.DataFrame(
+        {
+            "term": pl.from_arrow(vocab["term"].cast(pa.string())),
+            "lw": lw_v,
+        }
+    )
+    lm_ref = ray.put(lm)
+    floor_lw = (
+        float(np.log(1.0 / (t_tgt + v_size)) - np.log(1.0 / (t_raw + v_size)))
+        if v_size > 0
+        else 0.0
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        model = ray.get(lm_ref)
+        toks = _tokens_long(batch["text"]).rename({"w": "term"})
+        n_tok = np.bincount(
+            toks["i"].to_numpy(), minlength=batch.num_rows
+        ).astype(np.int64)
+        long = (
+            toks.join(model, on="term", how="left")
+            .with_columns(pl.col("lw").fill_null(floor_lw))
+            .group_by("i")
+            .agg(pl.col("lw").sum())
+        )
+        lw_sum = np.zeros(batch.num_rows, dtype=np.float64)
+        lw_sum[long["i"].to_numpy()] = long["lw"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "log_importance": pa.array(lw_sum),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -311,3 +311,58 @@ def test_group_count_distinct(ray_session):
     )
     assert list(got["k"]) == list(want.index)
     assert list(got["n_distinct"]) == list(want.values)
+
+
+def test_group_mode(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import group_mode
+
+    rng = np.random.default_rng(23)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, size=n).astype(np.int64),
+            "v": rng.choice(list("abcde"), size=n),
+        }
+    )
+    df.loc[df.index % 11 == 0, "v"] = None  # null values don't count
+
+    def want_frame(frame):
+        c = (
+            frame.dropna(subset=["v"])
+            .groupby(["k", "v"])
+            .size()
+            .reset_index(name="cnt")
+        )
+        # max count, ties -> lexicographically smallest value
+        c = c.sort_values(["k", "cnt", "v"], ascending=[True, False, True])
+        top = c.groupby("k").first().reset_index()
+        top["n_values"] = (
+            c.groupby("k")["v"].count().reindex(top["k"]).to_numpy()
+        )
+        return top
+
+    want = want_frame(df)
+    got = (
+        group_mode(
+            rd.from_pandas(df).repartition(7), key_col="k", value_col="v"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == list(want["k"])
+    assert list(got["mode_value"]) == list(want["v"])
+    assert list(got["mode_count"]) == list(want["cnt"])
+    assert list(got["n_values"]) == list(want["n_values"])
+    # partition invariance (the tie rule must not depend on layout)
+    again = (
+        group_mode(
+            rd.from_pandas(df).repartition(23), key_col="k", value_col="v"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)

@@ -543,3 +543,108 @@ def test_histogram_all_null_guard(ray_session):
     df = pd.DataFrame({"value": [np.nan, np.nan, np.nan]})
     with pytest.raises(ValueError, match="all-null"):
         histogram(rd.from_pandas(df), "value", bins=4)
+
+
+def test_group_mode_oracle_null_parity(ray_session, entry_mod):
+    """group_mode vs the ACTUAL SQL_EVENTS_MODE twin over a table with
+    null keys, null values, and a genuine count tie (the tie must break
+    to the lexicographically smallest value on both sides)."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import group_mode
+
+    df = pd.DataFrame(
+        {
+            "user_id": pd.array(
+                [1, 1, 1, 2, 2, None, 3, 3, 2, 2], dtype="Int64"
+            ),
+            # user 2: 'a' x2 vs 'c' x2 -> tie, mode must be 'a'
+            # user 3: only null values -> absent from output
+            "event_type": [
+                "b", "b", "a", "c", "a", "b", None, None, "a", "c",
+            ],
+        }
+    )
+    ds = rd.from_pandas(df)
+    got = (
+        group_mode(ds, key_col="user_id", value_col="event_type")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_MODE)
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["user_id"]) == list(want["user_id"]) == [1, 2]
+    assert list(got["mode_value"]) == list(want["mode_value"]) == ["b", "a"]
+    assert list(got["mode_count"]) == list(want["mode_count"]) == [2, 2]
+    assert list(got["n_values"]) == list(want["n_values"]) == [2, 2]
+
+
+def test_dsir_weights_oracle_null_parity(ray_session, entry_mod):
+    """dsir_weights vs the ACTUAL SQL_DOC_DSIR_WEIGHTS twin over a
+    table with null text (counts as empty, weight 0.0) and null lang
+    (not target). Also pins the naive-numpy value on a tiny corpus."""
+    import math
+
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import dsir_weights
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "cat dog cat",
+                "dog dog fish",
+                None,
+                "",
+                "cat fish fish cat",
+                "bird",
+            ],
+            "lang": ["en", "de", "en", None, "en", "de"],
+        }
+    )
+    ds = rd.from_pandas(df)
+    got = (
+        dsir_weights(ds, target_col="lang", target_value="en")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (
+        con.execute(entry_mod.SQL_DOC_DSIR_WEIGHTS)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["n_tokens"]) == list(want["n_tokens"])
+    _cmp_float(_round6(got["log_importance"]), want["log_importance"])
+    # null text weighs exactly 0.0 on both sides
+    assert got.loc[2, "log_importance"] == 0.0
+    assert got.loc[3, "log_importance"] == 0.0
+    # naive check for doc 5 ("bird", non-target):
+    # corpus: cat x4, dog x3, fish x3, bird x1 -> T_raw=11, V=4
+    # target (en docs 0,2,4): cat x4, dog x1, fish x2 -> T_tgt=7
+    lw_bird = math.log((0 + 1) / (7 + 4)) - math.log((1 + 1) / (11 + 4))
+    assert abs(got.loc[5, "log_importance"] - lw_bird) < 1e-12
+    # partition invariance
+    again = (
+        dsir_weights(
+            rd.from_pandas(df).repartition(4),
+            target_col="lang",
+            target_value="en",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    _cmp_float(got["log_importance"], again["log_importance"])

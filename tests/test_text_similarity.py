@@ -896,3 +896,77 @@ def test_json_extract_fields(ray_session):
         json_extract_fields(
             rd.from_pandas(df), json_col="props", fields={"k": ("$.k", "int32")}
         )
+
+
+def test_kcenter_sample_paths_agree_and_cover(ray_session):
+    """Greedy k-center: the driver numpy fast path and the distributed
+    rounds path select IDENTICAL points; with k = number of planted
+    clusters every cluster contributes exactly one center; min_dist is
+    non-increasing; selection is partition-invariant."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.similarity import kcenter_sample
+
+    rng = np.random.default_rng(41)
+    n_clusters, per = 6, 40
+    cents = rng.normal(size=(n_clusters, 12))
+    X = np.vstack(
+        [c + 0.03 * rng.normal(size=(per, 12)) for c in cents]
+    ).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_clusters * per, dtype=np.int64),
+            "embedding": list(X),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)
+    a = kcenter_sample(ds, k=n_clusters, method="driver").to_pandas()
+    b = kcenter_sample(ds, k=n_clusters, method="rounds").to_pandas()
+    assert list(a["vec_id"]) == list(b["vec_id"])
+    np.testing.assert_allclose(
+        a["min_dist"][1:], b["min_dist"][1:], rtol=1e-9
+    )
+    # farthest-first covers every planted cluster exactly once
+    assert sorted(set(a["vec_id"] // per)) == list(range(n_clusters))
+    # coverage radius is non-increasing
+    d = a["min_dist"].to_numpy()[1:]
+    assert (np.diff(d) <= 1e-12).all()
+    assert np.isnan(a["min_dist"][0])
+    # partition invariance (different layout, same selection)
+    c = kcenter_sample(
+        rd.from_pandas(df).repartition(13), k=n_clusters, method="rounds"
+    ).to_pandas()
+    assert list(a["vec_id"]) == list(c["vec_id"])
+
+
+def test_kcenter_sample_edges(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.similarity import kcenter_sample
+
+    df = pd.DataFrame(
+        {
+            "vec_id": np.array([7, 3, 11], dtype=np.int64),
+            "embedding": [
+                np.array([1.0, 0.0], dtype=np.float32),
+                np.array([0.0, 1.0], dtype=np.float32),
+                np.array([-1.0, 0.0], dtype=np.float32),
+            ],
+        }
+    )
+    ds = rd.from_pandas(df)
+    # k > n clamps to n; seed is the SMALLEST id (3), then farthest
+    got = kcenter_sample(ds, k=10, method="driver").to_pandas()
+    assert list(got["vec_id"]) == [3, 7, 11] or list(got["vec_id"]) == [
+        3, 11, 7,
+    ]
+    assert len(got) == 3
+    # both orthogonal points are at distance 1.0 from the seed: the tie
+    # must break to the smaller id (7) on both paths
+    assert got["vec_id"][1] == 7
+    r = kcenter_sample(ds, k=10, method="rounds").to_pandas()
+    assert list(got["vec_id"]) == list(r["vec_id"])
+    with pytest.raises(ValueError):
+        kcenter_sample(ds, k=0)
+    with pytest.raises(ValueError):
+        kcenter_sample(ds, k=2, method="nope")
