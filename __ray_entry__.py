@@ -2063,6 +2063,171 @@ FROM r WHERE rn = 1
 """
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str):
+    """Greedy earliest-completion funnel view->click->purchase per user
+    (pipelines/windows.py funnel_steps): one key shuffle, then one
+    masked minimum.reduceat per step — N vector ops where the SQL twin
+    pays N-1 joins."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import funnel_steps
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel_steps(ev, steps=_FUNNEL_STEPS)
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type = '{_FUNNEL_STEPS[0]}'
+    GROUP BY 1
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+    GROUP BY 1
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+    GROUP BY 1
+), base AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT b.user_id, s1.t1, s2.t2, s3.t3,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS steps_completed
+FROM base b
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_events_state_intervals(sf_dir: str):
+    """SCD-2 validity intervals per user (pipelines/windows.py
+    state_intervals): each event's state holds from its timestamp to
+    the key's next event — lead(ts) with a deterministic (ts, id)
+    order; one key shuffle + one lexsort/shift per partition."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import state_intervals
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return state_intervals(ev)
+
+
+SQL_EVENTS_STATE_INTERVALS = """
+SELECT user_id, event_id, event_type AS state,
+       ts AS valid_from,
+       coalesce(
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+           TIMESTAMP '9999-12-31'
+       ) AS valid_to,
+       lead(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) IS NULL AS is_current
+FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
+"""
+
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def q_doc_weighted_sample(sf_dir: str):
+    """Efraimidis-Spirakis weighted sample without replacement
+    (pipelines/sampling.py weighted_sample): k largest ln(u)/w keys
+    with u from the SQL-reproducible Lehmer hash and w = n_chars;
+    block top-k combiner + one k-bounded reduce, corpus never
+    shuffles."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sampling import weighted_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return _finalize(
+        weighted_sample(
+            docs, WEIGHTED_SAMPLE_K, weight_col="n_chars", seed=11
+        ),
+        skip=(),
+    )
+
+
+_QUOTA_MIX = {"en": 40, "de": 30, "zh": 20}
+
+
+def q_doc_quota_sample(sf_dir: str):
+    """Exact per-group quota sample — the data-mixing primitive
+    (pipelines/sampling.py quota_sample): keep exactly quota_g rows per
+    lang, the smallest Lehmer-hash ids; block-local top-quota combiner,
+    one quota-bounded candidate shuffle, corpus never moves."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sampling import quota_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return quota_sample(docs, _QUOTA_MIX, group_col="lang", seed=3)
+
+
+def _sql_doc_quota_sample() -> str:
+    from light_curve_feature_ray.pipelines.sampling import lehmer_sql
+
+    values = ", ".join(f"('{g}', {q})" for g, q in _QUOTA_MIX.items())
+    return f"""
+WITH q(grp, quota) AS (VALUES {values}),
+s AS (
+    SELECT doc_id, lang, n_chars,
+           {lehmer_sql('doc_id', seed=3)} AS sample_h
+    FROM documents
+), r AS (
+    SELECT s.*, q.quota,
+           row_number() OVER (
+               PARTITION BY s.lang ORDER BY s.sample_h, s.doc_id
+           ) AS rn
+    FROM s JOIN q ON s.lang = q.grp
+)
+SELECT doc_id, lang, n_chars, sample_h FROM r WHERE rn <= quota
+"""
+
+
+def _sql_doc_weighted_sample() -> str:
+    from light_curve_feature_ray.pipelines.sampling import (
+        LEHMER_MOD,
+        lehmer_sql,
+    )
+
+    return f"""
+WITH s AS (
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+           {lehmer_sql('doc_id', seed=11)} AS h
+    FROM documents
+    WHERE doc_id IS NOT NULL AND n_chars > 0
+), keyed AS (
+    SELECT doc_id, w AS n_chars,
+           ln((h + 1.0) / {LEHMER_MOD + 1}.0) / w AS es_key
+    FROM s
+)
+SELECT doc_id, n_chars, round(es_key, 6) AS es_key
+FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
 HIST_BINS = 32
 
 
@@ -4158,9 +4323,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ~50 entries per round into CORRECTNESS_r{N}.json. Rotation plan
     # (round 4): positions 1-27 are the 27 queries that had never
     # appeared in any driver correctness file through r03 (the round-3
-    # curation/sketch/packing family), 28-33 are this round's new
-    # queries, 34-50 re-check the headline / heaviest pipelines plus
-    # every query whose code changed this round.
+    # curation/sketch/packing family), 28-39 are this round's new
+    # queries (rollup_full_tiers_sql .. doc_weighted_sample), 40-50
+    # re-check the headline / heaviest pipelines plus every query whose
+    # code changed this round (incl. events_zscore's cancellation fix
+    # and the Arrow-native minhash/simhash rewrites).
     # Everything from position 51 on is green in r01-r03 driver files.
     # Round-5 note: rotate any entry that misses r04 back to the front.
     return {
@@ -4202,29 +4369,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode": q_events_mode,
         "doc_dsir_weights": q_doc_dsir_weights,
         "emb_kcenter_sample": q_emb_kcenter_sample,
-        # -- headline / changed-this-round re-checks (34-50) ---------------
-        "turns_clean": q_turns_clean,
+        "events_funnel": q_events_funnel,
+        "events_state_intervals": q_events_state_intervals,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_quota_sample": q_doc_quota_sample,
+        # -- headline / changed-this-round re-checks (41-50) ---------------
         "rollup_1m_stats": q_rollup_1m_stats,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "rollup_1d_gapfill_linear": q_rollup_1d_gapfill_linear,
         "rollup_incremental": q_rollup_incremental,
         "rollup_full_tiers": q_rollup_full_tiers,
-        "conv_advanced": q_conv_advanced,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash_dups": q_doc_simhash_dups,
         "emb_cosine_dups": q_emb_cosine_dups,
+        "events_zscore": q_events_zscore,
+        # -- green in r01-r03 driver files (51+) ---------------------------
+        # (doc_exact_dedup / events_grouping_sets / events_value_quantiles
+        #  / events_asof_join / events_interval_join / lineitem_orders_join
+        #  / conv_advanced / knn_* / turns_clean moved below the ~50-entry
+        #  window for the seven round-4 query additions above: all appeared
+        #  in r01-r03 driver files and their code is unchanged this round)
+        "turns_clean": q_turns_clean,
+        "conv_advanced": q_conv_advanced,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
         "lineitem_orders_join": q_lineitem_orders_join,
-        "events_zscore": q_events_zscore,
-        # -- green in r01-r03 driver files (51+) ---------------------------
-        # (doc_exact_dedup / events_grouping_sets / events_value_quantiles
-        #  moved below the ~50-entry window for the three round-4 query
-        #  additions above: green in r02/r03 driver files and unchanged)
         "doc_exact_dedup": q_doc_exact_dedup,
         "events_grouping_sets": q_events_grouping_sets,
         "events_value_quantiles": q_events_value_quantiles,
@@ -4321,6 +4494,10 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
         "events_mode": SQL_EVENTS_MODE,
         "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
+        "events_funnel": SQL_EVENTS_FUNNEL,
+        "events_state_intervals": SQL_EVENTS_STATE_INTERVALS,
+        "doc_weighted_sample": _sql_doc_weighted_sample(),
+        "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
         "lineitem_corr": SQL_LINEITEM_CORR,
         "events_semi_join": SQL_EVENTS_SEMI_JOIN,

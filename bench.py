@@ -253,6 +253,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         lm_score(docs).count()
         timings["doc_lm_score"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.text import dsir_weights
+
+        docs_lang = rd.read_parquet(
+            docs_path, columns=["doc_id", "text", "lang"]
+        )
+        t0 = time.perf_counter()
+        dsir_weights(docs_lang, target_col="lang", target_value="en").count()
+        timings["doc_dsir_weights"] = round(time.perf_counter() - t0, 3)
+
     events_path = f"{sf_dir}/events.parquet"
     if os.path.exists(events_path):
         from light_curve_feature_ray.pipelines.windows import (
@@ -324,6 +333,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         mad_outliers(ev_mad, "user_id", "value", thresh=2.5).count()
         timings["events_mad_outliers"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.aggregates import group_mode
+
+        ev_mode = rd.read_parquet(
+            events_path, columns=["user_id", "event_type"]
+        )
+        t0 = time.perf_counter()
+        group_mode(ev_mode).count()
+        timings["events_mode"] = round(time.perf_counter() - t0, 3)
+
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
             pack_sequences,
@@ -382,6 +400,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         semantic_dedup(emb, threshold=0.8).count()
         timings["emb_semantic_dedup"] = round(time.perf_counter() - t0, 3)
+
+        from light_curve_feature_ray.pipelines.similarity import (
+            kcenter_sample,
+        )
+
+        t0 = time.perf_counter()
+        kcenter_sample(emb, k=16).count()
+        timings["emb_kcenter_sample"] = round(time.perf_counter() - t0, 3)
 
     li_path = f"{sf_dir}/lineitem.parquet"
     if os.path.exists(li_path) and os.path.exists(f"{sf_dir}/orders.parquet"):

@@ -71,12 +71,14 @@ from .pipelines.aggregates import (  # noqa: F401
 # --- windows -------------------------------------------------------------
 from .pipelines.windows import (  # noqa: F401
     ewma,
+    funnel_steps,
     rolling_agg,
     running_agg,
     rolling_time_agg,
     rolling_zscore,
     session_windows,
     sliding_window_agg,
+    state_intervals,
     tumbling_window_agg,
 )
 
@@ -105,8 +107,10 @@ from .pipelines.scan import (  # noqa: F401
 from .pipelines.sampling import (  # noqa: F401
     hash_sample,
     hash_split,
+    quota_sample,
     stratified_hash_sample,
     top_k_per_group,
+    weighted_sample,
 )
 
 # --- text analysis + dedup family ---------------------------------------

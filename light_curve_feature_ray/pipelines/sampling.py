@@ -279,3 +279,152 @@ def split_sql_case(
         for b, n in zip(bounds, names[:-1])
     ]
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def weighted_sample(
+    ds,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Deterministic weighted sampling WITHOUT replacement, exactly k
+    rows, via Efraimidis–Spirakis A-ES keys (Efraimidis & Spirakis
+    2006): key_i = ln(u_i) / w_i with u_i = (lehmer_hash(id)+1)/(M+1)
+    in (0, 1]; the k LARGEST keys are the sample — equivalent to
+    drawing without replacement with probability proportional to
+    weight, but reproducible from the ids alone (same rows on any
+    cluster / layout / retry — the :func:`hash_sample` property, with
+    weights). Ties break by ascending id. Rows with NULL or
+    non-positive weight are excluded (A-ES is undefined there) —
+    mirror with ``WHERE w > 0`` in SQL twins.
+
+    Returns (id, weight, es_key) for the k selected rows.
+
+    Scale shape: block-local key computation + block top-k combiner
+    (each block ships <= k candidate rows — top-k is associative), one
+    single-partition reduce re-running the identical kernel over
+    <= k * num_blocks candidates. The corpus never shuffles.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def _score_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        ok = np.isfinite(w) & (w > 0)
+        ids, w = ids[ok], w[ok]
+        h = lehmer_hash(ids.astype(np.int64), seed)
+        key = np.log((h + 1.0) / float(LEHMER_MOD + 1)) / w
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]).cast(
+                    batch.schema.field(id_col).type
+                ),
+                weight_col: pa.array(w[order]),
+                "es_key": pa.array(key[order]),
+            }
+        )
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        key = t["es_key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:k]
+        return t.take(pa.array(order))
+
+    candidates = ds.map_batches(
+        _score_topk, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        lambda t: t.append_column(
+            "part", pa.array(np.zeros(t.num_rows, dtype=np.int32))
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return candidates.groupby("part").map_groups(
+        _reduce, batch_format="pyarrow"
+    )
+
+
+def quota_sample(
+    ds,
+    quotas: Mapping,
+    *,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+):
+    """EXACT per-group quotas — the data-mixing primitive: keep exactly
+    ``quotas[g]`` rows of group ``g`` (fewer only if the group is
+    smaller), chosen as the rows with the SMALLEST Lehmer hash of their
+    id (ties by ascending id). Where :func:`stratified_hash_sample` is
+    Bernoulli (a RATE per group, binomial count noise),
+    ``quota_sample`` hits the mixture counts exactly — the knob a
+    training-mix spec ("100k of lang=de, 30k of lang=zh") actually
+    sets. Groups absent from ``quotas`` are dropped. Deterministic in
+    the ids alone, so resumable and layout-invariant like the other
+    samplers.
+
+    Returns the selected rows with a ``sample_h`` audit column.
+
+    Scale shape: block-local per-group top-quota combiner (smallest-
+    hash-k is associative, each block ships <= quota_g rows per group),
+    one hash shuffle of the quota-bounded candidate set, and the
+    identical kernel per partition. ``quotas`` is a small driver-side
+    dict broadcast with the task closure; the corpus never shuffles.
+    """
+    from .windows import _with_part
+
+    quotas = dict(quotas)
+    for g, q in quotas.items():
+        if q < 0:
+            raise ValueError(f"quota for {g!r} must be >= 0, got {q}")
+    keys = list(quotas)
+    qvals = np.array([quotas[k] for k in keys] + [0], dtype=np.int64)
+    key_set = pa.array(keys)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "sample_h" not in batch.column_names:
+            h = lehmer_hash(batch.column(id_col).to_numpy(), seed)
+            batch = batch.append_column(
+                "sample_h", pa.array(h, type=pa.int64())
+            )
+        idx = pc.fill_null(
+            pc.index_in(batch.column(group_col), value_set=key_set),
+            len(keys),
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        q = qvals[idx]
+        h = batch.column("sample_h").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        order = np.lexsort((ids, h, idx))
+        gs = idx[order]
+        new = np.r_[True, gs[1:] != gs[:-1]]
+        run_starts = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        offset = np.arange(n) - run_starts[gid]
+        keep = offset < q[order]
+        return batch.take(pa.array(np.sort(order[keep])))
+
+    candidates = _with_part(
+        ds.map_batches(_keep, batch_format="pyarrow", batch_size=None),
+        group_col,
+        num_partitions,
+    )
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        return _keep(t.drop_columns(["part"]))
+
+    return candidates.groupby("part").map_groups(
+        _reduce, batch_format="pyarrow"
+    )

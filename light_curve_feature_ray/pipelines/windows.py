@@ -684,3 +684,146 @@ def running_agg(
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def funnel_steps(
+    events_ds,
+    *,
+    steps: tuple,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int | None = None,
+):
+    """Greedy earliest-completion funnel per key: t_1 = min ts of a
+    step-1 event; t_k = min ts of a step-k event STRICTLY after
+    t_{k-1} — the standard product-analytics funnel (each step must
+    happen after the previous one; the greedy earliest choice is the
+    canonical definition and maximizes completion). Returns one row per
+    key, (key, t1..tN timestamps — NULL from the first unreached step
+    on, steps_completed). Keys whose every row has a NULL timestamp are
+    absent; NULL-key rows are dropped (mirror with ``WHERE key IS NOT
+    NULL AND ts IS NOT NULL`` in SQL twins).
+
+    Scale shape: ONE hash shuffle co-locating each key's rows, then a
+    single vectorized pass per partition — per step one masked
+    ``minimum.reduceat`` over the key segments (no per-key Python, no
+    joins); an unreached step poisons all later steps via a +inf
+    sentinel. N steps = N vector ops, not N self-joins (the SQL twin
+    pays N-1 joins instead).
+    """
+    if len(steps) == 0:
+        raise ValueError("steps must be non-empty")
+    steps = tuple(steps)
+    i_inf = np.iinfo(np.int64).max
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
+        g = g[g[key_col].notna()]
+        n = len(g)
+        keys = g[key_col].to_numpy()
+        t = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        types = g[type_col].to_numpy()
+        order = np.lexsort((t, keys))
+        keys, t, types = keys[order], t[order], types[order]
+        new_key = (
+            np.r_[True, keys[1:] != keys[:-1]] if n else np.empty(0, bool)
+        )
+        seg_starts = np.flatnonzero(new_key)
+        seg_id = np.cumsum(new_key) - 1
+        uniq = keys[seg_starts]
+        cols = {key_col: uniq}
+        # step 1 has no predecessor constraint: int64 min compares
+        # strictly below every valid timestamp (incl. pre-1970 epochs)
+        tprev = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        reached = np.ones(len(uniq), dtype=bool)
+        completed = np.zeros(len(uniq), dtype=np.int64)
+        for i, step in enumerate(steps):
+            if n:
+                mask = (types == step) & (t > tprev[seg_id])
+                tm = np.where(mask, t, i_inf)
+                tk = np.minimum.reduceat(tm, seg_starts)
+            else:
+                tk = np.empty(0, dtype=np.int64)
+            reached = reached & (tk != i_inf)
+            tk = np.where(reached, tk, i_inf)
+            completed += reached.astype(np.int64)
+            cols[f"t{i + 1}"] = pd.Series(
+                np.where(reached, tk, np.int64(0)).view("datetime64[us]")
+            ).mask(~reached)
+            tprev = tk
+        cols["steps_completed"] = completed
+        return pd.DataFrame(cols)
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def state_intervals(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "event_type",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """Validity intervals per key — the SCD-2 / temporal-table
+    materialization of an event stream: each row becomes a state valid
+    from its own timestamp until the key's NEXT event (SQL's
+    ``lead(ts) OVER (PARTITION BY key ORDER BY ts, id)``); each key's
+    latest state is OPEN-ENDED, marked ``is_current`` with the
+    conventional SCD-2 high date 9999-12-31 as ``valid_to`` (a sentinel
+    rather than NULL keeps the column comparable/indexable — mirror
+    with ``coalesce(lead(ts) OVER ..., TIMESTAMP '9999-12-31')``).
+    ``id_col`` breaks duplicate-timestamp ties deterministically (the
+    :func:`~.aggregates.last_value_per_key` rule). NULL-ts and
+    NULL-key rows are dropped — mirror with ``WHERE ts IS NOT NULL AND
+    key IS NOT NULL`` in SQL twins.
+
+    Scale shape: one hash shuffle co-locating each key's rows, one
+    lexsort + shift per partition — no per-row Python, no join.
+    """
+    high_date_us = (
+        np.datetime64("9999-12-31", "us").astype("int64")
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
+        g = g[g[key_col].notna()]
+        n = len(g)
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        t = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        order = np.lexsort((ids, t, keys))
+        keys, ids, t = keys[order], ids[order], t[order]
+        vals = g[value_col].to_numpy()[order]
+        last_of_key = (
+            np.r_[keys[1:] != keys[:-1], True] if n else np.empty(0, bool)
+        )
+        nxt = (
+            np.where(last_of_key, high_date_us, np.r_[t[1:], high_date_us])
+            if n
+            else np.empty(0, dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                key_col: keys,
+                id_col: ids,
+                "state": vals,
+                "valid_from": pd.Series(t.view("datetime64[us]")),
+                "valid_to": pd.Series(
+                    nxt.astype(np.int64).view("datetime64[us]")
+                ),
+                "is_current": last_of_key,
+            }
+        )
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -69,6 +69,21 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
                     f"col {c}: {len(bad)} value diffs, e.g. "
                     f"{av[~na][bad[:3]]} vs {bv[~nb][bad[:3]]}"
                 )
+        elif av.dtype.kind == "M":
+            # datetime: NaT == NaT must count as equal (the driver's
+            # hash compare goes through pandas where both sides are NaT)
+            na, nb = pd.isna(av), pd.isna(bv)
+            if not (na == nb).all():
+                problems.append(
+                    f"col {c}: NaT mask differs ({int(na.sum())} vs {int(nb.sum())})"
+                )
+                continue
+            neq = av[~na] != bv[~nb]
+            if neq.any():
+                problems.append(
+                    f"col {c}: {int(neq.sum())} diffs, e.g. "
+                    f"{av[~na][neq][:3]} vs {bv[~nb][neq][:3]}"
+                )
         else:
             neq = av != bv
             if neq.any():

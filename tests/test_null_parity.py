@@ -648,3 +648,101 @@ def test_dsir_weights_oracle_null_parity(ray_session, entry_mod):
         .reset_index(drop=True)
     )
     _cmp_float(got["log_importance"], again["log_importance"])
+
+
+def test_funnel_and_state_intervals_null_parity(ray_session, entry_mod):
+    """funnel_steps / state_intervals vs their ACTUAL SQL twins over a
+    table with NULL ts and NULL user_id rows (both dropped on both
+    sides), including an equal-timestamp step that must NOT count."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import (
+        funnel_steps,
+        state_intervals,
+    )
+
+    t0 = pd.Timestamp("2024-03-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(10, dtype=np.int64),
+            "user_id": pd.array(
+                [1, 1, 1, None, 2, 2, 2, 3, 3, 1], dtype="Int64"
+            ),
+            "ts": [
+                t0,
+                t0 + pd.Timedelta(seconds=1),
+                None,  # null ts dropped
+                t0,
+                t0 + pd.Timedelta(seconds=2),
+                t0 + pd.Timedelta(seconds=2),  # same-instant tie
+                t0 + pd.Timedelta(seconds=9),
+                None,  # user 3 has ONLY null-ts rows -> absent
+                None,
+                t0 + pd.Timedelta(seconds=4),
+            ],
+            "event_type": [
+                "view", "click", "purchase", "view", "view", "click",
+                "purchase", "view", "click", "purchase",
+            ],
+        }
+    )
+    # us resolution like the parquet testdata (an ns-typed ts column
+    # would make the twin's 9999-12-31 coalesce overflow TIMESTAMP_NS)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    ds = rd.from_pandas(df)
+    con = duckdb.connect()
+    con.register("events", df)
+
+    got_f = (
+        funnel_steps(
+            ds.map_batches(
+                lambda b: b.select(["user_id", "ts", "event_type"]),
+                batch_format="pyarrow",
+            ),
+            steps=("view", "click", "purchase"),
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want_f = (
+        con.execute(entry_mod.SQL_EVENTS_FUNNEL)
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(got_f["user_id"]) == list(want_f["user_id"]) == [1, 2]
+    for c in ("t1", "t2", "t3"):
+        a, b = got_f[c], want_f[c]
+        assert list(a.isna()) == list(b.isna())
+        assert (a.dropna() == b.dropna()).all()
+    # user 2: click at the SAME instant as view must not count -> 1 step
+    assert list(got_f["steps_completed"]) == list(
+        want_f["steps_completed"]
+    ) == [3, 1]
+
+    got_s = (
+        state_intervals(ds)
+        .to_pandas()
+        .sort_values(["user_id", "valid_from", "event_id"])
+        .reset_index(drop=True)
+    )
+    want_s = (
+        con.execute(entry_mod.SQL_EVENTS_STATE_INTERVALS)
+        .df()
+        .sort_values(["user_id", "valid_from", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got_s) == len(want_s) == 6
+    assert list(got_s["event_id"]) == list(want_s["event_id"])
+    assert list(got_s["state"]) == list(want_s["state"])
+    assert list(got_s["is_current"]) == list(want_s["is_current"])
+    assert (
+        got_s["valid_to"].astype("datetime64[us]")
+        == want_s["valid_to"].astype("datetime64[us]")
+    ).all()
+    # open intervals carry the SCD-2 high date on both sides
+    assert (
+        got_s.loc[got_s["is_current"], "valid_to"]
+        == pd.Timestamp("9999-12-31")
+    ).all()

@@ -198,3 +198,138 @@ def test_hash_split_bad_fractions(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2]}))
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(ds, {"a": 0.5, "b": 0.2})
+
+
+def test_weighted_sample_matches_full_sort(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sampling import (
+        LEHMER_MOD,
+        lehmer_hash,
+        weighted_sample,
+    )
+
+    rng = np.random.default_rng(43)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_chars": rng.integers(1, 5000, size=n).astype(np.int64),
+        }
+    )
+    # rows the operator must exclude
+    df.loc[3, "n_chars"] = 0
+    df.loc[7, "n_chars"] = -5
+    k = 40
+    got = weighted_sample(
+        rd.from_pandas(df).repartition(7),
+        k,
+        weight_col="n_chars",
+        seed=11,
+    ).to_pandas()
+    # naive: full E-S key sort
+    ok = df[df["n_chars"] > 0].copy()
+    h = lehmer_hash(ok["doc_id"].to_numpy(), seed=11)
+    ok["es_key"] = np.log((h + 1.0) / float(LEHMER_MOD + 1)) / ok[
+        "n_chars"
+    ].astype(np.float64)
+    want = ok.sort_values(
+        ["es_key", "doc_id"], ascending=[False, True]
+    ).head(k)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["es_key"], want["es_key"], rtol=1e-12)
+    assert not set(got["doc_id"]) & {3, 7}
+    # layout invariance
+    again = weighted_sample(
+        rd.from_pandas(df).repartition(23), k, weight_col="n_chars", seed=11
+    ).to_pandas()
+    assert list(got["doc_id"]) == list(again["doc_id"])
+    # k > n clamps; k <= 0 raises
+    allr = weighted_sample(
+        rd.from_pandas(df), 10_000, weight_col="n_chars", seed=11
+    ).to_pandas()
+    assert len(allr) == len(ok)
+    with pytest.raises(ValueError):
+        weighted_sample(rd.from_pandas(df), 0, weight_col="n_chars")
+
+
+def test_weighted_sample_prefers_heavy_rows(ray_session):
+    """Statistical sanity: across many disjoint seeds, rows with 100x
+    the weight are selected far more often."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sampling import weighted_sample
+
+    n = 200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_chars": np.where(np.arange(n) < 20, 10_000, 100).astype(
+                np.int64
+            ),
+        }
+    )
+    ds = rd.from_pandas(df)
+    heavy_hits = light_hits = 0
+    for seed in range(10):
+        got = weighted_sample(ds, 10, weight_col="n_chars", seed=seed)
+        ids = got.to_pandas()["doc_id"].to_numpy()
+        heavy_hits += int((ids < 20).sum())
+        light_hits += int((ids >= 20).sum())
+    assert heavy_hits > 5 * light_hits
+
+
+def test_quota_sample_exact_counts(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.sampling import (
+        lehmer_hash,
+        quota_sample,
+    )
+
+    rng = np.random.default_rng(51)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "zh", "fr"], size=n),
+        }
+    )
+    quotas = {"en": 50, "de": 10, "zh": 0, "it": 5}  # it: absent group
+    got = (
+        quota_sample(
+            rd.from_pandas(df).repartition(9), quotas, group_col="lang"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # exact quota counts; unlisted group 'fr' dropped; zh quota 0
+    counts = got["lang"].value_counts().to_dict()
+    assert counts == {"en": 50, "de": 10}
+    # selected = globally smallest hashes per group (ties impossible
+    # here: lehmer is a permutation of ids)
+    h = lehmer_hash(df["doc_id"].to_numpy())
+    df2 = df.assign(h=h)
+    for g, q in (("en", 50), ("de", 10)):
+        want = set(
+            df2[df2.lang == g].sort_values(["h", "doc_id"]).head(q)["doc_id"]
+        )
+        assert set(got[got.lang == g]["doc_id"]) == want
+    # layout invariance
+    again = (
+        quota_sample(
+            rd.from_pandas(df).repartition(29), quotas, group_col="lang"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
+    # quota larger than the group keeps the whole group
+    big = quota_sample(
+        rd.from_pandas(df), {"en": 10**6}, group_col="lang"
+    ).to_pandas()
+    assert len(big) == int((df.lang == "en").sum())
+    with pytest.raises(ValueError):
+        quota_sample(rd.from_pandas(df), {"en": -1}, group_col="lang")

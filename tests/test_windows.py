@@ -393,3 +393,144 @@ def test_running_agg_matches_pandas(ray_session):
             grp["run_max"].to_numpy()[mask], want_max[mask], rtol=1e-12
         )
         assert np.isnan(grp["run_sum"].to_numpy()[~mask]).all()
+
+
+def test_funnel_steps_matches_naive(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import funnel_steps
+
+    rng = np.random.default_rng(31)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 25, size=n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**7, size=n) * 1_000_000, unit="us"
+            ),
+            "event_type": rng.choice(["a", "b", "c", "x"], size=n),
+        }
+    )
+    steps = ("a", "b", "c")
+
+    def naive(frame):
+        rows = []
+        for uid, g in frame.groupby("user_id"):
+            g = g.sort_values("ts")
+            tprev = pd.Timestamp.min
+            ts_out, done = [], 0
+            reached = True
+            for s in steps:
+                cand = g[(g["event_type"] == s) & (g["ts"] > tprev)]
+                if reached and len(cand):
+                    tk = cand["ts"].min()
+                    ts_out.append(tk)
+                    tprev = tk
+                    done += 1
+                else:
+                    reached = False
+                    ts_out.append(pd.NaT)
+            rows.append([uid, *ts_out, done])
+        return pd.DataFrame(
+            rows, columns=["user_id", "t1", "t2", "t3", "steps_completed"]
+        )
+
+    want = naive(df).sort_values("user_id").reset_index(drop=True)
+    for c in ("t1", "t2", "t3"):
+        want[c] = want[c].astype("datetime64[us]")
+    got = (
+        funnel_steps(rd.from_pandas(df).repartition(6), steps=steps)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"steps_completed": "int64"}), want
+    )
+    # partition invariance
+    again = (
+        funnel_steps(rd.from_pandas(df).repartition(17), steps=steps)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
+    with pytest.raises(ValueError):
+        funnel_steps(rd.from_pandas(df), steps=())
+
+
+def test_funnel_steps_strict_order(ray_session):
+    """An equal-timestamp next step does NOT count (strict >), matching
+    the SQL twin's e.ts > prev; steps can reuse later events."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import funnel_steps
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": [
+                t0,
+                t0,  # same-instant 'b' must NOT complete step 2
+                t0 + pd.Timedelta(seconds=5),
+                t0,
+                t0 + pd.Timedelta(seconds=1),
+            ],
+            "event_type": ["a", "b", "b", "b", "a"],
+        }
+    )
+    got = (
+        funnel_steps(rd.from_pandas(df), steps=("a", "b"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["steps_completed"]) == [2, 1]
+    assert got.loc[0, "t2"] == t0 + pd.Timedelta(seconds=5)
+    assert pd.isna(got.loc[1, "t2"])  # user 2: 'b' BEFORE 'a' doesn't count
+
+
+def test_state_intervals_matches_pandas_lead(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import state_intervals
+
+    rng = np.random.default_rng(37)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 10, size=n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, size=n) * 1_000_000, unit="us"
+            ),
+            "event_type": rng.choice(["on", "off", "idle"], size=n),
+        }
+    )
+    # duplicate timestamps to exercise the id tie-break
+    df.loc[5, "ts"] = df.loc[4, "ts"]
+    df.loc[5, "user_id"] = df.loc[4, "user_id"]
+    got = (
+        state_intervals(rd.from_pandas(df).repartition(5))
+        .to_pandas()
+        .sort_values(["user_id", "valid_from", "event_id"])
+        .reset_index(drop=True)
+    )
+    w = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    w["valid_to"] = (
+        w.groupby("user_id")["ts"].shift(-1).astype("datetime64[us]")
+    )
+    w["is_current"] = w["valid_to"].isna()
+    w["valid_to"] = w["valid_to"].fillna(
+        pd.Timestamp("9999-12-31").as_unit("us")
+    )
+    w = w.rename(columns={"event_type": "state", "ts": "valid_from"})[
+        ["user_id", "event_id", "state", "valid_from", "valid_to",
+         "is_current"]
+    ].reset_index(drop=True)
+    w["valid_from"] = w["valid_from"].astype("datetime64[us]")
+    w["valid_to"] = w["valid_to"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, w)
+    # exactly one open interval per key
+    assert got.groupby("user_id")["is_current"].sum().eq(1).all()
