@@ -2228,6 +2228,172 @@ FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_K}
 """
 
 
+def q_events_retention(sf_dir: str):
+    """Cohort retention triangle (pipelines/aggregates.py
+    retention_cohorts): day-floored first-seen cohorts x activity
+    offsets; block-local DISTINCT (user, day) pair combiner, one
+    key-hash exchange of the pair table, vectorized per-partition
+    cohort-min + cell partials, cell-cardinality groupby-sum."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        retention_cohorts,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ev, key_col="user_id", ts_col="ts")
+
+
+SQL_EVENTS_RETENTION = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), c AS (
+    SELECT user_id, min(d) AS cohort FROM ud GROUP BY 1
+)
+SELECT c.cohort AS cohort,
+       CAST((epoch_us(ud.d) - epoch_us(c.cohort)) // 86400000000 AS BIGINT)
+           AS offset_periods,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c ON ud.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+def q_events_percent_rank(sf_dir: str):
+    """Global RANK / PERCENT_RANK / CUME_DIST over event value
+    (pipelines/scan.py percent_rank_rows): two-phase range scan —
+    bucket-count partials (driver holds <= num_buckets rows), one range
+    exchange, per-bucket run-boundary rank assignment; tie runs never
+    straddle buckets, divisions in the same IEEE doubles as DuckDB's
+    window definitions."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.scan import percent_rank_rows
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    ranked = percent_rank_rows(
+        ev, order_cols=["value"], id_col="event_id"
+    )
+    return _finalize(
+        ranked.map_batches(
+            lambda b: b.select(
+                ["event_id", "rnk", "percent_rank", "cume_dist"]
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        skip=(),
+    )
+
+
+SQL_EVENTS_PERCENT_RANK = """
+SELECT event_id,
+       CAST(rank() OVER (ORDER BY value) AS BIGINT) AS rnk,
+       round(percent_rank() OVER (ORDER BY value), 6) AS percent_rank,
+       round(cume_dist() OVER (ORDER BY value), 6) AS cume_dist
+FROM events
+"""
+
+
+def q_events_top_types(sf_dir: str):
+    """Exact per-user top-2 event types by frequency
+    (pipelines/aggregates.py group_top_k): group_mode generalized to k
+    rows per key — pair-count combiner, one pair groupby-sum, key-hash
+    repartition of the pair table, vectorized per-segment head-k; ties
+    (cnt DESC, value ASC), deterministic at any parallelism."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import group_top_k
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return group_top_k(
+        ev, key_col="user_id", value_col="event_type", k=2
+    )
+
+
+SQL_EVENTS_TOP_TYPES = """
+WITH c AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+), r AS (
+    SELECT user_id, event_type, cnt,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY cnt DESC, event_type ASC
+           ) AS rn
+    FROM c
+)
+SELECT user_id, event_type, cnt, CAST(rn AS BIGINT) AS rk
+FROM r WHERE rn <= 2
+"""
+
+
+PMI_K = 100
+PMI_MIN_COUNT = 10
+
+
+def q_doc_pmi_bigrams(sf_dir: str):
+    """Top-100 PMI collocations (pipelines/text.py pmi_bigrams): one
+    tokenize pass emits unigram+bigram count partials into a single
+    gram table (groupby-sum, materialized once); Tu/Tb via a tiny
+    aggregate, unigram vocab broadcast once, bigram rows scored
+    streaming with the literal ln(((c_ab*Tu)*Tu)/((c_a*c_b)*Tb))
+    double expression the SQL twin replays."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import pmi_bigrams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return _finalize(
+        pmi_bigrams(docs, k=PMI_K, min_count=PMI_MIN_COUNT), skip=()
+    )
+
+
+SQL_DOC_PMI_BIGRAMS = f"""
+WITH toks AS (
+    SELECT regexp_extract_all(lower(text), '{_TOKEN_REGEX}') AS l
+    FROM documents
+),
+ucnt AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(l) AS term FROM toks) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tu FROM ucnt),
+bcnt AS (
+    SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(list_transform(range(2, len(l)+1),
+                 i -> l[i-1] || ' ' || l[i])) AS gram FROM toks)
+    GROUP BY 1
+),
+btot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tb FROM bcnt),
+scored AS (
+    SELECT split_part(b.gram, ' ', 1) AS term_a,
+           split_part(b.gram, ' ', 2) AS term_b,
+           b.cnt,
+           ln(((CAST(b.cnt AS DOUBLE) * t.tu) * t.tu)
+              / ((CAST(ua.cnt AS DOUBLE) * CAST(ub.cnt AS DOUBLE)) * bt.tb))
+               AS pmi
+    FROM bcnt b
+    CROSS JOIN tot t
+    CROSS JOIN btot bt
+    JOIN ucnt ua ON ua.term = split_part(b.gram, ' ', 1)
+    JOIN ucnt ub ON ub.term = split_part(b.gram, ' ', 2)
+    WHERE b.cnt >= {PMI_MIN_COUNT}
+)
+SELECT term_a, term_b, cnt, round(pmi, 6) AS pmi FROM (
+    SELECT * FROM scored ORDER BY pmi DESC, term_a, term_b LIMIT {PMI_K}
+)
+"""
+
+
 HIST_BINS = 32
 
 
@@ -4323,12 +4489,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ~50 entries per round into CORRECTNESS_r{N}.json. Rotation plan
     # (round 4): positions 1-27 are the 27 queries that had never
     # appeared in any driver correctness file through r03 (the round-3
-    # curation/sketch/packing family), 28-39 are this round's new
-    # queries (rollup_full_tiers_sql .. doc_weighted_sample), 40-50
-    # re-check the headline / heaviest pipelines plus every query whose
-    # code changed this round (incl. events_zscore's cancellation fix
-    # and the Arrow-native minhash/simhash rewrites).
-    # Everything from position 51 on is green in r01-r03 driver files.
+    # curation/sketch/packing family), 28-44 are this round's new
+    # queries (rollup_full_tiers_sql .. doc_pmi_bigrams), 45-51
+    # re-check every query whose code changed this round (incl.
+    # events_zscore's cancellation fix, the Arrow-native
+    # minhash/simhash rewrites and the packed rollup exchange).
+    # Everything from position 52 on is green in r01-r03 driver files.
     # Round-5 note: rotate any entry that misses r04 back to the front.
     return {
         # -- never driver-checked through r03 (27) ------------------------
@@ -4373,18 +4539,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_state_intervals": q_events_state_intervals,
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_quota_sample": q_doc_quota_sample,
-        # -- headline / changed-this-round re-checks (41-50) ---------------
-        "rollup_1m_stats": q_rollup_1m_stats,
-        "rollup_1h_cascade": q_rollup_1h_cascade,
-        "rollup_1d_cascade": q_rollup_1d_cascade,
-        "rollup_1d_gapfill_linear": q_rollup_1d_gapfill_linear,
-        "rollup_incremental": q_rollup_incremental,
-        "rollup_full_tiers": q_rollup_full_tiers,
+        "events_retention": q_events_retention,
+        "events_percent_rank": q_events_percent_rank,
+        "events_top_types": q_events_top_types,
+        "doc_pmi_bigrams": q_doc_pmi_bigrams,
+        # -- headline / changed-this-round re-checks (45-51) ---------------
+        "events_zscore": q_events_zscore,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash_dups": q_doc_simhash_dups,
         "emb_cosine_dups": q_emb_cosine_dups,
-        "events_zscore": q_events_zscore,
-        # -- green in r01-r03 driver files (51+) ---------------------------
+        "rollup_1m_stats": q_rollup_1m_stats,
+        "rollup_incremental": q_rollup_incremental,
+        "rollup_1h_cascade": q_rollup_1h_cascade,
+        # -- green in r01-r03 driver files (52+) ---------------------------
+        "rollup_1d_cascade": q_rollup_1d_cascade,
+        "rollup_1d_gapfill_linear": q_rollup_1d_gapfill_linear,
+        "rollup_full_tiers": q_rollup_full_tiers,
         # (doc_exact_dedup / events_grouping_sets / events_value_quantiles
         #  / events_asof_join / events_interval_join / lineitem_orders_join
         #  / conv_advanced / knn_* / turns_clean moved below the ~50-entry
@@ -4550,4 +4720,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dups": _build_sql_doc_minhash_dups(),
         "emb_cosine_dups": SQL_EMB_COSINE_DUPS,
         "knn_cosine": SQL_KNN_COSINE,
+        "events_retention": SQL_EVENTS_RETENTION,
+        "events_percent_rank": SQL_EVENTS_PERCENT_RANK,
+        "events_top_types": SQL_EVENTS_TOP_TYPES,
+        "doc_pmi_bigrams": SQL_DOC_PMI_BIGRAMS,
     }

@@ -64,7 +64,9 @@ from .pipelines.aggregates import (  # noqa: F401
     group_count_distinct,
     group_linear_trend,
     group_mode,
+    group_top_k,
     grouping_sets_agg,
+    retention_cohorts,
     last_value_per_key,
 )
 
@@ -99,6 +101,7 @@ from .pipelines.scan import (  # noqa: F401
     global_ntile,
     ordered_prefix_sum,
     pack_sequences,
+    percent_rank_rows,
     rank_rows,
     shuffle_rank,
 )
@@ -127,6 +130,7 @@ from .pipelines.text import (  # noqa: F401
     ngram_decontaminate,
     ngram_jaccard_dups,
     normalize_text,
+    pmi_bigrams,
     redact,
     repetition_stats,
     simhash_dups,

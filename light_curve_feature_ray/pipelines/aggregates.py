@@ -469,6 +469,191 @@ def group_count_distinct(ds, *, key_col: str, value_col: str):
     )
 
 
+def retention_cohorts(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 86_400_000_000,
+    num_partitions: int | None = None,
+):
+    """Cohort retention matrix: bucket each key by its FIRST-seen period
+    (the cohort) and count, for every (cohort, offset) cell, how many
+    keys were active ``offset`` periods after their cohort period — the
+    standard activation/retention triangle. Periods are epoch-floored
+    (``t_us // period_us``), matching SQL ``date_trunc`` for the day
+    granularity default. NULL keys and NULL timestamps are dropped
+    (mirror with ``WHERE key IS NOT NULL AND ts IS NOT NULL``).
+
+    Returns (cohort: timestamp[us], offset_periods, n_users); a key
+    active in its cohort period contributes the offset-0 cell, and each
+    (key, period) counts ONCE however many events it holds.
+
+    Scale shape: block-local DISTINCT (key, period) pairs (Arrow hash
+    group_by — the shuffle carries activity pairs, never events), ONE
+    key-hash exchange of the pair table so each key's periods co-locate,
+    a vectorized per-partition dedup + cohort-min + local (cohort,
+    offset) partial counts, then a cell-cardinality groupby-sum. The
+    driver never sees rows.
+    """
+    import pyarrow.compute as pc
+
+    from .windows import _with_part
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, ts_col])
+        t = t.filter(
+            pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col]))
+        )
+        t_us = (
+            t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            if pa.types.is_timestamp(t.schema.field(ts_col).type)
+            else t[ts_col].cast(pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        per = (t_us // period_us) * period_us
+        pt = pa.table(
+            {key_col: t[key_col], "per_us": pa.array(per, pa.int64())}
+        ).combine_chunks()
+        return pt.group_by([key_col, "per_us"]).aggregate([])
+
+    def cells(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        per = t["per_us"].to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            return pa.table(
+                {
+                    "cohort_us": pa.array(np.empty(0, np.int64)),
+                    "offset_periods": pa.array(np.empty(0, np.int64)),
+                    "n": pa.array(np.empty(0, np.int64)),
+                }
+            )
+        order = np.lexsort((per, keys))
+        k_s, p_s = keys[order], per[order]
+        # cross-block dedup of (key, period): block-local distinct is
+        # exact only within a block
+        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (p_s[1:] != p_s[:-1])]
+        k_s, p_s = k_s[keep], p_s[keep]
+        first = np.r_[True, k_s[1:] != k_s[:-1]]
+        seg_id = np.cumsum(first) - 1
+        cohort = p_s[np.flatnonzero(first)][seg_id]
+        offset = (p_s - cohort) // period_us
+        o2 = np.lexsort((offset, cohort))
+        c2, f2 = cohort[o2], offset[o2]
+        start = np.r_[True, (c2[1:] != c2[:-1]) | (f2[1:] != f2[:-1])]
+        sel = np.flatnonzero(start)
+        cnt = np.diff(np.r_[sel, c2.size])
+        return pa.table(
+            {
+                "cohort_us": pa.array(c2[sel]),
+                "offset_periods": pa.array(f2[sel]),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        _with_part(
+            ds.map_batches(pairs, batch_format="pyarrow", batch_size=None),
+            key_col,
+            num_partitions,
+        )
+        .groupby("part")
+        .map_groups(cells, batch_format="pyarrow")
+        .groupby(["cohort_us", "offset_periods"])
+        .sum("n")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort": t["cohort_us"].cast(pa.timestamp("us")),
+                "offset_periods": t["offset_periods"],
+                "n_users": t["sum(n)"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def group_top_k(
+    ds,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "event_type",
+    k: int = 3,
+    num_partitions: int | None = None,
+):
+    """Exact per-key top-k values by frequency — :func:`group_mode`
+    generalized from 1 to k rows per key: (key, value, cnt, rk) with
+    ``rk`` = 1..k in (cnt DESC, value ASC) order, the deterministic
+    ``row_number()`` tie (NOT arrival order). NULL keys/values drop —
+    mirror with ``WHERE key IS NOT NULL AND value IS NOT NULL``.
+
+    Scale shape identical to :func:`group_mode`: block-local pair-count
+    combiner, one pair-keyed groupby-sum, a key-hash repartition of the
+    pair table, and a vectorized per-segment head-k (the k-selection
+    must run AFTER the global sum — a block-local head over split
+    counts would be wrong).
+    """
+    import pyarrow.compute as pc
+
+    from .windows import _with_part
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, value_col]).combine_chunks()
+        t = t.filter(
+            pc.and_(pc.is_valid(t[value_col]), pc.is_valid(t[key_col]))
+        )
+        g = t.group_by([key_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, value_col, "cnt"])
+
+    counted = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby([key_col, value_col])
+        .sum("cnt")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        cnt = t["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if keys.size == 0:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    value_col: t[value_col],
+                    "cnt": pa.array(cnt),
+                    "rk": pa.array(cnt),
+                }
+            )
+        order = np.lexsort((vals, -cnt, keys))
+        k_s = keys[order]
+        first = np.r_[True, k_s[1:] != k_s[:-1]]
+        seg_start = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        rk = np.arange(k_s.size, dtype=np.int64) - seg_start[seg_id] + 1
+        sel = rk <= k
+        take = pa.array(order[sel])
+        return pa.table(
+            {
+                key_col: t[key_col].take(take),
+                value_col: t[value_col].take(take),
+                "cnt": pa.array(cnt[order][sel]),
+                "rk": pa.array(rk[sel]),
+            }
+        )
+
+    return (
+        _with_part(counted, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def group_mode(
     ds,
     *,

@@ -261,6 +261,103 @@ def rank_rows(
     )
 
 
+def percent_rank_rows(
+    ds,
+    *,
+    order_cols: list[str],
+    id_col: str,
+    num_buckets: int | None = None,
+):
+    """Append the global RANK-family window columns in ``order_cols``
+    order: ``rnk`` (1-based ``RANK()`` — ties share the minimum row
+    number), ``percent_rank`` = (rnk - 1) / (n - 1) (0 when n == 1) and
+    ``cume_dist`` = peers-through-current / n — exactly the ANSI
+    ``percent_rank()`` / ``cume_dist()`` definitions DuckDB implements,
+    evaluated in the same IEEE doubles. ``order_cols`` may be float64
+    (NaN ranks LAST, all NaNs are peers — SQL NULLS LAST once NaN and
+    NULL are identified) or integer; ``id_col`` is only a sort
+    stabilizer for the output layout, not a tie-breaker — ties are
+    decided by ``order_cols`` alone.
+
+    Scale shape: the same two-phase scan as :func:`rank_rows` — a
+    bucket-count partial pass (driver holds <= num_buckets rows), one
+    range exchange, then a per-bucket sort with run-boundary rank
+    assignment. Tie runs NEVER straddle buckets because ``_bucket_of``
+    maps equal leading keys to the same bucket, so per-bucket run
+    detection is globally exact.
+    """
+    keyed_cols = [f"_ok{i}" for i in range(len(order_cols))]
+    n_total = ds.count()
+    if num_buckets is None:
+        num_buckets = _auto_buckets(1024)
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        for name, col in zip(keyed_cols, order_cols):
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            batch = batch.append_column(
+                name, pa.array(_monotone_int64(np.asarray(v)), pa.int64())
+            )
+        return batch
+
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow", batch_size=None)
+    key_lo = int(keyed.min(keyed_cols[0]))
+    key_hi = int(keyed.max(keyed_cols[0]))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        key = batch.column(keyed_cols[0]).to_numpy(zero_copy_only=False)
+        b = _bucket_of(key, key_lo, key_hi, num_buckets)
+        sums = np.bincount(b, minlength=num_buckets).astype(np.int64)
+        touched = np.flatnonzero(sums)
+        return pa.table(
+            {
+                "bucket": pa.array(touched.astype(np.int64)),
+                "psum": pa.array(sums[touched]),
+            }
+        )
+
+    bucket_rows = (
+        keyed.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .sum("psum")
+        .take_all()
+    )  # <= num_buckets rows — the only driver-side collection
+    totals = np.zeros(num_buckets, dtype=np.int64)
+    for r in bucket_rows:
+        totals[int(r["bucket"])] = int(r["sum(psum)"])
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        key = batch.column(keyed_cols[0]).to_numpy(zero_copy_only=False)
+        b = _bucket_of(key, key_lo, key_hi, num_buckets)
+        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    denom = float(max(n_total - 1, 1))
+
+    def scan_bucket(grp: pd.DataFrame) -> pd.DataFrame:
+        cols = [grp[c].to_numpy() for c in keyed_cols]
+        order = np.lexsort(tuple(reversed(cols + [grp[id_col].to_numpy()])))
+        grp = grp.iloc[order].reset_index(drop=True)
+        kc = np.column_stack([grp[c].to_numpy() for c in keyed_cols])
+        new_run = np.r_[True, (kc[1:] != kc[:-1]).any(axis=1)]
+        run_start = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        run_end = np.r_[run_start[1:], len(grp)]  # exclusive
+        base = int(offsets[int(grp["bucket"].iloc[0])]) if len(grp) else 0
+        rnk = base + run_start[run_id] + 1
+        grp["rnk"] = rnk
+        grp["percent_rank"] = (rnk - 1).astype(np.float64) / denom
+        grp["cume_dist"] = (base + run_end[run_id]).astype(np.float64) / float(
+            n_total
+        )
+        return grp.drop(columns=["bucket", *keyed_cols])
+
+    return (
+        keyed.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
+
+
 def ntile_of_rank(rank0: np.ndarray, n: int, k: int) -> np.ndarray:
     """SQL NTILE(k) from 0-based ranks over ``n`` rows: the first
     ``n % k`` tiles get ``n // k + 1`` rows, the rest ``n // k`` —

@@ -533,6 +533,190 @@ def tfidf_top_terms(docs_ds, k: int = 3, max_vocab_broadcast: int = 5_000_000):
     return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+def pmi_bigrams(
+    docs_ds,
+    *,
+    k: int = 100,
+    min_count: int = 5,
+    max_vocab_broadcast: int = 5_000_000,
+):
+    """Top-k collocations: adjacent-token bigrams ranked by pointwise
+    mutual information pmi = ln(((c_ab * Tu) * Tu) / ((c_a * c_b) * Tb))
+    — c_ab the bigram count, c_a/c_b the unigram counts, Tu/Tb the
+    corpus unigram/bigram totals — evaluated in EXACTLY that
+    double-precision association order on both sides (the SQL twin
+    spells the identical expression), tokens lowercased by the shared
+    ``_TOKEN_RE_POLARS`` regex, bigrams spanning only WITHIN a document.
+    Ties break (pmi DESC, term_a ASC, term_b ASC); only bigrams with
+    ``c_ab >= min_count`` rank. Returns (term_a, term_b, cnt, pmi).
+
+    Scale shape: ONE tokenize pass emits block-local unigram AND bigram
+    partial counts into one gram table (tokens never contain a space,
+    so "a" and "a b" cannot collide); a gram-keyed groupby-sum reduces
+    it and is MATERIALIZED once (bounded by the bigram vocabulary — far
+    smaller than the corpus; the reuse below would otherwise re-run the
+    tokenize per consumer). From it: Tu/Tb via one tiny aggregate, the
+    unigram side broadcast once via ``ray.put`` (loud
+    ``max_vocab_broadcast`` bound — beyond that, shuffle bigrams by
+    term instead), and the scoring stage streams over the bigram rows
+    (min_count filter first, two vectorized polars joins, local top-k
+    partials merged by one final task). The corpus is read once; the
+    driver never holds grams."""
+    import polars as pl
+    import ray
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"]).fill_null("")
+        d = (
+            pl.DataFrame(
+                {"toks": s.str.to_lowercase().str.extract_all(_TOKEN_RE_POLARS)}
+            )
+            .with_row_index("i")
+            .explode("toks")
+            .drop_nulls("toks")  # empty token lists explode to one null
+        )
+        uni = d["toks"].value_counts()
+        d = d.with_columns(
+            pl.col("toks").shift(-1).alias("nxt"),
+            pl.col("i").shift(-1).alias("ni"),
+        )
+        big = (
+            d.filter(pl.col("ni") == pl.col("i"))
+            .select((pl.col("toks") + " " + pl.col("nxt")).alias("toks"))[
+                "toks"
+            ]
+            .value_counts()
+        )
+        return pa.table(
+            {
+                "gram": pa.chunked_array(
+                    [
+                        uni["toks"].to_arrow().cast(pa.string()),
+                        big["toks"].to_arrow().cast(pa.string()),
+                    ]
+                ),
+                "cnt": pa.array(
+                    np.concatenate(
+                        [
+                            uni["count"].to_numpy().astype(np.int64),
+                            big["count"].to_numpy().astype(np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    grams = (
+        docs_ds.map_batches(
+            partial_counts, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("gram")
+        .sum("cnt")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "gram": t["gram"],
+                    "cnt": t["sum(cnt)"],
+                    "is_big": pc.match_substring(
+                        t["gram"].combine_chunks(), " "
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .materialize()
+    )
+
+    def side_sums(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        big = t["is_big"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tu": pa.array([int(cnt[~big].sum())]),
+                "tb": pa.array([int(cnt[big].sum())]),
+            }
+        )
+
+    tots = grams.map_batches(
+        side_sums, batch_format="pyarrow", batch_size=None
+    ).sum(["tu", "tb"])
+    tu, tb = float(tots["sum(tu)"]), float(tots["sum(tb)"])
+
+    uni_tbl = pa.concat_tables(
+        ray.get(
+            grams.map_batches(
+                lambda t: t.filter(
+                    pc.invert(t["is_big"].combine_chunks())
+                ).select(["gram", "cnt"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    if uni_tbl.num_rows > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary has {uni_tbl.num_rows} terms > max_vocab_broadcast="
+            f"{max_vocab_broadcast}; shuffle bigrams by term instead"
+        )
+    vocab_ref = ray.put(
+        pl.DataFrame(
+            {
+                "term": pl.from_arrow(uni_tbl["gram"].cast(pa.string())),
+                "ucnt": pl.from_arrow(uni_tbl["cnt"]),
+            }
+        )
+    )
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        voc = ray.get(vocab_ref)
+        t = pl.from_arrow(batch)
+        t = t.filter(pl.col("is_big") & (pl.col("cnt") >= min_count))
+        if t.height == 0:
+            return pd.DataFrame(
+                {
+                    "term_a": pd.Series(dtype=object),
+                    "term_b": pd.Series(dtype=object),
+                    "cnt": pd.Series(dtype=np.int64),
+                    "pmi": pd.Series(dtype=np.float64),
+                }
+            )
+        parts = t["gram"].str.split_exact(" ", 1).struct.unnest()
+        t = t.with_columns(
+            parts["field_0"].alias("term_a"), parts["field_1"].alias("term_b")
+        )
+        t = t.join(
+            voc.rename({"term": "term_a", "ucnt": "ca"}), on="term_a"
+        ).join(voc.rename({"term": "term_b", "ucnt": "cb"}), on="term_b")
+        c_ab = t["cnt"].to_numpy().astype(np.float64)
+        ca = t["ca"].to_numpy().astype(np.float64)
+        cb = t["cb"].to_numpy().astype(np.float64)
+        pmi = np.log(((c_ab * tu) * tu) / ((ca * cb) * tb))
+        return pd.DataFrame(
+            {
+                "term_a": t["term_a"].to_numpy(),
+                "term_b": t["term_b"].to_numpy(),
+                "cnt": t["cnt"].to_numpy().astype(np.int64),
+                "pmi": pmi,
+            }
+        )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["pmi", "term_a", "term_b"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    return (
+        grams.map_batches(score, batch_format="pyarrow", batch_size=None)
+        .map_batches(local_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pandas", batch_size=None)
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-duplicate detection
 # ---------------------------------------------------------------------------
