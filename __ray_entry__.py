@@ -2394,6 +2394,86 @@ SELECT term_a, term_b, cnt, round(pmi, 6) AS pmi FROM (
 """
 
 
+def q_events_transitions(sf_dir: str):
+    """Markov transition matrix of the event stream
+    (pipelines/windows.py event_transitions): within-key adjacent
+    (ts, id)-ordered state pairs — one key-hash exchange, per-partition
+    lexsort + shifted-compare pair partials, global pair groupby-sum,
+    tiny from_state repartition for the conditional probabilities."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import event_transitions
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return _finalize(event_transitions(ev), skip=())
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH seq AS (
+    SELECT event_type AS from_state,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_state
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IS NOT NULL
+), pairs AS (
+    SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS cnt
+    FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, cnt,
+       round(
+           CAST(cnt AS DOUBLE)
+           / CAST(sum(cnt) OVER (PARTITION BY from_state) AS DOUBLE),
+           6
+       ) AS p
+FROM pairs
+"""
+
+
+def q_doc_char_entropy(sf_dir: str):
+    """Per-document character-entropy quality signal
+    (pipelines/text.py char_entropy): block-local UTF-32 decode +
+    (doc, codepoint) lexsort + run-length reduceat — no shuffle; the
+    -sum((c/n)*ln(c/n)) double expression is replayed literally by the
+    SQL twin's per-(doc, char) groups."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import char_entropy
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _finalize(char_entropy(docs), skip=())
+
+
+SQL_DOC_CHAR_ENTROPY = """
+WITH base AS (
+    SELECT doc_id, text FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+), chars AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+    FROM base
+), cc AS (
+    SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+    FROM chars GROUP BY 1, 2
+), nn AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY 1
+)
+SELECT cc.doc_id AS doc_id,
+       min(nn.n) AS n_chars,
+       CAST(count(*) AS BIGINT) AS distinct_chars,
+       round(-sum((CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                  * ln(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE))), 6)
+           AS char_entropy
+FROM cc JOIN nn ON cc.doc_id = nn.doc_id
+GROUP BY cc.doc_id
+"""
+
+
 HIST_BINS = 32
 
 
@@ -4489,8 +4569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ~50 entries per round into CORRECTNESS_r{N}.json. Rotation plan
     # (round 4): positions 1-27 are the 27 queries that had never
     # appeared in any driver correctness file through r03 (the round-3
-    # curation/sketch/packing family), 28-44 are this round's new
-    # queries (rollup_full_tiers_sql .. doc_pmi_bigrams), 45-51
+    # curation/sketch/packing family), 28-46 are this round's new
+    # queries (rollup_full_tiers_sql .. doc_char_entropy), 47-51
     # re-check every query whose code changed this round (incl.
     # events_zscore's cancellation fix, the Arrow-native
     # minhash/simhash rewrites and the packed rollup exchange).
@@ -4543,15 +4623,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": q_events_percent_rank,
         "events_top_types": q_events_top_types,
         "doc_pmi_bigrams": q_doc_pmi_bigrams,
-        # -- headline / changed-this-round re-checks (45-51) ---------------
+        "events_transitions": q_events_transitions,
+        "doc_char_entropy": q_doc_char_entropy,
+        # -- headline / changed-this-round re-checks (47-51) ---------------
         "events_zscore": q_events_zscore,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash_dups": q_doc_simhash_dups,
         "emb_cosine_dups": q_emb_cosine_dups,
         "rollup_1m_stats": q_rollup_1m_stats,
+        # -- green in r01-r03 driver files (52+) ---------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
-        # -- green in r01-r03 driver files (52+) ---------------------------
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "rollup_1d_gapfill_linear": q_rollup_1d_gapfill_linear,
         "rollup_full_tiers": q_rollup_full_tiers,
@@ -4724,4 +4806,6 @@ def oracle_sql() -> dict[str, str]:
         "events_percent_rank": SQL_EVENTS_PERCENT_RANK,
         "events_top_types": SQL_EVENTS_TOP_TYPES,
         "doc_pmi_bigrams": SQL_DOC_PMI_BIGRAMS,
+        "events_transitions": SQL_EVENTS_TRANSITIONS,
+        "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
     }

@@ -262,6 +262,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         dsir_weights(docs_lang, target_col="lang", target_value="en").count()
         timings["doc_dsir_weights"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.text import (
+            char_entropy,
+            pmi_bigrams,
+        )
+
+        t0 = time.perf_counter()
+        pmi_bigrams(rd.read_parquet(docs_path, columns=["text"])).count()
+        timings["doc_pmi_bigrams"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        char_entropy(docs).count()
+        timings["doc_char_entropy"] = round(time.perf_counter() - t0, 3)
+
     events_path = f"{sf_dir}/events.parquet"
     if os.path.exists(events_path):
         from light_curve_feature_ray.pipelines.windows import (
@@ -341,6 +353,39 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         group_mode(ev_mode).count()
         timings["events_mode"] = round(time.perf_counter() - t0, 3)
+
+        from light_curve_feature_ray.pipelines.aggregates import (
+            group_top_k,
+            retention_cohorts,
+        )
+        from light_curve_feature_ray.pipelines.scan import percent_rank_rows
+        from light_curve_feature_ray.pipelines.windows import (
+            event_transitions,
+            funnel_steps,
+        )
+
+        t0 = time.perf_counter()
+        retention_cohorts(
+            rd.read_parquet(events_path, columns=["user_id", "ts"])
+        ).count()
+        timings["events_retention"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        group_top_k(ev_mode, k=2).count()
+        timings["events_top_types"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        percent_rank_rows(
+            ev_win, order_cols=["value"], id_col="event_id"
+        ).count()
+        timings["events_percent_rank"] = round(time.perf_counter() - t0, 3)
+        ev_seq = rd.read_parquet(
+            events_path, columns=["event_id", "user_id", "ts", "event_type"]
+        )
+        t0 = time.perf_counter()
+        event_transitions(ev_seq).count()
+        timings["events_transitions"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        funnel_steps(ev_seq, steps=("view", "click", "purchase")).count()
+        timings["events_funnel"] = round(time.perf_counter() - t0, 3)
 
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (

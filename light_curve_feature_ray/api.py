@@ -72,6 +72,7 @@ from .pipelines.aggregates import (  # noqa: F401
 
 # --- windows -------------------------------------------------------------
 from .pipelines.windows import (  # noqa: F401
+    event_transitions,
     ewma,
     funnel_steps,
     rolling_agg,
@@ -127,6 +128,7 @@ from .pipelines.text import (  # noqa: F401
     lang_id,
     lm_score,
     minhash_lsh_dups,
+    char_entropy,
     ngram_decontaminate,
     ngram_jaccard_dups,
     normalize_text,

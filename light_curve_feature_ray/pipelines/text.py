@@ -2293,3 +2293,72 @@ def dsir_weights(
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def char_entropy(docs_ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document character-level Shannon entropy — the classic
+    low-cost quality/compressibility signal (near-zero for padding /
+    repeated-character spam, high for natural prose): with ``c`` the
+    count of each distinct code point and ``n`` the document length in
+    code points, ``char_entropy`` = -sum((c/n) * ln(c/n)) evaluated in
+    EXACTLY that double-precision form on both sides (the SQL twin
+    spells the identical expression per (doc, char) group). Also emits
+    ``n_chars`` (= SQL ``length(text)``, code points) and
+    ``distinct_chars``. NULL and empty documents are absent — mirror
+    with ``WHERE text IS NOT NULL AND length(text) > 0``.
+
+    Scale shape: embarrassingly parallel block-local map (each document
+    is one row), no shuffle, no driver state. The kernel is one
+    UTF-32 decode of the whole block + one lexsort over (doc, code
+    point) + run-length ``add.reduceat`` — no per-row Python, no
+    per-char explode through Arrow (the SQL twin's unnest pays that)."""
+    import polars as pl
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, text_col])
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t[text_col]),
+                pc.greater(pc.utf8_length(t[text_col]), 0),
+            )
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_chars": pa.array(np.empty(0, np.int64)),
+                    "distinct_chars": pa.array(np.empty(0, np.int64)),
+                    "char_entropy": pa.array(np.empty(0, np.float64)),
+                }
+            )
+        s = pl.from_arrow(t[text_col].combine_chunks())
+        lens = s.str.len_chars().to_numpy().astype(np.int64)
+        cp = np.frombuffer(
+            s.str.join("").item().encode("utf-32-le"), dtype=np.uint32
+        )
+        docrep = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        order = np.lexsort((cp, docrep))
+        d_s, c_s = docrep[order], cp[order]
+        run = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        run_start = np.flatnonzero(run)
+        run_cnt = np.diff(np.r_[run_start, d_s.size]).astype(np.int64)
+        run_doc = d_s[run_start]
+        # every filtered doc has >= 1 char, so run_doc segments are the
+        # docs in original (filtered) row order
+        doc_first = np.r_[True, run_doc[1:] != run_doc[:-1]]
+        doc_start = np.flatnonzero(doc_first)
+        p = run_cnt.astype(np.float64) / lens[run_doc].astype(np.float64)
+        ent = -np.add.reduceat(p * np.log(p), doc_start)
+        distinct = np.diff(np.r_[doc_start, run_doc.size]).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_chars": pa.array(lens),
+                "distinct_chars": pa.array(distinct),
+                "char_entropy": pa.array(ent),
+            }
+        )
+
+    return docs_ds.map_batches(
+        kernel, batch_format="pyarrow", batch_size=None
+    )

@@ -326,7 +326,16 @@ def update_rollup_job(
         )
     hot = prior.get("hot") or []
     delta = read_transcripts(delta_path)
-    convs = delta.unique("conv_id")
+    # Dataset.unique returns None (not []) on an empty dataset; an empty
+    # delta is a valid no-op update — every partition stays untouched.
+    convs = delta.unique("conv_id") or []
+    if not convs:
+        return {
+            "partitions_rewritten": [],
+            "partitions_skipped_applied": [],
+            "partitions_untouched": sorted(completed_partitions(out_dir)),
+            "rows_written": 0,
+        }
     if len(convs) > max_update_convs:
         raise ValueError(
             f"delta touches {len(convs)} conversations > max_update_convs="

@@ -827,3 +827,113 @@ def state_intervals(
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def event_transitions(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """Global first-order Markov transition matrix of an event log: for
+    every ordered state pair, how often state ``to_state`` IMMEDIATELY
+    follows ``from_state`` within one key's (ts, id)-ordered sequence,
+    plus the row-conditional probability ``p`` = cnt / sum(cnt) over the
+    ``from_state`` row — the sequence-bigram statistic behind session
+    modeling / next-event prediction. Adjacency is evaluated within a
+    key only (no transition across keys); duplicate timestamps order by
+    ``id_col`` (the :func:`state_intervals` determinism rule). NULL
+    key / ts / type rows are dropped BEFORE adjacency (a dropped middle
+    row joins its neighbours — mirror with ``WHERE key IS NOT NULL AND
+    ts IS NOT NULL AND type IS NOT NULL`` ahead of the window in SQL
+    twins). ``p`` divides in IEEE doubles on both sides.
+
+    Returns (from_state, to_state, cnt, p).
+
+    Scale shape: one key-hash exchange co-locates each key's rows; one
+    lexsort + shifted-compare per partition emits (from, to) pair-count
+    PARTIALS (Arrow hash group_by — the second shuffle carries state
+    pairs, never events); a global pair groupby-sum; then a tiny
+    from_state-hash repartition of the pair table for the per-row
+    conditional totals (segment ``add.reduceat`` — no driver collection,
+    no broadcast; the pair table is at most |states|^2 rows).
+    """
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
+        g = g[g[key_col].notna() & g[type_col].notna()]
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "from_state": pd.Series(dtype=object),
+                    "to_state": pd.Series(dtype=object),
+                    "cnt": pd.Series(dtype=np.int64),
+                }
+            )
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        t = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        order = np.lexsort((ids, t, keys))
+        keys = keys[order]
+        types = g[type_col].to_numpy()[order]
+        same = keys[1:] == keys[:-1]
+        pt = pa.table(
+            {
+                "from_state": pa.array(types[:-1][same]),
+                "to_state": pa.array(types[1:][same]),
+            }
+        )
+        out = pt.group_by(["from_state", "to_state"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(
+            ["from_state", "to_state", "cnt"]
+        ).to_pandas()
+
+    counted = (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(pair_partials, batch_format="pandas")
+        .groupby(["from_state", "to_state"])
+        .sum("cnt")
+    )
+
+    def probs(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        f = t["from_state"].to_numpy(zero_copy_only=False)
+        cnt = t["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if f.size == 0:
+            return pa.table(
+                {
+                    "from_state": t["from_state"],
+                    "to_state": t["to_state"],
+                    "cnt": pa.array(cnt),
+                    "p": pa.array(np.empty(0, np.float64)),
+                }
+            )
+        order = np.argsort(f, kind="stable")
+        f_s, c_s = f[order], cnt[order]
+        first = np.r_[True, f_s[1:] != f_s[:-1]]
+        seg_start = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        totals = np.add.reduceat(c_s, seg_start)
+        p = c_s.astype(np.float64) / totals[seg_id].astype(np.float64)
+        take = pa.array(order)
+        return pa.table(
+            {
+                "from_state": t["from_state"].take(take),
+                "to_state": t["to_state"].take(take),
+                "cnt": pa.array(c_s),
+                "p": pa.array(p),
+            }
+        )
+
+    return (
+        _with_part(counted, "from_state", num_partitions)
+        .groupby("part")
+        .map_groups(probs, batch_format="pyarrow")
+    )

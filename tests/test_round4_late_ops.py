@@ -295,3 +295,113 @@ def test_pmi_bigrams_oracle_parity_and_edges(ray_session, entry_mod):
     assert not (
         ((got["term_a"] == "fox") & (got["term_b"] == "san")).any()
     )
+
+
+def test_event_transitions_null_parity(ray_session, entry_mod, null_events_r4):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import event_transitions
+
+    got = (
+        event_transitions(
+            rd.from_pandas(
+                null_events_r4[["event_id", "user_id", "ts", "event_type"]]
+            ),
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values(["from_state", "to_state"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", null_events_r4)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_TRANSITIONS)
+        .df()
+        .sort_values(["from_state", "to_state"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ("from_state", "to_state", "cnt"):
+        assert list(got[c]) == list(want[c]), c
+    np.testing.assert_allclose(_round6(got["p"]), want["p"], atol=1e-12)
+    # conditional rows sum to 1 within each from_state
+    sums = got.groupby("from_state")["p"].sum()
+    np.testing.assert_allclose(sums, 1.0, atol=1e-9)
+
+
+def test_event_transitions_partition_invariance_and_order(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import event_transitions
+
+    # duplicate timestamps: order decided by event_id, not arrival
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([2, 1, 3, 10, 11], dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+            "ts": pd.to_datetime([100, 100, 200, 50, 50], unit="s"),
+            "event_type": ["b", "a", "c", "y", "x"],
+        }
+    )
+    outs = []
+    for parts, blocks in ((2, 1), (7, 5)):
+        outs.append(
+            event_transitions(
+                rd.from_pandas(df).repartition(blocks), num_partitions=parts
+            )
+            .to_pandas()
+            .sort_values(["from_state", "to_state"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pairs = set(zip(outs[0]["from_state"], outs[0]["to_state"]))
+    # user 1: a->b (ts tie broken by id: 1 before 2), b->c;
+    # user 2: y->x (id 10 before 11); never c->y (no cross-key adjacency)
+    assert pairs == {("a", "b"), ("b", "c"), ("y", "x")}
+
+
+def test_char_entropy_parity_and_edges(ray_session, entry_mod):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import char_entropy
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(7, dtype=np.int64),
+            "text": [
+                "aaaa",            # zero entropy
+                "abab",            # 1 bit = ln 2
+                "héllo wörld\n",   # non-ASCII + newline code points
+                "",                # empty -> absent
+                None,              # null -> absent
+                "abcdefg",         # all distinct: ln 7
+                "x",               # single char
+            ],
+        }
+    )
+    got = (
+        char_entropy(rd.from_pandas(docs).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (
+        con.execute(entry_mod.SQL_DOC_CHAR_ENTROPY)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"]) == [0, 1, 2, 5, 6]
+    for c in ("n_chars", "distinct_chars"):
+        assert list(got[c]) == list(want[c]), c
+    np.testing.assert_allclose(
+        _round6(got["char_entropy"]), want["char_entropy"], atol=1e-12
+    )
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "char_entropy"] == 0.0
+    np.testing.assert_allclose(by_id.loc[1, "char_entropy"], np.log(2))
+    np.testing.assert_allclose(by_id.loc[5, "char_entropy"], np.log(7))
+    assert by_id.loc[2, "n_chars"] == 12 and by_id.loc[2, "distinct_chars"] == 10
