@@ -738,3 +738,181 @@ def group_mode(
         .groupby("part")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def first_seen_cumulative(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 86_400,
+):
+    """New-vs-cumulative distinct keys per period — the growth curve
+    "daily new users + running total". A key belongs to the period of
+    its globally FIRST event. Returns (period_start: epoch seconds,
+    new_keys, cum_keys) with cum_keys the inclusive running sum over
+    period order. All integer arithmetic, so the SQL twin is bit-exact.
+    NULL key / NULL ts rows drop (mirror ``WHERE ... IS NOT NULL``).
+
+    Scale shape: block-local per-key min-timestamp partials (lexsort +
+    ``minimum.reduceat``) -> ONE key-cardinality ``groupby.min`` -> a
+    period-cardinality count -> the two-phase
+    :func:`~.scan.ordered_prefix_sum` for the running total (driver
+    sees only O(num_buckets) partials, never keys). Counts must stay
+    below 2**53 (the scan's contract).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
+        )
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        t_us = (
+            batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            if pa.types.is_timestamp(batch.schema.field(ts_col).type)
+            else batch[ts_col].cast(pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            return pa.table(
+                {
+                    key_col: pa.array(keys).cast(
+                        batch.schema.field(key_col).type
+                    ),
+                    "first_us": pa.array(np.empty(0, np.int64)),
+                }
+            )
+        uniq, inv = np.unique(keys, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.flatnonzero(np.r_[True, np.diff(inv[order]) > 0])
+        firsts = np.minimum.reduceat(t_us[order], starts)
+        return pa.table(
+            {
+                key_col: pa.array(uniq).cast(batch.schema.field(key_col).type),
+                "first_us": pa.array(firsts.astype(np.int64)),
+            }
+        )
+
+    firsts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key_col)
+        .min("first_us")
+    )
+    period_us = period_s * 1_000_000
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        f = t["min(first_us)"].to_numpy(zero_copy_only=False)
+        per = (f // period_us) * period_s  # period START in seconds
+        uniq, cnt = np.unique(per, return_counts=True)
+        return pa.table(
+            {
+                "period_start": pa.array(uniq.astype(np.int64)),
+                "new_keys": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    periods = (
+        firsts.map_batches(day_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("period_start")
+        .sum("new_keys")
+        .map_batches(
+            lambda t: t.rename_columns(["period_start", "new_keys"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    from .scan import ordered_prefix_sum
+
+    scanned = ordered_prefix_sum(
+        periods,
+        order_cols=["period_start"],
+        value_col="new_keys",
+        out_col="_excl",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cum_keys"] = (b["_excl"] + b["new_keys"]).astype("int64")
+        return b[["period_start", "new_keys", "cum_keys"]]
+
+    return scanned.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def chi2_crosstab(
+    ds,
+    *,
+    row_col: str = "event_type",
+    key_col: str = "user_id",
+    num_buckets: int = 4,
+):
+    """Pearson chi-square-of-independence cells between ``row_col``
+    categories and a modulo bucketing of ``key_col``: one row per
+    observed (category, bucket) cell with (obs, expected, chi2_term)
+    where expected = row_total * col_total / N and chi2_term =
+    (obs - expected)^2 / expected — sum(chi2_term) is the chi-square
+    statistic. The bucket is ``((key % k) + k) % k`` (non-negative for
+    negative keys, matching numpy's sign-of-divisor ``%``); the double
+    expression is replayed LITERALLY by the SQL twin:
+    ``(rt*ct)/n`` then ``d*d/exp`` — change both or none. Cells with
+    obs = 0 are absent on both sides. NULL row / NULL key rows drop.
+
+    Scale shape: block-local (category, bucket) count partials (Arrow
+    hash group_by), a cell-cardinality groupby-sum, then a single-block
+    finish — cells are bounded by |categories| * num_buckets (the same
+    dimension contract as ``pivot_agg``'s category list), so the
+    repartition(1) is O(cells), never O(rows).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([row_col, key_col])
+        t = t.filter(
+            pc.and_(pc.is_valid(t[row_col]), pc.is_valid(t[key_col]))
+        )
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        bucket = np.mod(keys, num_buckets).astype(np.int64)
+        pt = pa.table(
+            {row_col: t[row_col], "bucket": pa.array(bucket)}
+        ).combine_chunks()
+        return pt.group_by([row_col, "bucket"]).aggregate(
+            [("bucket", "count")]
+        ).rename_columns([row_col, "bucket", "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby([row_col, "bucket"])
+        .sum("n")
+        .repartition(1)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rows = t[row_col].to_numpy(zero_copy_only=False)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+        obs = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if rows.size == 0:
+            return pa.table(
+                {
+                    row_col: t[row_col],
+                    "bucket": t["bucket"],
+                    "obs": pa.array(obs),
+                    "expected": pa.array(np.empty(0, np.float64)),
+                    "chi2_term": pa.array(np.empty(0, np.float64)),
+                }
+            )
+        r_uniq, r_inv = np.unique(rows, return_inverse=True)
+        c_uniq, c_inv = np.unique(bucket, return_inverse=True)
+        row_tot = np.bincount(r_inv, weights=obs)[r_inv]
+        col_tot = np.bincount(c_inv, weights=obs)[c_inv]
+        tot = float(obs.sum())
+        expected = row_tot * col_tot / tot
+        d = obs.astype(np.float64) - expected
+        term = d * d / expected
+        return pa.table(
+            {
+                row_col: t[row_col],
+                "bucket": t["bucket"],
+                "obs": pa.array(obs),
+                "expected": pa.array(expected),
+                "chi2_term": pa.array(term),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

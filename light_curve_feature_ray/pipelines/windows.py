@@ -937,3 +937,140 @@ def event_transitions(
         .groupby("part")
         .map_groups(probs, batch_format="pyarrow")
     )
+
+
+def interval_coverage(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    dur_col: str = "value",
+    dur_scale_s: int = 60,
+    num_partitions: int | None = None,
+):
+    """Merged-interval coverage per key (the gaps-and-islands merge):
+    each event opens the interval ``[s, s + floor(abs(dur)) * scale)``
+    in epoch seconds; intervals of the same key whose start is <= the
+    running max end of all earlier intervals merge into one island
+    (touching intervals MERGE — the island break is strictly
+    ``s > prev_max``, mirrored by the SQL twin's CASE). Returns one row
+    per key: (key, n_intervals, covered_s, span_s) where covered_s is
+    the summed length of the merged islands and span_s = max end -
+    min start. All arithmetic is integer seconds, so the oracle is
+    bit-exact.
+
+    NULL key / NULL ts / NULL duration rows drop (mirror with
+    ``WHERE key IS NOT NULL AND ts IS NOT NULL AND dur IS NOT NULL``).
+
+    Scale shape: ONE key-hash exchange, then a per-partition lexsort +
+    segment-cummax kernel (pandas cython groupby-cummax; no Python per
+    key). Variable interval lengths are what make the running max
+    genuinely necessary — with fixed lengths this would degenerate to
+    :func:`session_windows`.
+    """
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
+        g = g[g[key_col].notna() & g[dur_col].notna()]
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype=g[key_col].dtype),
+                "n_intervals": pd.Series([], dtype="int64"),
+                "covered_s": pd.Series([], dtype="int64"),
+                "span_s": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        keys = g[key_col].to_numpy()
+        s = _epoch_seconds(g[ts_col])
+        dur = np.floor(np.abs(g[dur_col].to_numpy(dtype=np.float64)))
+        e = s + dur.astype(np.int64) * dur_scale_s
+        order = np.lexsort((e, s, keys))
+        keys, s, e = keys[order], s[order], e[order]
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        seg_id = np.cumsum(new_key) - 1
+        # running max end within each key segment (inclusive), then the
+        # exclusive shift: prev[i] = max(e[seg_start..i-1])
+        cm = pd.Series(e).groupby(seg_id).cummax().to_numpy()
+        prev = np.empty_like(cm)
+        prev[1:] = cm[:-1]
+        prev[0] = np.iinfo(np.int64).min
+        new_island = new_key | (s > prev)
+        il_first = np.flatnonzero(new_island)
+        il_last = np.r_[il_first[1:] - 1, len(s) - 1]
+        ist = s[il_first]
+        ien = cm[il_last]  # max end over the island
+        ikey = keys[il_first]
+        # per-key rollup over islands (islands arrive in key order;
+        # island ends strictly increase within a key because each new
+        # island starts past the previous island's max end)
+        key_first = np.r_[True, ikey[1:] != ikey[:-1]]
+        kid = np.cumsum(key_first) - 1
+        n_int = np.bincount(kid).astype(np.int64)
+        cov = np.bincount(kid, weights=(ien - ist)).astype(np.int64)
+        key_last = np.r_[key_first[1:], True]
+        span = ien[key_last] - ist[key_first]
+        return pd.DataFrame(
+            {
+                key_col: ikey[key_first],
+                "n_intervals": n_int,
+                "covered_s": cov,
+                "span_s": span.astype(np.int64),
+            }
+        )
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def throttle(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_s: int = 3600,
+    num_partitions: int | None = None,
+):
+    """Rate-limit dedup: keep only the FIRST event per (key, type,
+    tumbling window) — the standard notification-throttle / at-most-
+    once-per-hour filter. "First" is deterministic: (min ts, min id)
+    within the cell, the same retry-invariance rule as the rollup's
+    duplicate resolution (CLAUDE.md). Output is the surviving rows with
+    all their input columns plus ``window_start`` (epoch seconds).
+
+    NULL key / NULL type / NULL ts rows drop (mirror with
+    ``WHERE ... IS NOT NULL``); the SQL twin is
+    ``row_number() OVER (PARTITION BY key, type, window
+    ORDER BY ts, id) = 1``.
+
+    Scale shape: ONE key-hash exchange, per-partition mergesort +
+    vectorized pandas ``duplicated`` first-of-group — no Python per
+    cell.
+    """
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col).drop(columns=["part"])
+        g = g[g[key_col].notna() & g[type_col].notna()]
+        if len(g) == 0:
+            g = g.copy()
+            g["window_start"] = pd.Series([], dtype="int64")
+            return g
+        t = _epoch_seconds(g[ts_col])
+        g = g.assign(window_start=(t // window_s) * window_s)
+        g = g.sort_values(
+            [key_col, type_col, "window_start", ts_col, id_col],
+            kind="mergesort",
+        )
+        return g[~g.duplicated([key_col, type_col, "window_start"])]
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
