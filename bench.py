@@ -387,6 +387,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         funnel_steps(ev_seq, steps=("view", "click", "purchase")).count()
         timings["events_funnel"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.windows import (
+            interval_coverage,
+            throttle,
+        )
+
+        t0 = time.perf_counter()
+        interval_coverage(
+            rd.read_parquet(events_path, columns=["user_id", "ts", "value"])
+        ).count()
+        timings["events_coverage"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        throttle(
+            rd.read_parquet(
+                events_path,
+                columns=["event_id", "user_id", "event_type", "ts", "value"],
+            )
+        ).count()
+        timings["events_throttle"] = round(time.perf_counter() - t0, 3)
+
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
             pack_sequences,
