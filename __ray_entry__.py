@@ -2658,6 +2658,67 @@ FROM t
 """
 
 
+ZORDER_BITS = 16
+
+
+def q_events_zorder(sf_dir: str):
+    """Morton / Z-order layout key over (user_id, value)
+    (pipelines/scan.py zorder_key): one tiny bounds aggregate, then a
+    pure row-level bucket + bit-interleave map — the multi-dimensional
+    clustering key a 100-TB Parquet layout sorts by.  The bucket doubles
+    and the 16+16-bit interleave are replayed literally by the twin."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.scan import zorder_key
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"],
+    )
+    return zorder_key(
+        ev,
+        id_col="event_id",
+        x_col="user_id",
+        y_col="value",
+        bits=ZORDER_BITS,
+    )
+
+
+def _build_sql_events_zorder() -> str:
+    from light_curve_feature_ray.pipelines.scan import zorder_sql
+
+    scale = float(1 << ZORDER_BITS)
+    hi = scale - 1.0
+
+    def bucket(col: str, mn: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {mx} = {mn} THEN 0 ELSE CAST(least(greatest("
+            f"floor((CAST({col} AS DOUBLE) - {mn}) * {scale!r} / ({mx} - {mn})),"
+            f" 0.0), {hi!r}) AS BIGINT) END"
+        )
+
+    return f"""
+WITH v AS (
+    SELECT event_id, user_id, value FROM events
+    WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(value)
+), mm AS (
+    SELECT min(CAST(user_id AS DOUBLE)) AS xmn,
+           max(CAST(user_id AS DOUBLE)) AS xmx,
+           min(CAST(value AS DOUBLE)) AS ymn,
+           max(CAST(value AS DOUBLE)) AS ymx
+    FROM v
+), b AS (
+    SELECT event_id,
+           {bucket("user_id", "xmn", "xmx")} AS xb,
+           {bucket("value", "ymn", "ymx")} AS yb
+    FROM v, mm
+)
+SELECT event_id, xb, yb, {zorder_sql("xb", "yb", ZORDER_BITS)} AS zkey
+FROM b
+"""
+
+
 HIST_BINS = 32
 
 
@@ -4823,7 +4884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dups": q_doc_simhash_dups,
         "emb_cosine_dups": q_emb_cosine_dups,
         "rollup_1m_stats": q_rollup_1m_stats,
-        # -- green in r01-r03 driver files (52+) ---------------------------
+        # -- added after the r04 window froze: round-5 rotation targets ----
+        "events_zorder": q_events_zorder,
+        # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
@@ -4944,6 +5007,7 @@ def oracle_sql() -> dict[str, str]:
         "events_throttle": SQL_EVENTS_THROTTLE,
         "events_new_users": SQL_EVENTS_NEW_USERS,
         "events_chi2": SQL_EVENTS_CHI2,
+        "events_zorder": _build_sql_events_zorder(),
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

@@ -406,6 +406,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["events_throttle"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.scan import zorder_key
+
+        t0 = time.perf_counter()
+        zorder_key(
+            rd.read_parquet(
+                events_path, columns=["event_id", "user_id", "value"]
+            )
+        ).count()
+        timings["events_zorder"] = round(time.perf_counter() - t0, 3)
+
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
             pack_sequences,

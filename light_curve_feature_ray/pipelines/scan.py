@@ -443,3 +443,145 @@ def shuffle_rank(
         return batch.drop_columns(["_h"])
 
     return ranked.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def _spread_bits16(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each element over the even bit positions
+    of a 32-bit lane (0b...XYZ -> 0b...0X0Y0Z) — the classic Morton
+    magic-mask cascade. uint64 throughout, integer-exact, vectorized."""
+    v = x.astype(np.uint64)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def zorder_sql(xb: str, yb: str, bits: int = 16) -> str:
+    """DuckDB twin of the Morton interleave: ``x`` bit i lands at
+    position 2i+1, ``y`` bit i at 2i (x is the major axis, matching
+    ``(spread(xb) << 1) | spread(yb)``).  Disjoint bit positions, so the
+    OR is a plain integer ``+`` — BIGINT-exact."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xb} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({yb} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def zorder_key(
+    ds,
+    *,
+    id_col: str = "event_id",
+    x_col: str = "user_id",
+    y_col: str = "value",
+    bits: int = 16,
+    x_range: tuple[float, float] | None = None,
+    y_range: tuple[float, float] | None = None,
+):
+    """Morton / Z-order layout key over two numeric columns: returns
+    (id, xb, yb, zkey) where xb/yb are equi-width ``2**bits``-bucket
+    indices of each column over its [min, max] range and zkey is their
+    bit interleave (x major).  Sorting / range-partitioning 100-TB
+    Parquet by zkey co-locates rows that are close in BOTH dimensions —
+    the standard multi-dimensional clustering key for scan pruning
+    (Delta/Iceberg Z-ORDER); this operator only computes the key, the
+    existing sort / ordered_prefix_sum machinery does the layout.
+
+    Semantics pinned for the SQL twin: rows with a NULL id, NULL/NaN x
+    or NULL/NaN y are dropped entirely (mirror the WHERE); bounds are
+    min/max of CAST(col AS DOUBLE) over those same surviving rows (cast
+    is monotone, so cast-then-min == min-then-cast); the bucket is
+    ``least(greatest(floor((v - mn) * 2^bits / (mx - mn)), 0), 2^bits-1)``
+    evaluated in IEEE doubles on both sides (same expression family as
+    ``quantiles.histogram``), with bucket 0 when mx == mn; the interleave
+    is :func:`zorder_sql`.  Pure row-level map after one tiny bounds
+    aggregate — no shuffle, trivially partition-invariant.
+
+    ``x_range`` / ``y_range`` skip the bounds pass (values outside clamp
+    into the edge buckets — that is what the greatest/least guards do).
+    """
+    if bits < 1 or bits > 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    scale = float(1 << bits)
+
+    def _valid_xy(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.is_valid(batch[id_col]),
+            pc.and_(pc.is_valid(batch[x_col]), pc.is_valid(batch[y_col])),
+        )
+        t = batch.filter(m)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        return t.filter(pa.array(ok))
+
+    if x_range is None or y_range is None:
+
+        def mm(batch: pa.Table) -> pa.Table:
+            t = _valid_xy(batch)
+            x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            if x.size == 0:
+                return pa.table(
+                    {
+                        "xmn": pa.array([], pa.float64()),
+                        "xmx": pa.array([], pa.float64()),
+                        "ymn": pa.array([], pa.float64()),
+                        "ymx": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "xmn": [float(x.min())],
+                    "xmx": [float(x.max())],
+                    "ymn": [float(y.min())],
+                    "ymx": [float(y.max())],
+                }
+            )
+
+        parts = ds.map_batches(
+            mm, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        if not parts:
+            raise ValueError("zorder_key: no valid rows to derive bounds")
+        if x_range is None:
+            x_range = (
+                min(p["xmn"] for p in parts),
+                max(p["xmx"] for p in parts),
+            )
+        if y_range is None:
+            y_range = (
+                min(p["ymn"] for p in parts),
+                max(p["ymx"] for p in parts),
+            )
+    xmn, xmx = float(x_range[0]), float(x_range[1])
+    ymn, ymx = float(y_range[0]), float(y_range[1])
+
+    def _bucket(v: np.ndarray, mn: float, mx: float) -> np.ndarray:
+        if mx == mn:
+            return np.zeros(v.size, dtype=np.int64)
+        b = np.floor((v - mn) * scale / (mx - mn))
+        return np.minimum(np.maximum(b, 0.0), scale - 1.0).astype(np.int64)
+
+    def keys(batch: pa.Table) -> pa.Table:
+        t = _valid_xy(batch)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        xb = _bucket(x, xmn, xmx)
+        yb = _bucket(y, ymn, ymx)
+        z = (
+            (_spread_bits16(xb) << np.uint64(1)) | _spread_bits16(yb)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "xb": pa.array(xb),
+                "yb": pa.array(yb),
+                "zkey": pa.array(z),
+            }
+        )
+
+    return ds.map_batches(keys, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,158 @@
+"""Round-4 batch-4 operators: Z-order layout keys (and siblings added
+late in the round).
+
+Contracts pinned here (the driver testdata can't exercise them):
+- null ids / null or NaN coordinates drop on both sides, verified
+  against the ACTUAL oracle SQL from __ray_entry__ over a synthetic
+  null-bearing table;
+- the Morton interleave matches a per-row brute force;
+- degenerate (constant) axes collapse to bucket 0;
+- output is invariant to block layout (row-level map).
+"""
+
+import importlib.util
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "entry_under_test_r4b4", "__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def null_events_z():
+    rng = np.random.default_rng(23)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(-50, 1_000_000, size=n).astype(np.int64),
+            "value": rng.normal(scale=30, size=n),
+        }
+    )
+    df["event_id"] = df["event_id"].astype("Int64")
+    df["user_id"] = df["user_id"].astype("Int64")
+    df.loc[df.index % 11 == 0, "event_id"] = pd.NA
+    df.loc[df.index % 13 == 0, "user_id"] = pd.NA
+    df.loc[df.index % 17 == 0, "value"] = np.nan
+    return df
+
+
+def _brute_zkey(xb: int, yb: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((xb >> i) & 1) << (2 * i + 1)
+        z |= ((yb >> i) & 1) << (2 * i)
+    return z
+
+
+def test_zorder_brute_force_and_corners(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.scan import zorder_key
+
+    n = 300
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 2**31, size=n).astype(np.int64),
+            "value": rng.normal(scale=1e3, size=n),
+        }
+    )
+    got = (
+        zorder_key(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    for _, r in got.head(50).iterrows():
+        assert int(r["zkey"]) == _brute_zkey(int(r["xb"]), int(r["yb"]))
+    # global min lands in bucket 0 on each axis; max in the top bucket
+    imin_x = int(df["user_id"].idxmin())
+    imax_x = int(df["user_id"].idxmax())
+    assert int(got.loc[imin_x, "xb"]) == 0
+    assert int(got.loc[imax_x, "xb"]) == 65535
+    assert got["zkey"].between(0, 2**32 - 1).all()
+    # x is the major axis: xb alone at yb=0 doubles the interleave
+    assert _brute_zkey(1, 0) == 2 and _brute_zkey(0, 1) == 1
+    assert _brute_zkey(65535, 65535) == 2**32 - 1
+
+
+def test_zorder_null_parity_vs_twin(ray_session, entry_mod, null_events_z):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.scan import zorder_key
+
+    got = (
+        zorder_key(rd.from_pandas(null_events_z))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", null_events_z)
+    want = (
+        con.execute(entry_mod._build_sql_events_zorder())
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ("event_id", "xb", "yb", "zkey"):
+        assert list(got[c].astype(np.int64)) == list(
+            want[c].astype(np.int64)
+        ), c
+
+
+def test_zorder_constant_axis_and_block_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.scan import zorder_key
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(64, dtype=np.int64),
+            "user_id": np.full(64, 7, dtype=np.int64),
+            "value": np.linspace(0.0, 1.0, 64),
+        }
+    )
+    outs = []
+    for blocks in (1, 9):
+        outs.append(
+            zorder_key(rd.from_pandas(df).repartition(blocks))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0]["xb"] == 0).all()  # degenerate axis -> bucket 0
+    # with xb = 0 the zkey is just the spread of yb: strictly increasing
+    # in yb, so the 1-D order is preserved
+    assert outs[0]["zkey"].is_monotonic_increasing
+
+
+def test_zorder_bits_bound(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.scan import zorder_key
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1],
+            "user_id": [1],
+            "value": [1.0],
+        }
+    )
+    with pytest.raises(ValueError):
+        zorder_key(rd.from_pandas(df), bits=17)
