@@ -2719,6 +2719,62 @@ FROM b
 """
 
 
+def q_events_ks_drift(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic per
+    event_type (pipelines/quantiles.py ks_drift): Lehmer-parity A/B
+    split of the rows, one key shuffle, vectorized per-partition ECDF
+    kernel. The per-distinct-value ca/na - cb/nb doubles and the exact
+    max are replayed literally by the twin."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import ks_drift
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return _finalize(ks_drift(ev), skip=("event_type", "n_a", "n_b"))
+
+
+def _build_sql_events_ks_drift() -> str:
+    from light_curve_feature_ray.pipelines.sampling import lehmer_sql
+
+    return f"""
+WITH s AS (
+    SELECT event_type,
+           CASE WHEN value = 0.0 THEN 0.0 ELSE value END AS value,
+           CASE WHEN ({lehmer_sql("event_id")}) % 2 = 0 THEN 1 ELSE 0 END
+               AS ia
+    FROM events
+    WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(value)
+), g AS (
+    SELECT event_type, value,
+           CAST(sum(ia) AS BIGINT) AS a_at,
+           CAST(count(*) - sum(ia) AS BIGINT) AS b_at
+    FROM s GROUP BY 1, 2
+), w AS (
+    SELECT event_type,
+           sum(a_at) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS ca,
+           sum(b_at) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cb,
+           sum(a_at) OVER (PARTITION BY event_type) AS na,
+           sum(b_at) OVER (PARTITION BY event_type) AS nb
+    FROM g
+)
+SELECT event_type,
+       CAST(min(na) AS BIGINT) AS n_a,
+       CAST(min(nb) AS BIGINT) AS n_b,
+       round(max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+           AS ks_d
+FROM w
+GROUP BY 1
+HAVING min(na) > 0 AND min(nb) > 0
+"""
+
+
 HIST_BINS = 32
 
 
@@ -4886,6 +4942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m_stats": q_rollup_1m_stats,
         # -- added after the r04 window froze: round-5 rotation targets ----
         "events_zorder": q_events_zorder,
+        "events_ks_drift": q_events_ks_drift,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5008,6 +5065,7 @@ def oracle_sql() -> dict[str, str]:
         "events_new_users": SQL_EVENTS_NEW_USERS,
         "events_chi2": SQL_EVENTS_CHI2,
         "events_zorder": _build_sql_events_zorder(),
+        "events_ks_drift": _build_sql_events_ks_drift(),
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

@@ -416,6 +416,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["events_zorder"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.quantiles import ks_drift
+
+        t0 = time.perf_counter()
+        ks_drift(
+            rd.read_parquet(
+                events_path, columns=["event_id", "event_type", "value"]
+            )
+        ).count()
+        timings["events_ks_drift"] = round(time.perf_counter() - t0, 3)
+
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
             pack_sequences,

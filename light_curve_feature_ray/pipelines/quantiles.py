@@ -680,3 +680,113 @@ def mad_outliers(
         ).append_column("is_outlier", pa.array(dev > thresh * mad[pos]))
 
     return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+def ks_drift(
+    ds,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic per key — the
+    distribution-shift detector for split/shard validation: rows are
+    split into samples A/B by Lehmer-hash parity of ``id_col`` (the same
+    SQL-reproducible hash family ``hash_sample`` pins), and per key
+    D = max over pooled distinct values v of |F_A(v) - F_B(v)| with
+    F(v) = count(x <= v)/n.  Returns (key, n_a, n_b, ks_d); keys where
+    either sample is empty are dropped (mirror with HAVING).
+
+    Semantics pinned for the SQL twin: rows with NULL key, NULL id or
+    NULL/NaN value drop entirely; -0.0 normalizes to 0.0 before
+    grouping (SQL comparison semantics); the ECDF difference is
+    ``ca/na - cb/nb`` evaluated per distinct value in IEEE doubles on
+    both sides, and D is an exact max over those.
+
+    Scale shape: ONE hash shuffle on the key, then a fully vectorized
+    per-partition kernel (one lexsort over (key, value), segment cumsums,
+    one ``maximum.reduceat``) — no per-key Python, no global sort.
+    Partitioning assumption (custom-operator contract, same as
+    ``grouped_quantile_cont``): one key's rows fit in one partition's
+    task memory — KS is an exact whole-distribution statistic, so this
+    is inherent; use the binned histogram operators for approximate
+    drift over unbounded keys.
+    """
+    from .sampling import lehmer_hash
+    from .text import _auto_pair_parts
+
+    num_partitions = num_partitions or _auto_pair_parts()
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=[key_col, id_col])
+        h = pd.util.hash_array(b[key_col].to_numpy(), categorize=False)
+        b = b.copy()
+        b["part"] = (h % np.uint64(num_partitions)).astype(np.int32)
+        b["_ia"] = (
+            lehmer_hash(b[id_col].to_numpy(np.int64), seed) % 2 == 0
+        )
+        return b[[key_col, value_col, "part", "_ia"]]
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part[key_col].to_numpy()
+        v = part[value_col].to_numpy(dtype=np.float64)
+        ia = part["_ia"].to_numpy(dtype=bool)
+        ok = ~np.isnan(v)
+        g, v, ia = g[ok], v[ok], ia[ok]
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype=part[key_col].dtype),
+                "n_a": pd.Series([], dtype=np.int64),
+                "n_b": pd.Series([], dtype=np.int64),
+                "ks_d": pd.Series([], dtype=np.float64),
+            }
+        )
+        if g.size == 0:
+            return empty
+        v[v == 0.0] = 0.0  # -0.0 -> 0.0 (SQL comparison semantics)
+        order = np.lexsort((v, g))
+        g, v, ia = g[order], v[order], ia[order]
+        seg_new = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(seg_new)
+        seg_id = np.cumsum(seg_new) - 1
+        ca = np.cumsum(ia).astype(np.int64)
+        cb = np.cumsum(~ia).astype(np.int64)
+        off_a = np.r_[np.int64(0), ca[starts[1:] - 1]]
+        off_b = np.r_[np.int64(0), cb[starts[1:] - 1]]
+        ca_in = ca - off_a[seg_id]
+        cb_in = cb - off_b[seg_id]
+        ends = np.r_[starts[1:], g.size] - 1
+        na = ca_in[ends]
+        nb = cb_in[ends]
+        # evaluation points: the LAST row of each (key, value) tie run —
+        # the ECDF is only defined at completed distinct values
+        cand = np.r_[(g[1:] != g[:-1]) | (v[1:] != v[:-1]), True]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            diff = np.abs(
+                ca_in / na[seg_id].astype(np.float64)
+                - cb_in / nb[seg_id].astype(np.float64)
+            )
+        diff = np.where(cand, diff, -np.inf)
+        d = np.maximum.reduceat(diff, starts)
+        keep = (na > 0) & (nb > 0)
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                key_col: g[starts][keep],
+                "n_a": na[keep],
+                "n_b": nb[keep],
+                "ks_d": d[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pandas", batch_size=None)
+        .groupby("part")
+        .map_groups(
+            lambda p: per_part(p.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )

@@ -28,6 +28,12 @@ def entry_mod():
     return mod
 
 
+def _round6(v):
+    v = np.asarray(v, dtype=np.float64)
+    out = np.copysign(np.floor(np.abs(v) * 1e6 + 0.5) / 1e6, v)
+    return np.where(np.isnan(v), np.nan, out)
+
+
 @pytest.fixture(scope="module")
 def null_events_z():
     rng = np.random.default_rng(23)
@@ -156,3 +162,146 @@ def test_zorder_bits_bound(ray_session):
     )
     with pytest.raises(ValueError):
         zorder_key(rd.from_pandas(df), bits=17)
+
+
+@pytest.fixture(scope="module")
+def null_events_ks():
+    rng = np.random.default_rng(41)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "refund"], size=n
+            ),
+            "value": rng.normal(scale=30, size=n),
+        }
+    )
+    # a drifted type: same labels, shifted values for odd ids
+    drift = df["event_type"] == "refund"
+    df.loc[drift & (df["event_id"] % 2 == 1), "value"] += 40.0
+    df["event_id"] = df["event_id"].astype("Int64")
+    df.loc[df.index % 11 == 0, "event_id"] = pd.NA
+    df.loc[df.index % 13 == 0, "event_type"] = None
+    df.loc[df.index % 17 == 0, "value"] = np.nan
+    # ties: force duplicate values inside one type
+    df.loc[df.index % 19 == 0, "value"] = 5.0
+    return df
+
+
+def _brute_ks(a: np.ndarray, b: np.ndarray) -> float:
+    """Reference two-sample KS: pooled distinct points, F(v) = #(x<=v)/n
+    (the scipy.stats.ks_2samp statistic definition)."""
+    pool = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), pool, side="right") / a.size
+    fb = np.searchsorted(np.sort(b), pool, side="right") / b.size
+    return float(np.abs(fa - fb).max())
+
+
+def test_ks_drift_brute_force(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import ks_drift
+    from light_curve_feature_ray.pipelines.sampling import lehmer_hash
+
+    rng = np.random.default_rng(5)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c"], size=n),
+            "value": rng.normal(size=n),
+        }
+    )
+    got = (
+        ks_drift(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    ia = lehmer_hash(df["event_id"].to_numpy(np.int64)) % 2 == 0
+    for _, r in got.iterrows():
+        m = df["event_type"] == r["event_type"]
+        a = df.loc[m & ia, "value"].to_numpy()
+        b = df.loc[m & ~ia, "value"].to_numpy()
+        assert int(r["n_a"]) == a.size and int(r["n_b"]) == b.size
+        ref = _brute_ks(a, b)
+        assert abs(float(r["ks_d"]) - ref) < 1e-12, r["event_type"]
+    # drift detector sanity: a shifted half-sample scores high
+    df2 = df.copy()
+    df2.loc[ia & (df2["event_type"] == "a"), "value"] += 100.0
+    got2 = ks_drift(rd.from_pandas(df2)).to_pandas().set_index("event_type")
+    assert float(got2.loc["a", "ks_d"]) > 0.9
+    assert float(got2.loc["b", "ks_d"]) < 0.3
+
+
+def test_ks_drift_null_parity_vs_twin(ray_session, entry_mod, null_events_ks):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import ks_drift
+
+    got = (
+        ks_drift(rd.from_pandas(null_events_ks))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", null_events_ks)
+    want = (
+        con.execute(entry_mod._build_sql_events_ks_drift())
+        .df()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert list(got["event_type"]) == list(want["event_type"])
+    assert list(got["n_a"].astype(np.int64)) == list(
+        want["n_a"].astype(np.int64)
+    )
+    assert list(got["n_b"].astype(np.int64)) == list(
+        want["n_b"].astype(np.int64)
+    )
+    np.testing.assert_array_equal(
+        _round6(got["ks_d"]), _round6(want["ks_d"])
+    )
+
+
+def test_ks_drift_partition_invariance_and_empty_sample(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import ks_drift
+    from light_curve_feature_ray.pipelines.sampling import lehmer_hash
+
+    rng = np.random.default_rng(9)
+    n = 240
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["x", "y"], size=n),
+            "value": rng.normal(size=n),
+        }
+    )
+    # a key whose rows ALL land in one parity sample -> dropped
+    ids = np.arange(n, n + 40, dtype=np.int64)
+    one_par = ids[lehmer_hash(ids) % 2 == 0]
+    lone = pd.DataFrame(
+        {
+            "event_id": one_par,
+            "event_type": "lonely",
+            "value": rng.normal(size=one_par.size),
+        }
+    )
+    df = pd.concat([df, lone], ignore_index=True)
+    outs = []
+    for parts, blocks in ((3, 1), (11, 7)):
+        ds = rd.from_pandas(df).repartition(blocks)
+        outs.append(
+            ks_drift(ds, num_partitions=parts)
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert "lonely" not in set(outs[0]["event_type"])
+    assert set(outs[0]["event_type"]) == {"x", "y"}
