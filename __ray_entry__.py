@@ -3687,13 +3687,15 @@ def q_doc_minhash_dups(sf_dir: str):
     return _finalize(minhash_lsh_dups(_docs(sf_dir), threshold=0.5, hasher="poly"))
 
 
-def _build_sql_doc_minhash_dups() -> str:
-    """The DuckDB twin of q_doc_minhash_dups: embeds the engine's own
-    permutation coefficients (_poly_perm_coeffs, same seed) so both sides
-    evaluate identical integer arithmetic end-to-end."""
+def _minhash_cand_sql(num_perms=64, bands=16, k=3, maxb=64) -> str:
+    """Shared candidate-pair CTE chain for the MinHash-LSH twins
+    (jaccard + edit-distance verifiers): embeds the engine's own
+    permutation coefficients (_poly_perm_coeffs, same seed) so both
+    sides evaluate identical integer arithmetic end-to-end. Exposes
+    CTEs ``s`` (distinct-able doc shingles) and ``cand`` (unique
+    doc_a < doc_b candidate pairs after the row_number bucket cap)."""
     from light_curve_feature_ray.pipelines.text import _poly_perm_coeffs
 
-    num_perms, bands, k, maxb, thr = 64, 16, 3, 64, 0.5
     mod = 281474976710597
     rows = num_perms // bands
     a1, b1, a2, b2 = _poly_perm_coeffs(num_perms, 1234)
@@ -3747,7 +3749,14 @@ cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bucketed x JOIN bucketed y
     ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
-  WHERE x.rn <= {maxb} AND y.rn <= {maxb}),
+  WHERE x.rn <= {maxb} AND y.rn <= {maxb})"""
+
+
+def _build_sql_doc_minhash_dups() -> str:
+    """The DuckDB twin of q_doc_minhash_dups: the shared candidate CTE
+    (:func:`_minhash_cand_sql`) plus the integer-count Jaccard verify."""
+    thr = 0.5
+    return f"""{_minhash_cand_sql()},
 ss AS (SELECT DISTINCT doc_id, s FROM s),
 cnt AS (SELECT doc_id, count(*) AS c FROM ss GROUP BY doc_id),
 inter AS (
@@ -3761,6 +3770,39 @@ jac AS (
   JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
   LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b)
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= {thr}
+"""
+
+
+EDITDIST_PREFIX_CHARS = 64
+EDITDIST_MAX = 24
+
+
+def q_doc_editdist_dups(sf_dir: str):
+    """Prefix edit-distance near-dup pairs (pipelines/text.py
+    edit_distance_dups): the SAME SQL-reproducible poly MinHash-LSH
+    blocking as doc_minhash_dups, then exact byte-level Levenshtein
+    between 64-code-point prefixes (DuckDB levenshtein semantics,
+    vectorized pair-axis DP), keeping dist <= 24."""
+    from light_curve_feature_ray.pipelines.text import edit_distance_dups
+
+    return edit_distance_dups(
+        _docs(sf_dir),
+        max_dist=EDITDIST_MAX,
+        prefix_chars=EDITDIST_PREFIX_CHARS,
+        hasher="poly",
+    )
+
+
+def _build_sql_doc_editdist_dups() -> str:
+    return f"""{_minhash_cand_sql()},
+tt AS (SELECT doc_id, substr(coalesce(text, ''), 1, {EDITDIST_PREFIX_CHARS}) AS t
+       FROM documents)
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM cand p
+JOIN tt a ON a.doc_id = p.doc_a
+JOIN tt b ON b.doc_id = p.doc_b
+WHERE levenshtein(a.t, b.t) <= {EDITDIST_MAX}
 """
 
 
@@ -4943,6 +4985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- added after the r04 window froze: round-5 rotation targets ----
         "events_zorder": q_events_zorder,
         "events_ks_drift": q_events_ks_drift,
+        "doc_editdist_dups": q_doc_editdist_dups,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5066,6 +5109,7 @@ def oracle_sql() -> dict[str, str]:
         "events_chi2": SQL_EVENTS_CHI2,
         "events_zorder": _build_sql_events_zorder(),
         "events_ks_drift": _build_sql_events_ks_drift(),
+        "doc_editdist_dups": _build_sql_doc_editdist_dups(),
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

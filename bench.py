@@ -229,6 +229,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         minhash_lsh_dups(docs, threshold=0.5).count()
         timings["doc_minhash_dups"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.text import edit_distance_dups
+
+        t0 = time.perf_counter()
+        edit_distance_dups(docs, max_dist=24, prefix_chars=64).count()
+        timings["doc_editdist_dups"] = round(time.perf_counter() - t0, 3)
+
         from light_curve_feature_ray.pipelines.text import (
             tfidf_top_terms,
             top_terms,

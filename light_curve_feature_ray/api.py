@@ -60,6 +60,8 @@ from .pipelines.joins import (  # noqa: F401
 
 # --- all-aggregate analytics ----------------------------------------------
 from .pipelines.aggregates import (  # noqa: F401
+    chi2_crosstab,
+    first_seen_cumulative,
     group_corr,
     group_count_distinct,
     group_linear_trend,
@@ -75,6 +77,8 @@ from .pipelines.windows import (  # noqa: F401
     event_transitions,
     ewma,
     funnel_steps,
+    interval_coverage,
+    throttle,
     rolling_agg,
     running_agg,
     rolling_time_agg,
@@ -92,6 +96,7 @@ from .pipelines.quantiles import (  # noqa: F401
     exact_order_stats,
     grouped_mad,
     grouped_quantile_cont,
+    ks_drift,
     mad_outliers,
     quantile_cont,
     winsorize,
@@ -105,6 +110,8 @@ from .pipelines.scan import (  # noqa: F401
     percent_rank_rows,
     rank_rows,
     shuffle_rank,
+    zorder_key,
+    zorder_sql,
 )
 
 # --- sampling / splits / curation ---------------------------------------
@@ -122,6 +129,7 @@ from .pipelines.text import (  # noqa: F401
     boilerplate_score,
     chunk_text,
     dsir_weights,
+    edit_distance_dups,
     exact_dedup,
     fingerprint,
     json_extract_fields,

@@ -909,30 +909,26 @@ def _band_hashes_poly(sigs: np.ndarray, bands: int) -> np.ndarray:
     return bh
 
 
-def minhash_lsh_dups(
+def _lsh_candidate_pairs(
     docs_ds,
-    num_perms: int = 64,
-    bands: int = 16,
-    threshold: float = 0.6,
-    shingle_k: int = 3,
-    max_bucket: int = 64,
-    id_col: str = "doc_id",
-    hasher: str = "ahash",
+    *,
+    num_perms: int,
+    bands: int,
+    shingle_k: int,
+    max_bucket: int,
+    id_col: str,
+    hasher: str,
+    num_partitions: int,
 ):
-    """MinHash + LSH near-duplicate pairs, fully distributed.
+    """MinHash-LSH candidate-pair generation — the blocking stage shared
+    by the Jaccard (:func:`minhash_lsh_dups`) and edit-distance
+    (:func:`edit_distance_dups`) verifiers: shingle -> minhash (one
+    vectorized pass per block) -> (band, band_hash, doc) rows -> ONE
+    hash exchange -> partition-vectorized bucket explosion capped at the
+    ``max_bucket`` smallest ids (overflow logged) -> pair distinct.
 
-    shingle → minhash (actor pool) → (band, band_hash, doc) rows →
-    groupby band bucket → candidate pairs (bucket capped at ``max_bucket``
-    smallest ids; overflow logged) → pair dedup (groupby) → verification:
-    candidate ids broadcast via ``ray.put``, candidate docs' texts shipped
-    through a keyed shuffle, exact shingle-Jaccard computed in a
-    distributed ``map_groups``. No driver-side corpus scan at any point.
-
-    Returns a Dataset of (doc_a, doc_b, jaccard), doc_a < doc_b,
-    jaccard >= threshold.
-    """
-    import ray
-
+    Returns a MATERIALIZED Dataset of unique (doc_a, doc_b) with
+    doc_a < doc_b — bounded by the bucket cap, safe to consume twice."""
     rows_per_band = num_perms // bands
     assert rows_per_band * bands == num_perms
 
@@ -960,13 +956,11 @@ def minhash_lsh_dups(
                 "band_hash": pa.array(bh.reshape(-1)),
                 "doc_id": pa.array(
                     np.repeat(
-                        batch["doc_id"].to_numpy(zero_copy_only=False), bands
+                        batch[id_col].to_numpy(zero_copy_only=False), bands
                     )
                 ),
             }
         )
-
-    num_partitions = _auto_pair_parts()
 
     buckets = docs_ds.map_batches(
         explode_bands, batch_format="pyarrow", batch_size=None
@@ -1020,19 +1014,37 @@ def minhash_lsh_dups(
     )
     # consumed twice below (id broadcast + side explosion); the pair set is
     # small (bucket-capped) so pin it rather than re-running the LSH stages
-    pairs = pairs.materialize()
+    return pairs.materialize()
 
-    # ---- distributed verification ------------------------------------
-    # candidate ids (bounded: <= 2 * max_bucket^2/2 * n_buckets pairs,
-    # already capped) are the ONLY thing materialized on the driver
+
+def _attach_pair_texts(
+    docs_ds,
+    pairs,
+    *,
+    id_col: str,
+    num_partitions: int,
+    text_map=None,
+):
+    """Distributed pair-text attachment shared by the near-dup verifiers:
+    candidate ids (bounded by the bucket cap) are the ONLY thing
+    materialized on the driver, broadcast once via ``ray.put``; candidate
+    docs' texts ship through ONE keyed shuffle and scatter onto their
+    incident pair-side rows with a partition-level searchsorted.
+
+    ``text_map`` (optional) is an Arrow-level transform applied to the
+    text column while it is still zero-copy in the corpus scan — e.g. a
+    code-point prefix slice for the edit-distance verifier.
+
+    Returns a Dataset of (doc_a, doc_b, side_id, text) with two rows per
+    surviving pair, or None when there are no candidates."""
+    import ray
+
     cand_ids = set()
     for b in pairs.iter_batches(batch_size=None, batch_format="pandas"):
         cand_ids.update(b["doc_a"])
         cand_ids.update(b["doc_b"])
     if not cand_ids:
-        return ray.data.from_pandas(
-            pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-        )
+        return None
     ids_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
 
     def filter_cands(batch: pa.Table) -> pa.Table:
@@ -1044,13 +1056,16 @@ def minhash_lsh_dups(
             pc.is_in(batch[id_col], value_set=pa.array(ids))
         )
         n = sel.num_rows
+        text = sel["text"]
+        if text_map is not None:
+            text = text_map(text)
         return pa.table(
             {
                 "doc_id": sel[id_col],
                 "doc_a": pa.array(np.zeros(n, dtype=np.int64)),
                 "doc_b": pa.array(np.zeros(n, dtype=np.int64)),
                 "is_text": pa.array(np.ones(n, dtype=np.int8)),
-                "text": sel["text"],
+                "text": text,
             }
         )
 
@@ -1111,7 +1126,7 @@ def minhash_lsh_dups(
             }
         )
 
-    attached = (
+    return (
         cand_texts.union(sides)
         .map_batches(
             lambda b: _hash_mod_part_arrow(b, ["doc_id"], num_partitions),
@@ -1121,6 +1136,53 @@ def minhash_lsh_dups(
         .groupby("part")
         .map_groups(attach_partition, batch_format="pandas")
     )
+
+
+def minhash_lsh_dups(
+    docs_ds,
+    num_perms: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+    id_col: str = "doc_id",
+    hasher: str = "ahash",
+):
+    """MinHash + LSH near-duplicate pairs, fully distributed.
+
+    shingle → minhash → (band, band_hash, doc) rows → groupby band
+    bucket → candidate pairs (bucket capped at ``max_bucket`` smallest
+    ids; overflow logged) → pair dedup (groupby) → verification:
+    candidate ids broadcast via ``ray.put``, candidate docs' texts
+    shipped through a keyed shuffle, exact shingle-Jaccard computed in a
+    distributed ``map_groups`` (:func:`_lsh_candidate_pairs` +
+    :func:`_attach_pair_texts` do the blocking / attachment). No
+    driver-side corpus scan at any point.
+
+    Returns a Dataset of (doc_a, doc_b, jaccard), doc_a < doc_b,
+    jaccard >= threshold.
+    """
+    import ray
+
+    poly = hasher == "poly"
+    num_partitions = _auto_pair_parts()
+    pairs = _lsh_candidate_pairs(
+        docs_ds,
+        num_perms=num_perms,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket=max_bucket,
+        id_col=id_col,
+        hasher=hasher,
+        num_partitions=num_partitions,
+    )
+    attached = _attach_pair_texts(
+        docs_ds, pairs, id_col=id_col, num_partitions=num_partitions
+    )
+    if attached is None:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        )
 
     def verify_pair_partition(grp: pd.DataFrame) -> pd.DataFrame:
         da = grp["doc_a"].to_numpy()
@@ -1187,6 +1249,154 @@ def minhash_lsh_dups(
         .map_groups(verify_pair_partition, batch_format="pandas")
         .map_batches(
             lambda b: b[["doc_a", "doc_b", "jaccard"]],
+            batch_format="pandas",
+            batch_size=None,
+        )
+    )
+
+
+def _levenshtein_bytes_batch(
+    ta: np.ndarray, tb: np.ndarray
+) -> np.ndarray:
+    """Vectorized byte-level Levenshtein across a batch of string pairs
+    (DuckDB ``levenshtein`` operates on UTF-8 BYTES — pinned by test).
+    Classic row DP, vectorized over the PAIR axis; the in-row left-to-
+    right dependency collapses via the prefix-min identity
+    ``out[j] = j + min.accumulate(c[j] - j)``.  O(max_len_a) Python
+    iterations of (pairs x len_b) numpy work — max_len is the bounded
+    code-point prefix, so the cost is flat per pair."""
+    n = len(ta)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    ab = [s.encode("utf-8") for s in ta]
+    bb = [s.encode("utf-8") for s in tb]
+    la = np.array([len(s) for s in ab], dtype=np.int64)
+    lb = np.array([len(s) for s in bb], dtype=np.int64)
+    max_a, max_b = int(la.max(initial=0)), int(lb.max(initial=0))
+    # pad with sentinel 256 (never equals a real byte)
+    A = np.full((n, max(max_a, 1)), 256, dtype=np.int16)
+    B = np.full((n, max(max_b, 1)), 256, dtype=np.int16)
+    for i, s in enumerate(ab):
+        if s:
+            A[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    for i, s in enumerate(bb):
+        if s:
+            B[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    res = np.where(la == 0, lb, np.int64(-1))
+    cols = np.arange(max_b + 1, dtype=np.int64)
+    dp = np.broadcast_to(cols, (n, max_b + 1)).copy()
+    for i in range(1, max_a + 1):
+        cost = (A[:, i - 1 : i] != B).astype(np.int64)  # (n, max_b)
+        c = np.minimum(dp[:, 1:] + 1, dp[:, :-1] + cost)
+        c = np.concatenate(
+            [np.full((n, 1), i, dtype=np.int64), c], axis=1
+        )
+        dp = np.minimum.accumulate(c - cols, axis=1) + cols
+        done = la == i
+        if done.any():
+            res[done] = dp[done, lb[done]]
+    return res
+
+
+def edit_distance_dups(
+    docs_ds,
+    *,
+    max_dist: int = 8,
+    prefix_chars: int = 64,
+    num_perms: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+    id_col: str = "doc_id",
+    hasher: str = "ahash",
+):
+    """Near-duplicate pairs by exact PREFIX edit distance: MinHash-LSH
+    blocking (the same :func:`_lsh_candidate_pairs` stage as
+    :func:`minhash_lsh_dups`), then byte-level Levenshtein between the
+    first ``prefix_chars`` code points of each candidate pair, keeping
+    pairs with distance <= ``max_dist``.
+
+    Semantics pinned for the SQL twin: the prefix is a CODE-POINT slice
+    (``substr(text, 1, P)``; Arrow ``utf8_slice_codeunits`` is the same
+    slice) but the distance counts UTF-8 BYTE edits (DuckDB
+    ``levenshtein`` semantics); NULL texts become empty strings on both
+    sides (distance = other side's byte length).
+
+    Scale shape: blocking is bucket-capped like minhash; the quadratic
+    DP runs only on candidate pairs over a BOUNDED prefix — full-text
+    edit distance is O(L^2) per pair and is deliberately not offered.
+    Returns (doc_a, doc_b, dist), doc_a < doc_b."""
+    import ray
+
+    num_partitions = _auto_pair_parts()
+    pairs = _lsh_candidate_pairs(
+        docs_ds,
+        num_perms=num_perms,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket=max_bucket,
+        id_col=id_col,
+        hasher=hasher,
+        num_partitions=num_partitions,
+    )
+    attached = _attach_pair_texts(
+        docs_ds,
+        pairs,
+        id_col=id_col,
+        num_partitions=num_partitions,
+        text_map=lambda col: pc.utf8_slice_codeunits(
+            pc.fill_null(col, ""), 0, prefix_chars
+        ),
+    )
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype=np.int64),
+            "doc_b": pd.Series([], dtype=np.int64),
+            "dist": pd.Series([], dtype=np.int64),
+        }
+    )
+    if attached is None:
+        return ray.data.from_pandas(empty)
+
+    def score_pair_partition(grp: pd.DataFrame) -> pd.DataFrame:
+        da = grp["doc_a"].to_numpy()
+        db = grp["doc_b"].to_numpy()
+        texts = grp["text"].to_numpy()
+        sid = grp["side_id"].to_numpy()
+        order0 = np.lexsort((sid, db, da))
+        da, db, texts, sid = (
+            da[order0], db[order0], texts[order0], sid[order0],
+        )
+        new_pair = np.r_[True, (da[1:] != da[:-1]) | (db[1:] != db[:-1])]
+        if new_pair.size == 0:
+            return empty
+        first = np.flatnonzero(new_pair)
+        # both sides present (attach guard may drop one): keep complete
+        # pairs only — side rows sort (a-side, b-side) within a pair
+        # because doc_a < doc_b and side_id is the tie-break
+        counts = np.diff(np.r_[first, da.size])
+        full = counts == 2
+        fa = first[full]
+        d = _levenshtein_bytes_batch(texts[fa], texts[fa + 1])
+        sel = d <= max_dist
+        return pd.DataFrame(
+            {
+                "doc_a": da[fa][sel],
+                "doc_b": db[fa][sel],
+                "dist": d[sel].astype(np.int64),
+            }
+        )
+
+    return (
+        attached.map_batches(
+            lambda b: _hash_mod_part(b, ["doc_a", "doc_b"], num_partitions),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .groupby("part")
+        .map_groups(score_pair_partition, batch_format="pandas")
+        .map_batches(
+            lambda b: b[["doc_a", "doc_b", "dist"]],
             batch_format="pandas",
             batch_size=None,
         )

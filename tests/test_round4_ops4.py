@@ -305,3 +305,116 @@ def test_ks_drift_partition_invariance_and_empty_sample(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert "lonely" not in set(outs[0]["event_type"])
     assert set(outs[0]["event_type"]) == {"x", "y"}
+
+
+def test_levenshtein_bytes_fuzz_vs_duckdb():
+    from light_curve_feature_ray.pipelines.text import (
+        _levenshtein_bytes_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    alpha = list("abcdeé ü\n")
+    ta, tb = [], []
+    for _ in range(250):
+        la, lb = rng.integers(0, 14, size=2)
+        ta.append("".join(rng.choice(alpha, size=la)))
+        tb.append("".join(rng.choice(alpha, size=lb)))
+    ta = np.array(ta, dtype=object)
+    tb = np.array(tb, dtype=object)
+    got = _levenshtein_bytes_batch(ta, tb)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"a": ta, "b": tb}))
+    want = con.execute("select levenshtein(a, b) from t").df().iloc[:, 0]
+    # byte-level semantics pinned: multi-byte code points count per byte
+    assert (got == want.to_numpy()).all()
+    assert int(
+        _levenshtein_bytes_batch(
+            np.array(["é"], object), np.array(["e"], object)
+        )[0]
+    ) == 2
+
+
+@pytest.fixture(scope="module")
+def editdist_docs():
+    rng = np.random.default_rng(11)
+    vocab = np.array(
+        ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa"]
+    )
+    texts = [
+        " ".join(rng.choice(vocab, size=12)) for _ in range(40)
+    ]
+    # planted near-dups: tiny character edits of existing docs
+    texts.append(texts[0].replace("a", "o", 1))
+    texts.append(texts[1] + " x")
+    texts.append(None)  # null text -> '' on both sides
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": pd.array(texts, dtype="string[pyarrow]"),
+        }
+    )
+    return df
+
+
+def test_edit_distance_dups_parity_and_recall(
+    ray_session, entry_mod, editdist_docs
+):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import edit_distance_dups
+
+    got = (
+        edit_distance_dups(
+            rd.from_pandas(editdist_docs),
+            max_dist=entry_mod.EDITDIST_MAX,
+            prefix_chars=entry_mod.EDITDIST_PREFIX_CHARS,
+            hasher="poly",
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", editdist_docs)
+    want = (
+        con.execute(entry_mod._build_sql_doc_editdist_dups())
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ("doc_a", "doc_b", "dist"):
+        assert list(got[c].astype(np.int64)) == list(
+            want[c].astype(np.int64)
+        ), c
+    # planted recall: the one-character edit of doc 0 is found with the
+    # exact byte distance
+    found = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 40) in found
+    d0 = int(got.set_index(["doc_a", "doc_b"]).loc[(0, 40), "dist"])
+    ref = con.execute(
+        "select levenshtein(substr(a.text,1,?), substr(b.text,1,?)) "
+        "from documents a, documents b where a.doc_id=0 and b.doc_id=40",
+        [entry_mod.EDITDIST_PREFIX_CHARS] * 2,
+    ).fetchone()[0]
+    assert d0 == int(ref)
+
+
+def test_edit_distance_dups_partition_invariance(ray_session, editdist_docs):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import edit_distance_dups
+
+    outs = []
+    for blocks in (1, 7):
+        ds = rd.from_pandas(editdist_docs).repartition(blocks)
+        outs.append(
+            edit_distance_dups(
+                ds, max_dist=30, prefix_chars=48, hasher="poly"
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
