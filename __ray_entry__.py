@@ -2775,6 +2775,85 @@ HAVING min(na) > 0 AND min(nb) > 0
 """
 
 
+GHIST_BINS = 24
+
+
+def q_events_type_histogram(sf_dir: str):
+    """Faceted per-type histogram with shared global edges
+    (pipelines/quantiles.py grouped_histogram): block-local (key, bin)
+    count partials, one cell-cardinality groupby-sum; bin doubles
+    identical to the global histogram twin."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import grouped_histogram
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_histogram(ev, "event_type", "value", bins=GHIST_BINS)
+
+
+SQL_EVENTS_TYPE_HISTOGRAM = f"""
+WITH p AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+    SELECT event_type,
+           CAST(least(greatest(floor((value - p.lo)
+               / ((p.hi - p.lo) / {GHIST_BINS})), 0), {GHIST_BINS} - 1)
+           AS BIGINT) AS bin
+    FROM events CROSS JOIN p
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY event_type, bin
+"""
+
+
+def q_events_audience_overlap(sf_dir: str):
+    """Pairwise audience overlap (jaccard + lift over distinct users)
+    between event types (pipelines/aggregates.py audience_overlap):
+    distinct (type, user) partials, one key-hash exchange with a
+    triangular pair explosion bounded by |types|^2 per user, tagged
+    tiny reduce. The jaccard / lift doubles are replayed literally."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import audience_overlap
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return _finalize(
+        audience_overlap(ev),
+        skip=("cat_a", "cat_b", "n_a", "n_b", "n_ab"),
+    )
+
+
+SQL_EVENTS_AUDIENCE_OVERLAP = """
+WITH ut AS (
+    SELECT DISTINCT event_type, user_id FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), ca AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
+), tot AS (
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ut
+), pr AS (
+    SELECT x.event_type AS cat_a, y.event_type AS cat_b,
+           CAST(count(*) AS BIGINT) AS n_ab
+    FROM ut x JOIN ut y
+      ON x.user_id = y.user_id AND x.event_type < y.event_type
+    GROUP BY 1, 2
+)
+SELECT pr.cat_a, pr.cat_b, a.n AS n_a, b.n AS n_b, pr.n_ab,
+       round(CAST(pr.n_ab AS DOUBLE) / (a.n + b.n - pr.n_ab), 6)
+           AS jaccard,
+       round((CAST(pr.n_ab AS DOUBLE) * CAST(tot.nu AS DOUBLE))
+             / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)), 6) AS lift
+FROM pr
+JOIN ca a ON a.event_type = pr.cat_a
+JOIN ca b ON b.event_type = pr.cat_b
+CROSS JOIN tot
+"""
+
+
 HIST_BINS = 32
 
 
@@ -4986,6 +5065,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder": q_events_zorder,
         "events_ks_drift": q_events_ks_drift,
         "doc_editdist_dups": q_doc_editdist_dups,
+        "events_type_histogram": q_events_type_histogram,
+        "events_audience_overlap": q_events_audience_overlap,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5110,6 +5191,8 @@ def oracle_sql() -> dict[str, str]:
         "events_zorder": _build_sql_events_zorder(),
         "events_ks_drift": _build_sql_events_ks_drift(),
         "doc_editdist_dups": _build_sql_doc_editdist_dups(),
+        "events_type_histogram": SQL_EVENTS_TYPE_HISTOGRAM,
+        "events_audience_overlap": SQL_EVENTS_AUDIENCE_OVERLAP,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

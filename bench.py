@@ -432,6 +432,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["events_ks_drift"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.quantiles import (
+            grouped_histogram,
+        )
+        from light_curve_feature_ray.pipelines.aggregates import (
+            audience_overlap,
+        )
+
+        t0 = time.perf_counter()
+        grouped_histogram(
+            rd.read_parquet(events_path, columns=["event_type", "value"]),
+            "event_type",
+            "value",
+            bins=24,
+        ).count()
+        timings["events_type_histogram"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        audience_overlap(
+            rd.read_parquet(events_path, columns=["user_id", "event_type"])
+        ).count()
+        timings["events_audience_overlap"] = round(
+            time.perf_counter() - t0, 3
+        )
+
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
             pack_sequences,

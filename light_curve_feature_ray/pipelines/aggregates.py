@@ -916,3 +916,161 @@ def chi2_crosstab(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def audience_overlap(
+    ds,
+    *,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+):
+    """Pairwise audience overlap between categories — the
+    market-basket / co-occurrence matrix over distinct keys: for every
+    unordered category pair (a < b, binary/code-point order on both
+    sides) with at least one shared key, returns (cat_a, cat_b, n_a,
+    n_b, n_ab, jaccard, lift) where n_x = distinct keys seen with x,
+    n_ab = distinct keys seen with both, jaccard = n_ab/(n_a+n_b-n_ab)
+    and lift = (n_ab·N)/(n_a·n_b) with N = total distinct keys — both
+    ratios evaluated in IEEE doubles exactly as the SQL twin spells
+    them.  NULL key / NULL category rows drop; zero-overlap pairs are
+    absent (GROUP BY semantics).
+
+    Scale shape: block-local DISTINCT (cat, key) partials, ONE
+    key-cardinality groupby-distinct, then ONE key-hash exchange whose
+    per-partition kernel emits — in a single vectorized pass — pair
+    partials (a triangular ``_segment_pairs`` explosion, bounded by
+    |cats|² per key), per-cat distinct-key partials and a key-count
+    partial, all reduced by one tiny tagged groupby-sum; the O(|cats|²)
+    finish runs in a single block.  The corpus shuffles ONLY as the slim
+    two-column distinct set."""
+    from .text import _auto_pair_parts, _segment_pairs
+
+    num_partitions = _auto_pair_parts()
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([cat_col, key_col])
+        t = t.filter(
+            pc.and_(pc.is_valid(t[cat_col]), pc.is_valid(t[key_col]))
+        ).combine_chunks()
+        return (
+            t.group_by([cat_col, key_col])
+            .aggregate([([], "count_all")])
+            .select([cat_col, key_col])
+        )
+
+    distinct = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow", batch_size=None)
+        .groupby([cat_col, key_col])
+        .count()
+        .map_batches(
+            lambda b: b.select([cat_col, key_col]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b[key_col].to_numpy(), categorize=False)
+        b = b.copy()
+        b["part"] = (h % np.uint64(num_partitions)).astype(np.int32)
+        return b
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        k = part[key_col].to_numpy()
+        c = part[cat_col].to_numpy()
+        empty = pd.DataFrame(
+            {
+                "kind": pd.Series([], dtype=np.int8),
+                "cat_a": pd.Series([], dtype=object),
+                "cat_b": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype=np.int64),
+            }
+        )
+        if k.size == 0:
+            return empty
+        order = np.lexsort((c, k))
+        k, c = k[order], c[order]
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new_key)
+        sizes = np.diff(np.r_[starts, k.size])
+        a_rows, b_rows = _segment_pairs(starts, sizes)
+        frames = []
+        if a_rows.size:
+            # within a key the cats are sorted and distinct -> a < b
+            pairs = pd.DataFrame({"cat_a": c[a_rows], "cat_b": c[b_rows]})
+            pc_ = (
+                pairs.groupby(["cat_a", "cat_b"], sort=False)
+                .size()
+                .reset_index(name="cnt")
+            )
+            pc_.insert(0, "kind", np.int8(0))
+            frames.append(pc_)
+        singles = (
+            pd.DataFrame({"cat_a": c})
+            .groupby("cat_a", sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        singles.insert(0, "kind", np.int8(1))
+        singles["cat_b"] = ""
+        frames.append(singles[["kind", "cat_a", "cat_b", "cnt"]])
+        frames.append(
+            pd.DataFrame(
+                {
+                    "kind": [np.int8(2)],
+                    "cat_a": [""],
+                    "cat_b": [""],
+                    "cnt": [np.int64(starts.size)],
+                }
+            )
+        )
+        out = pd.concat(frames, ignore_index=True)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    tagged = (
+        distinct.map_batches(assign, batch_format="pandas", batch_size=None)
+        .groupby("part")
+        .map_groups(
+            lambda p: per_part(p.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+        .groupby(["kind", "cat_a", "cat_b"])
+        .sum("cnt")
+        .repartition(1)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        ca = np.asarray(t["cat_a"].to_pandas(), dtype=object)
+        cb = np.asarray(t["cat_b"].to_pandas(), dtype=object)
+        cnt = t["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = kind == 0
+        single_cats = ca[kind == 1]
+        single_cnt = cnt[kind == 1]
+        order = np.argsort(single_cats.astype(str), kind="stable")
+        sc, sn = single_cats[order], single_cnt[order]
+        total = int(cnt[kind == 2].sum())
+        pa_, pb_, nab = ca[pair], cb[pair], cnt[pair]
+        ia = np.searchsorted(sc.astype(str), pa_.astype(str))
+        ib = np.searchsorted(sc.astype(str), pb_.astype(str))
+        n_a = sn[ia] if sc.size else np.empty(0, np.int64)
+        n_b = sn[ib] if sc.size else np.empty(0, np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = nab.astype(np.float64) / (n_a + n_b - nab)
+            lift = (nab.astype(np.float64) * np.float64(total)) / (
+                n_a.astype(np.float64) * n_b.astype(np.float64)
+            )
+        return pa.table(
+            {
+                "cat_a": pa.array(list(pa_), type=pa.string()),
+                "cat_b": pa.array(list(pb_), type=pa.string()),
+                "n_a": pa.array(n_a),
+                "n_b": pa.array(n_b),
+                "n_ab": pa.array(nab),
+                "jaccard": pa.array(jac),
+                "lift": pa.array(lift),
+            }
+        )
+
+    return tagged.map_batches(finish, batch_format="pyarrow", batch_size=None)

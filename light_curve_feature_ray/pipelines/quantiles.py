@@ -790,3 +790,78 @@ def ks_drift(
             batch_format="pandas",
         )
     )
+
+
+def grouped_histogram(
+    ds,
+    key_col: str,
+    value_col: str,
+    *,
+    bins: int = 32,
+    lo=None,
+    hi=None,
+):
+    """Per-key fixed-bin histogram with SHARED global edges (the faceted
+    histogram: one [lo, hi] range across all keys so per-key
+    distributions are directly comparable): bin = clamp(floor((x - lo) /
+    w), 0, bins-1) with w = (hi - lo)/bins — the identical double
+    arithmetic as :func:`histogram`, so bin assignment matches the SQL
+    twin exactly.  ``lo``/``hi`` default to the global min/max over ALL
+    non-null values (key-null rows included, mirroring the twin's
+    unfiltered bounds subquery).  NULL keys and NaN/null values drop;
+    empty cells are omitted (GROUP BY semantics).  Returns (key, bin, n).
+
+    Scale shape: block-local (key, bin) count partials (Arrow hash
+    group_by — one partial row per occupied cell per block), then ONE
+    cell-cardinality groupby-sum; no row co-location ever."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if lo is None or hi is None:
+        from ray.data.aggregate import Max, Min
+
+        stats = ds.aggregate(Min(value_col), Max(value_col))
+        if lo is None:
+            lo = stats[f"min({value_col})"]
+        if hi is None:
+            hi = stats[f"max({value_col})"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"grouped_histogram: column {value_col!r} is empty/all-null"
+            )
+    lo, hi = float(lo), float(hi)
+    w = (hi - lo) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, value_col])
+        t = t.filter(pc.is_valid(t[key_col]))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        t, v = t.filter(pa.array(ok)), v[ok]
+        if w > 0:
+            b = np.clip(np.floor((v - lo) / w), 0, bins - 1).astype(np.int64)
+        else:  # degenerate range: everything in bin 0
+            b = np.zeros(v.size, dtype=np.int64)
+        pt = pa.table(
+            {key_col: t[key_col], "bin": pa.array(b)}
+        ).combine_chunks()
+        return (
+            pt.group_by([key_col, "bin"])
+            .aggregate([("bin", "count")])
+            .rename_columns([key_col, "bin", "n"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby([key_col, "bin"])
+        .sum("n")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {key_col: t[key_col], "bin": t["bin"], "n": t["sum(n)"]}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -418,3 +418,159 @@ def test_edit_distance_dups_partition_invariance(ray_session, editdist_docs):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.fixture(scope="module")
+def null_events_hist():
+    rng = np.random.default_rng(55)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["view", "click", "purchase"], size=n),
+            "value": rng.normal(scale=30, size=n),
+            "user_id": rng.integers(0, 40, size=n).astype(np.int64),
+        }
+    )
+    df["user_id"] = df["user_id"].astype("Int64")
+    df.loc[df.index % 13 == 0, "event_type"] = None
+    df.loc[df.index % 17 == 0, "value"] = np.nan
+    df.loc[df.index % 11 == 0, "user_id"] = pd.NA
+    return df
+
+
+def test_grouped_histogram_null_parity_and_consistency(
+    ray_session, entry_mod, null_events_hist
+):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import (
+        grouped_histogram,
+        histogram,
+    )
+
+    ds = rd.from_pandas(null_events_hist[["event_type", "value"]])
+    got = (
+        grouped_histogram(
+            ds, "event_type", "value", bins=entry_mod.GHIST_BINS
+        )
+        .to_pandas()
+        .sort_values(["event_type", "bin"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", null_events_hist)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_TYPE_HISTOGRAM)
+        .df()
+        .sort_values(["event_type", "bin"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert list(got["event_type"]) == list(want["event_type"])
+    assert list(got["bin"].astype(np.int64)) == list(
+        want["bin"].astype(np.int64)
+    )
+    assert list(got["n"].astype(np.int64)) == list(want["n"].astype(np.int64))
+    # per-cell counts sum to each type's non-NaN row count
+    clean = null_events_hist.dropna(subset=["event_type", "value"])
+    per_type = got.groupby("event_type")["n"].sum()
+    for t, cnt in clean.groupby("event_type").size().items():
+        assert int(per_type[t]) == int(cnt)
+    # NOTE: the grouped bounds come from ALL values (key-null rows
+    # included) — so cells do NOT generally sum to the global histogram
+    # of the key-filtered subset; pin the bound contract instead
+    assert got["bin"].between(0, entry_mod.GHIST_BINS - 1).all()
+    # degenerate range: everything lands in bin 0 (kernel-only contract)
+    const = pd.DataFrame({"k": ["a", "b"] * 10, "v": [3.5] * 20})
+    g2 = grouped_histogram(
+        rd.from_pandas(const), "k", "v", bins=8
+    ).to_pandas()
+    assert (g2["bin"] == 0).all() and int(g2["n"].sum()) == 20
+
+
+def test_grouped_histogram_partition_invariance(ray_session, null_events_hist):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import grouped_histogram
+
+    outs = []
+    for blocks in (1, 7):
+        ds = rd.from_pandas(
+            null_events_hist[["event_type", "value"]]
+        ).repartition(blocks)
+        outs.append(
+            grouped_histogram(ds, "event_type", "value", bins=16)
+            .to_pandas()
+            .sort_values(["event_type", "bin"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_audience_overlap_null_parity_and_math(
+    ray_session, entry_mod, null_events_hist
+):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import audience_overlap
+
+    got = (
+        audience_overlap(rd.from_pandas(null_events_hist))
+        .to_pandas()
+        .sort_values(["cat_a", "cat_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", null_events_hist)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_AUDIENCE_OVERLAP)
+        .df()
+        .sort_values(["cat_a", "cat_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ("cat_a", "cat_b"):
+        assert list(got[c]) == list(want[c]), c
+    for c in ("n_a", "n_b", "n_ab"):
+        assert list(got[c].astype(np.int64)) == list(
+            want[c].astype(np.int64)
+        ), c
+    np.testing.assert_array_equal(
+        _round6(got["jaccard"]), _round6(want["jaccard"])
+    )
+    np.testing.assert_array_equal(
+        _round6(got["lift"]), _round6(want["lift"])
+    )
+    assert (got["cat_a"] < got["cat_b"]).all()
+
+
+def test_audience_overlap_hand_example_and_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import audience_overlap
+
+    # users: 1 {a,b}, 2 {a}, 3 {b,c}, 4 {a,b,c}  -> N = 4
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2, 3, 3, 4, 4, 4, 1], dtype=np.int64),
+            "event_type": ["a", "b", "a", "b", "c", "a", "b", "c", "a"],
+        }
+    )
+    outs = []
+    for blocks in (1, 5):
+        outs.append(
+            audience_overlap(rd.from_pandas(df).repartition(blocks))
+            .to_pandas()
+            .sort_values(["cat_a", "cat_b"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    g = outs[0].set_index(["cat_a", "cat_b"])
+    # a∩b = {1,4}, a∪b = {1,2,3,4}
+    assert int(g.loc[("a", "b"), "n_ab"]) == 2
+    assert abs(float(g.loc[("a", "b"), "jaccard"]) - 0.5) < 1e-15
+    # lift(a,b) = (2*4)/(3*3)
+    assert abs(float(g.loc[("a", "b"), "lift"]) - 8.0 / 9.0) < 1e-15
+    # b∩c = {3,4}; a∩c = {4}
+    assert int(g.loc[("b", "c"), "n_ab"]) == 2
+    assert int(g.loc[("a", "c"), "n_ab"]) == 1
