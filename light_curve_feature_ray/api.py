@@ -60,6 +60,7 @@ from .pipelines.joins import (  # noqa: F401
 
 # --- all-aggregate analytics ----------------------------------------------
 from .pipelines.aggregates import (  # noqa: F401
+    audience_overlap,
     chi2_crosstab,
     first_seen_cumulative,
     group_corr,
@@ -95,6 +96,7 @@ from .pipelines.quantiles import (  # noqa: F401
     histogram,
     exact_order_stats,
     grouped_mad,
+    grouped_histogram,
     grouped_quantile_cont,
     ks_drift,
     mad_outliers,
