@@ -2854,6 +2854,86 @@ CROSS JOIN tot
 """
 
 
+def q_events_conversion_latency(sf_dir: str):
+    """Per-user first-view -> first-purchase conversion latency
+    (pipelines/aggregates.py first_event_latency): block per-key min-ts
+    partials per side, one key groupby-min, integer-microsecond exact
+    finish — the pure all-aggregate funnel-latency signal."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        first_event_latency,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+    )
+    return first_event_latency(ev, from_type="view", to_type="purchase")
+
+
+SQL_EVENTS_CONVERSION_LATENCY = """
+WITH f AS (
+    SELECT user_id, min(ts) AS from_ts FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'view'
+    GROUP BY 1
+), t AS (
+    SELECT user_id, min(ts) AS to_ts FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type = 'purchase'
+    GROUP BY 1
+)
+SELECT f.user_id, f.from_ts, t.to_ts,
+       CAST(epoch_us(t.to_ts) - epoch_us(f.from_ts) AS BIGINT)
+           AS latency_us
+FROM f JOIN t USING (user_id)
+"""
+
+
+TRIM_P_LO, TRIM_P_HI = 0.05, 0.95
+
+
+def q_events_trimmed_mean(sf_dir: str):
+    """Per-type trimmed mean (pipelines/quantiles.py
+    grouped_trimmed_mean): the bit-parity grouped quantile band
+    [p5, p95] broadcast once, then a pure filtered-sum combiner pass —
+    the robust average the raw mean isn't."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import (
+        grouped_trimmed_mean,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return _finalize(
+        grouped_trimmed_mean(
+            ev, "event_type", "value", p_lo=TRIM_P_LO, p_hi=TRIM_P_HI
+        ),
+        skip=("event_type", "n"),
+    )
+
+
+SQL_EVENTS_TRIMMED_MEAN = f"""
+WITH q AS (
+    SELECT event_type,
+           quantile_cont(value, {TRIM_P_LO}) AS qlo,
+           quantile_cont(value, {TRIM_P_HI}) AS qhi
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+      AND NOT isnan(value)
+    GROUP BY 1
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(e.value) / count(*), 6) AS trimmed_mean
+FROM events e JOIN q USING (event_type)
+WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+  AND e.value >= q.qlo AND e.value <= q.qhi
+GROUP BY 1
+"""
+
+
 HIST_BINS = 32
 
 
@@ -4338,7 +4418,8 @@ def q_events_type_quantiles(sf_dir: str):
 SQL_EVENTS_TYPE_QUANTILES = "\nUNION ALL\n".join(
     f"SELECT event_type, {q} AS q,"
     f" round(quantile_cont(value, {q}), 6) AS value"
-    " FROM events GROUP BY event_type"
+    # the kernel drops NULL group keys (grouped_quantile_cont contract)
+    " FROM events WHERE event_type IS NOT NULL GROUP BY event_type"
     for q in QUANTILE_QS
 )
 
@@ -5067,6 +5148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_editdist_dups": q_doc_editdist_dups,
         "events_type_histogram": q_events_type_histogram,
         "events_audience_overlap": q_events_audience_overlap,
+        "events_conversion_latency": q_events_conversion_latency,
+        "events_trimmed_mean": q_events_trimmed_mean,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5193,6 +5276,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_editdist_dups": _build_sql_doc_editdist_dups(),
         "events_type_histogram": SQL_EVENTS_TYPE_HISTOGRAM,
         "events_audience_overlap": SQL_EVENTS_AUDIENCE_OVERLAP,
+        "events_conversion_latency": SQL_EVENTS_CONVERSION_LATENCY,
+        "events_trimmed_mean": SQL_EVENTS_TRIMMED_MEAN,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

@@ -455,6 +455,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             time.perf_counter() - t0, 3
         )
 
+        from light_curve_feature_ray.pipelines.aggregates import (
+            first_event_latency,
+        )
+        from light_curve_feature_ray.pipelines.quantiles import (
+            grouped_trimmed_mean,
+        )
+
+        t0 = time.perf_counter()
+        first_event_latency(
+            rd.read_parquet(
+                events_path, columns=["user_id", "event_type", "ts"]
+            )
+        ).count()
+        timings["events_conversion_latency"] = round(
+            time.perf_counter() - t0, 3
+        )
+        t0 = time.perf_counter()
+        grouped_trimmed_mean(
+            rd.read_parquet(events_path, columns=["event_type", "value"]),
+            "event_type",
+            "value",
+        ).count()
+        timings["events_trimmed_mean"] = round(time.perf_counter() - t0, 3)
+
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
             pack_sequences,

@@ -62,6 +62,7 @@ from .pipelines.joins import (  # noqa: F401
 from .pipelines.aggregates import (  # noqa: F401
     audience_overlap,
     chi2_crosstab,
+    first_event_latency,
     first_seen_cumulative,
     group_corr,
     group_count_distinct,
@@ -98,6 +99,7 @@ from .pipelines.quantiles import (  # noqa: F401
     grouped_mad,
     grouped_histogram,
     grouped_quantile_cont,
+    grouped_trimmed_mean,
     ks_drift,
     mad_outliers,
     quantile_cont,

@@ -1074,3 +1074,97 @@ def audience_overlap(
         )
 
     return tagged.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def first_event_latency(
+    ds,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    from_type: str = "view",
+    to_type: str = "purchase",
+):
+    """Per-key conversion latency: microseconds from the key's FIRST
+    ``from_type`` event to its FIRST ``to_type`` event — the
+    time-to-convert signal behind funnel dashboards.  Returns (key,
+    from_ts, to_ts, latency_us) for keys that have BOTH event types;
+    latency is exact integer microseconds (negative when the first
+    ``to`` precedes the first ``from`` — kept, the twin keeps it too).
+    NULL key / NULL ts rows drop (mirror the WHERE).
+
+    Scale shape: pure all-aggregate — block-local per-key min-ts
+    partials for each side (one lexsort + ``minimum.reduceat``), ONE
+    key-cardinality groupby-min, vectorized finish.  No row
+    co-location, no window."""
+    _SENT = np.int64(2**62)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, type_col, ts_col])
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col])),
+                pc.is_in(
+                    t[type_col],
+                    value_set=pa.array([from_type, to_type]),
+                ),
+            )
+        )
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = (
+            t[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        is_to = np.asarray(
+            pc.equal(t[type_col], to_type).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        if keys.size == 0:
+            return pa.table(
+                {
+                    key_col: pa.array(keys).cast(
+                        batch.schema.field(key_col).type
+                    ),
+                    "from_us": pa.array(np.empty(0, np.int64)),
+                    "to_us": pa.array(np.empty(0, np.int64)),
+                }
+            )
+        uniq, inv = np.unique(keys, return_inverse=True)
+        f = np.full(uniq.size, _SENT, dtype=np.int64)
+        g = np.full(uniq.size, _SENT, dtype=np.int64)
+        np.minimum.at(f, inv[~is_to], ts[~is_to])
+        np.minimum.at(g, inv[is_to], ts[is_to])
+        return pa.table(
+            {
+                key_col: pa.array(uniq).cast(
+                    batch.schema.field(key_col).type
+                ),
+                "from_us": pa.array(f),
+                "to_us": pa.array(g),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key_col)
+        .min(["from_us", "to_us"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = t["min(from_us)"].to_numpy(zero_copy_only=False)
+        g = t["min(to_us)"].to_numpy(zero_copy_only=False)
+        keep = (f < _SENT) & (g < _SENT)
+        tt = t.filter(pa.array(keep))
+        f, g = f[keep], g[keep]
+        return pa.table(
+            {
+                key_col: tt[key_col],
+                "from_ts": pa.array(f).cast(pa.timestamp("us")),
+                "to_ts": pa.array(g).cast(pa.timestamp("us")),
+                "latency_us": pa.array(g - f),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -401,6 +401,9 @@ def grouped_quantile_cont(
     num_partitions = num_partitions or _auto_pair_parts()
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
+        # NULL-key rows are DROPPED (mirror: WHERE key IS NOT NULL in SQL
+        # twins) — a None key would crash the per-partition lexsort
+        b = b.dropna(subset=[group_col])
         # string-capable deterministic hash (fixed-key siphash), the same
         # spelling top_k_per_group uses
         h = pd.util.hash_array(b[group_col].to_numpy(), categorize=False)
@@ -865,3 +868,98 @@ def grouped_histogram(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def grouped_trimmed_mean(
+    ds,
+    group_col: str,
+    col: str,
+    *,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    num_partitions: int | None = None,
+    max_groups: int = 1_000_000,
+):
+    """Per-group trimmed mean — the robust average after clipping to the
+    group's own [p_lo, p_hi] quantile band (values INSIDE the closed
+    band are kept; the quantiles themselves come from the bit-parity
+    :func:`grouped_quantile_cont` kernel, so the band edges equal
+    DuckDB ``quantile_cont`` exactly and the membership test
+    ``qlo <= v <= qhi`` agrees bit-for-bit).  Returns (group, n,
+    trimmed_mean) with n = kept rows; groups whose band is undefined
+    (all-NaN) are absent.  NULL keys drop (grouped_quantile_cont
+    contract).
+
+    Scale shape: one grouped-quantile pass (a key exchange), the per-
+    group band — O(groups), loudly bounded by ``max_groups`` — broadcast
+    once via ``ray.put``, then a pure combiner pass (per-key filtered
+    sum/count partials, one groupby-sum).  The corpus never co-locates
+    for the mean."""
+    import pyarrow as pa
+
+    qdf = grouped_quantile_cont(
+        ds, group_col, col, [p_lo, p_hi], num_partitions=num_partitions
+    ).to_pandas()
+    if len(qdf) > 2 * max_groups:
+        raise ValueError(
+            f"grouped_trimmed_mean: {len(qdf) // 2} groups exceed "
+            f"max_groups={max_groups}; raise the bound explicitly if the "
+            "driver can hold the band table"
+        )
+    piv = qdf.pivot_table(
+        index=group_col, columns="q", values="value", aggfunc="first"
+    )
+    groups = piv.index.to_numpy()
+    order = np.argsort(groups.astype(str) if groups.dtype == object else groups,
+                       kind="stable")
+    groups = groups[order]
+    qlo = piv[p_lo].to_numpy()[order]
+    qhi = piv[p_hi].to_numpy()[order]
+    band_ref = ray.put((groups, qlo, qhi))
+
+    from .aggregates import _grouped_sums
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g_all, lo_all, hi_all = ray.get(band_ref)
+        t = batch.select([group_col, col])
+        t = t.filter(pc.is_valid(t[group_col]))
+        k = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if k.size == 0:
+            return _grouped_sums(
+                k, batch.schema.field(group_col), {"s": v}
+            )
+        key_sort = g_all.astype(str) if g_all.dtype == object else g_all
+        kk = k.astype(str) if g_all.dtype == object else k
+        pos = np.searchsorted(key_sort, kk)
+        pos_c = np.minimum(pos, max(g_all.size - 1, 0))
+        known = (pos < g_all.size) & (key_sort[pos_c] == kk)
+        lo = np.where(known, lo_all[pos_c], np.nan)
+        hi = np.where(known, hi_all[pos_c], np.nan)
+        keep = known & ~np.isnan(v) & (v >= lo) & (v <= hi)
+        return _grouped_sums(
+            k[keep], batch.schema.field(group_col), {"s": v[keep]}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(group_col)
+        .sum(["n", "s"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["sum(s)"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = s / n
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "n": pa.array(n),
+                "trimmed_mean": pa.array(m),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

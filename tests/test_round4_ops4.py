@@ -574,3 +574,177 @@ def test_audience_overlap_hand_example_and_invariance(ray_session):
     # b∩c = {3,4}; a∩c = {4}
     assert int(g.loc[("b", "c"), "n_ab"]) == 2
     assert int(g.loc[("a", "c"), "n_ab"]) == 1
+
+
+def test_first_event_latency_parity_and_negative(ray_session, entry_mod):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        first_event_latency,
+    )
+
+    rng = np.random.default_rng(77)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 60, size=n).astype(np.int64),
+            "event_type": rng.choice(
+                ["view", "click", "purchase"], size=n, p=[0.6, 0.3, 0.1]
+            ),
+        }
+    )
+    df["ts"] = pd.to_datetime(
+        rng.integers(0, 30 * 86_400_000_000, size=n), unit="us"
+    )
+    # a user whose first purchase PRECEDES their first view (negative)
+    extra = pd.DataFrame(
+        {
+            "user_id": np.array([900, 900], dtype=np.int64),
+            "event_type": ["purchase", "view"],
+            "ts": pd.to_datetime([1_000_000, 5_000_000], unit="us"),
+        }
+    )
+    # a user with only views (absent from output)
+    only_view = pd.DataFrame(
+        {
+            "user_id": np.array([901], dtype=np.int64),
+            "event_type": ["view"],
+            "ts": pd.to_datetime([2_000_000], unit="us"),
+        }
+    )
+    df = pd.concat([df, extra, only_view], ignore_index=True)
+    df["user_id"] = df["user_id"].astype("Int64")
+    df.loc[df.index % 13 == 0, "user_id"] = pd.NA
+    df.loc[df.index % 17 == 0, "ts"] = pd.NaT
+
+    got = (
+        first_event_latency(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_CONVERSION_LATENCY)
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert list(got["user_id"].astype(np.int64)) == list(
+        want["user_id"].astype(np.int64)
+    )
+    assert list(got["latency_us"].astype(np.int64)) == list(
+        want["latency_us"].astype(np.int64)
+    )
+    for c in ("from_ts", "to_ts"):
+        assert (
+            got[c].astype("datetime64[us]")
+            == want[c].astype("datetime64[us]")
+        ).all(), c
+    g = got.set_index("user_id")
+    assert int(g.loc[900, "latency_us"]) == -4_000_000  # negative kept
+    assert 901 not in g.index  # one-sided user absent
+
+
+def test_first_event_latency_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import (
+        first_event_latency,
+    )
+
+    rng = np.random.default_rng(78)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, size=n).astype(np.int64),
+            "event_type": rng.choice(["view", "purchase"], size=n),
+        }
+    )
+    df["ts"] = pd.to_datetime(
+        rng.integers(0, 10 * 86_400_000_000, size=n), unit="us"
+    )
+    outs = []
+    for blocks in (1, 9):
+        outs.append(
+            first_event_latency(rd.from_pandas(df).repartition(blocks))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_grouped_trimmed_mean_parity(ray_session, entry_mod, null_events_hist):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import (
+        grouped_trimmed_mean,
+    )
+
+    got = (
+        grouped_trimmed_mean(
+            rd.from_pandas(null_events_hist[["event_type", "value"]]),
+            "event_type",
+            "value",
+            p_lo=entry_mod.TRIM_P_LO,
+            p_hi=entry_mod.TRIM_P_HI,
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", null_events_hist)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_TRIMMED_MEAN)
+        .df()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert list(got["event_type"]) == list(want["event_type"])
+    assert list(got["n"].astype(np.int64)) == list(want["n"].astype(np.int64))
+    np.testing.assert_array_equal(
+        _round6(got["trimmed_mean"]), _round6(want["trimmed_mean"])
+    )
+    # robustness property: trimming tightens the range vs the raw mean
+    clean = null_events_hist.dropna(subset=["event_type", "value"])
+    for t, grp in clean.groupby("event_type"):
+        row = got[got["event_type"] == t]
+        assert int(row["n"].iloc[0]) <= len(grp)
+        assert grp["value"].min() <= float(row["trimmed_mean"].iloc[0])
+        assert float(row["trimmed_mean"].iloc[0]) <= grp["value"].max()
+
+
+def test_grouped_trimmed_mean_partition_invariance(
+    ray_session, null_events_hist
+):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import (
+        grouped_trimmed_mean,
+    )
+
+    outs = []
+    for parts, blocks in ((3, 1), (11, 7)):
+        ds = rd.from_pandas(
+            null_events_hist[["event_type", "value"]]
+        ).repartition(blocks)
+        outs.append(
+            grouped_trimmed_mean(
+                ds, "event_type", "value", num_partitions=parts
+            )
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+    assert list(outs[0]["event_type"]) == list(outs[1]["event_type"])
+    assert list(outs[0]["n"]) == list(outs[1]["n"])
+    # float sums may associate differently across block layouts; round-6
+    # (the driver contract) must agree
+    np.testing.assert_array_equal(
+        _round6(outs[0]["trimmed_mean"]), _round6(outs[1]["trimmed_mean"])
+    )
