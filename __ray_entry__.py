@@ -5080,8 +5080,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # exchange) now sit just past the window at 51-54 — they are green
     # in earlier driver rounds AND locally; never-checked coverage wins
     # the window slots. Everything later is green in r01-r03 driver
-    # files. Round-5 note: rotate any entry that misses r04 back to the
-    # front.
+    # files. Round-5 note: rotate to the FRONT (a) the nine queries
+    # added after the r04 window froze (events_zorder, events_ks_drift,
+    # doc_editdist_dups, events_type_histogram, events_audience_overlap,
+    # events_conversion_latency, events_trimmed_mean, + any later
+    # additions below them) and (b) any first-50 entry that missed r04.
     return {
         # -- newest round-4 operators (4) ----------------------------------
         "events_coverage": q_events_coverage,
