@@ -2934,6 +2934,83 @@ GROUP BY 1
 """
 
 
+def q_events_twa(sf_dir: str):
+    """Per-user time-weighted average value (pipelines/windows.py
+    time_weighted_avg): one key-hash exchange, lexsort + diff +
+    add.reduceat segment reduction — each value weighted by its
+    holding time to the key's next event; duration telescopes to an
+    integer-exact last-first span."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import (
+        time_weighted_avg,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return _finalize(
+        time_weighted_avg(ev, num_partitions=16),
+        skip=("user_id", "duration_us", "n_holds"),
+    )
+
+
+SQL_EVENTS_TWA = """
+WITH e AS (
+    SELECT user_id, value, epoch_us(ts) AS t,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS t_next
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), h AS (
+    SELECT user_id, value, t_next - t AS d
+    FROM e WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       round(sum(value * CAST(d AS DOUBLE)) / CAST(sum(d) AS DOUBLE), 6)
+           AS twa,
+       CAST(sum(d) AS BIGINT) AS duration_us,
+       CAST(count(*) AS BIGINT) AS n_holds
+FROM h GROUP BY 1 HAVING sum(d) > 0
+"""
+
+
+def q_events_lag_deltas(sf_dir: str):
+    """Per-event lag features (pipelines/windows.py key_lag_deltas):
+    value delta and elapsed time vs the same user's previous event —
+    one key-hash exchange + shifted subtract, the delta-encoding /
+    feature-engineering primitive. dt_us is integer-exact."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import key_lag_deltas
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return _finalize(
+        key_lag_deltas(ev, num_partitions=16),
+        skip=("event_id", "user_id", "dt_us"),
+    )
+
+
+SQL_EVENTS_LAG_DELTAS = """
+WITH e AS (
+    SELECT event_id, user_id, value, epoch_us(ts) AS t,
+           lag(value) OVER w AS pv,
+           lag(epoch_us(ts)) OVER w AS pt
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, round(value - pv, 6) AS dv,
+       CAST(t - pt AS BIGINT) AS dt_us
+FROM e WHERE pt IS NOT NULL
+"""
+
+
 HIST_BINS = 32
 
 
@@ -5153,6 +5230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_audience_overlap": q_events_audience_overlap,
         "events_conversion_latency": q_events_conversion_latency,
         "events_trimmed_mean": q_events_trimmed_mean,
+        "events_twa": q_events_twa,
+        "events_lag_deltas": q_events_lag_deltas,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5281,6 +5360,8 @@ def oracle_sql() -> dict[str, str]:
         "events_audience_overlap": SQL_EVENTS_AUDIENCE_OVERLAP,
         "events_conversion_latency": SQL_EVENTS_CONVERSION_LATENCY,
         "events_trimmed_mean": SQL_EVENTS_TRIMMED_MEAN,
+        "events_twa": SQL_EVENTS_TWA,
+        "events_lag_deltas": SQL_EVENTS_LAG_DELTAS,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

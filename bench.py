@@ -479,6 +479,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["events_trimmed_mean"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.windows import (
+            key_lag_deltas,
+            time_weighted_avg,
+        )
+
+        t0 = time.perf_counter()
+        time_weighted_avg(
+            rd.read_parquet(
+                events_path, columns=["event_id", "user_id", "ts", "value"]
+            )
+        ).count()
+        timings["events_twa"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        key_lag_deltas(
+            rd.read_parquet(
+                events_path, columns=["event_id", "user_id", "ts", "value"]
+            )
+        ).count()
+        timings["events_lag_deltas"] = round(time.perf_counter() - t0, 3)
+
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
             pack_sequences,

@@ -80,7 +80,9 @@ from .pipelines.windows import (  # noqa: F401
     ewma,
     funnel_steps,
     interval_coverage,
+    key_lag_deltas,
     throttle,
+    time_weighted_avg,
     rolling_agg,
     running_agg,
     rolling_time_agg,

@@ -1074,3 +1074,149 @@ def throttle(
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def time_weighted_avg(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """Time-weighted average per key — the TWAP / state-duration mean:
+    each observation's value is weighted by how long it HELD (the gap
+    to the key's next event, in integer microseconds), i.e.
+    ``sum(v_i * d_i) / sum(d_i)`` with
+    ``d_i = epoch_us(lead(ts) OVER (PARTITION BY key ORDER BY ts, id))
+    - epoch_us(ts)``. The key's LAST event has no holding time and
+    contributes nothing (SQL: ``WHERE t_next IS NOT NULL``); keys whose
+    events all share one timestamp have zero total duration and are
+    absent (``HAVING sum(d) > 0``). Duplicate timestamps order by
+    ``id_col`` (the :func:`state_intervals` determinism rule) and
+    contribute d = 0 exactly. NULL key / ts / value rows drop (mirror
+    with ``WHERE ... IS NOT NULL``). ``sum(d)`` telescopes to
+    last_ts - first_ts per key, so ``duration_us`` is integer-exact;
+    the weighted sum divides in IEEE doubles on both sides.
+
+    Returns (key, twa, duration_us, n_holds).
+
+    Scale shape: one key-hash exchange co-locates each key's rows; one
+    lexsort + diff + ``add.reduceat`` segment reduction per partition —
+    no per-key Python, no join, output is one row per key.
+    """
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
+        g = g[g[key_col].notna() & g[value_col].notna()]
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series(dtype=g[key_col].dtype),
+                    "twa": pd.Series(dtype=np.float64),
+                    "duration_us": pd.Series(dtype=np.int64),
+                    "n_holds": pd.Series(dtype=np.int64),
+                }
+            )
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        t = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        v = g[value_col].to_numpy(dtype=np.float64)
+        order = np.lexsort((ids, t, keys))
+        keys, t, v = keys[order], t[order], v[order]
+        last_of_key = np.r_[keys[1:] != keys[:-1], True]
+        # gap to the next row; last-of-key rows cross a key boundary and
+        # are masked out below (they are the SQL twin's t_next IS NULL)
+        d = np.r_[t[1:] - t[:-1], 0]
+        hold = ~last_of_key
+        wd = np.where(hold, v * d.astype(np.float64), 0.0)
+        dd = np.where(hold, d, 0)
+        seg_starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        seg_keys = keys[seg_starts]
+        sum_wd = np.add.reduceat(wd, seg_starts)
+        sum_d = np.add.reduceat(dd, seg_starts)
+        n_holds = np.add.reduceat(hold.astype(np.int64), seg_starts)
+        ok = sum_d > 0
+        return pd.DataFrame(
+            {
+                key_col: seg_keys[ok],
+                "twa": sum_wd[ok] / sum_d[ok].astype(np.float64),
+                "duration_us": sum_d[ok].astype(np.int64),
+                "n_holds": n_holds[ok],
+            }
+        )
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def key_lag_deltas(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """Per-event lag features — the delta-encoding / feature-
+    engineering primitive: for every event, the change in value and the
+    elapsed time since the SAME key's previous event, in the (ts, id)
+    order (``dv = v - lag(v)``, ``dt_us = epoch_us(ts) -
+    lag(epoch_us(ts))``, both ``OVER (PARTITION BY key ORDER BY ts,
+    id)``). Each key's FIRST event has no predecessor and is absent
+    (SQL: filter ``prev_t IS NOT NULL``). NULL key / ts / value rows
+    drop BEFORE the window (a dropped middle row joins its neighbours —
+    the :func:`event_transitions` rule; mirror with ``WHERE ... IS NOT
+    NULL`` ahead of the lag). ``dt_us`` is integer-exact; ``dv``
+    subtracts in IEEE doubles on both sides.
+
+    Returns (id, key, dv, dt_us).
+
+    Scale shape: one key-hash exchange, one lexsort + shifted-subtract
+    per partition — output is one row per non-first event, no join.
+    """
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
+        g = g[g[key_col].notna() & g[value_col].notna()]
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=np.int64),
+                    key_col: pd.Series(dtype=g[key_col].dtype),
+                    "dv": pd.Series(dtype=np.float64),
+                    "dt_us": pd.Series(dtype=np.int64),
+                }
+            )
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        t = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        v = g[value_col].to_numpy(dtype=np.float64)
+        order = np.lexsort((ids, t, keys))
+        keys, ids, t, v = keys[order], ids[order], t[order], v[order]
+        has_prev = np.r_[False, keys[1:] == keys[:-1]]
+        dv = np.empty_like(v)
+        dv[1:] = v[1:] - v[:-1]
+        dt = np.empty_like(t)
+        dt[1:] = t[1:] - t[:-1]
+        return pd.DataFrame(
+            {
+                id_col: ids[has_prev],
+                key_col: keys[has_prev],
+                "dv": dv[has_prev],
+                "dt_us": dt[has_prev],
+            }
+        )
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -1,0 +1,237 @@
+"""Round-4 batch-5 operators: time-weighted average and per-event lag
+deltas.
+
+Contracts pinned here (the driver testdata can't exercise them):
+- NULL key / ts / value rows drop on both sides, verified against the
+  ACTUAL oracle SQL from __ray_entry__ over a synthetic null-bearing
+  table;
+- the TWA weighting matches a per-key brute force (holding time to the
+  key's next event; the last event contributes nothing);
+- keys whose events all share one timestamp are absent from TWA
+  (zero total duration), single-event keys are absent from both;
+- duplicate timestamps order by event_id and contribute d = 0;
+- output is invariant to the shuffle partition count.
+"""
+
+import importlib.util
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "entry_under_test_r4b5", "__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _round6(v):
+    v = np.asarray(v, dtype=np.float64)
+    out = np.copysign(np.floor(np.abs(v) * 1e6 + 0.5) / 1e6, v)
+    return np.where(np.isnan(v), np.nan, out)
+
+
+@pytest.fixture(scope="module")
+def twa_events():
+    rng = np.random.default_rng(31)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 8, size=n).astype(np.int64),
+            "value": rng.normal(scale=30, size=n),
+        }
+    )
+    ts = np.sort(rng.integers(0, 10**9, size=n)).astype(np.int64)
+    df["ts"] = pd.to_datetime(ts * 1_000_000, unit="us")
+    # duplicate timestamp within a key (event_id tie-break, d = 0)
+    df.loc[5, "user_id"] = df.loc[4, "user_id"]
+    df.loc[5, "ts"] = df.loc[4, "ts"]
+    # user 6: every event at ONE timestamp -> zero duration, absent
+    df.loc[df.user_id == 6, "ts"] = pd.Timestamp("2001-01-01")
+    # user 7 reduced to a single event -> absent from both operators
+    df = df.drop(df.index[df.user_id == 7][1:])
+    # nulls: key / value / ts
+    df["user_id"] = df["user_id"].astype("Int64")
+    df.loc[df.index[::23], "user_id"] = pd.NA
+    df.loc[df.index[::29], "value"] = np.nan
+    df.loc[df.index[::31], "ts"] = pd.NaT
+    return df.reset_index(drop=True)
+
+
+def test_twa_null_parity_vs_twin(ray_session, entry_mod, twa_events):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import time_weighted_avg
+
+    got = (
+        time_weighted_avg(rd.from_pandas(twa_events), num_partitions=5)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", twa_events)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_TWA)
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert (
+        got["user_id"].astype(np.int64).tolist()
+        == want["user_id"].astype(np.int64).tolist()
+    )
+    np.testing.assert_allclose(
+        _round6(got["twa"]), want["twa"].to_numpy(), atol=1e-9
+    )
+    assert (
+        got["duration_us"].astype(np.int64).tolist()
+        == want["duration_us"].astype(np.int64).tolist()
+    )
+    assert (
+        got["n_holds"].astype(np.int64).tolist()
+        == want["n_holds"].astype(np.int64).tolist()
+    )
+    # the all-one-timestamp key and the single-event key are absent
+    assert 6 not in set(got["user_id"].astype(np.int64))
+    assert 7 not in set(got["user_id"].astype(np.int64))
+
+
+def test_twa_brute_force(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import time_weighted_avg
+
+    rng = np.random.default_rng(7)
+    n = 120
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 4, size=n).astype(np.int64),
+            "value": rng.normal(scale=30, size=n),
+            "ts": pd.to_datetime(
+                np.sort(rng.integers(0, 10**8, size=n)) * 1_000_000,
+                unit="us",
+            ),
+        }
+    )
+    got = (
+        time_weighted_avg(rd.from_pandas(df), num_partitions=3)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = g["value"].to_numpy()
+        d = np.diff(t)
+        if d.sum() == 0:
+            assert uid not in got.index
+            continue
+        want = float((v[:-1] * d).sum() / d.sum())
+        assert got.loc[uid, "twa"] == pytest.approx(want, rel=1e-12)
+        assert int(got.loc[uid, "duration_us"]) == int(t[-1] - t[0])
+        assert int(got.loc[uid, "n_holds"]) == len(g) - 1
+
+
+def test_lag_deltas_null_parity_vs_twin(ray_session, entry_mod, twa_events):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import key_lag_deltas
+
+    got = (
+        key_lag_deltas(rd.from_pandas(twa_events), num_partitions=5)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", twa_events)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_LAG_DELTAS)
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert (
+        got["event_id"].astype(np.int64).tolist()
+        == want["event_id"].astype(np.int64).tolist()
+    )
+    assert (
+        got["user_id"].astype(np.int64).tolist()
+        == want["user_id"].astype(np.int64).tolist()
+    )
+    np.testing.assert_allclose(
+        _round6(got["dv"]), want["dv"].to_numpy(), atol=1e-9
+    )
+    assert (
+        got["dt_us"].astype(np.int64).tolist()
+        == want["dt_us"].astype(np.int64).tolist()
+    )
+
+
+def test_lag_deltas_brute_force_and_first_absent(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import key_lag_deltas
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([0, 1, 2, 3, 4, 5], dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 2, 2, 3], dtype=np.int64),
+            "value": np.array([10.0, 13.0, 11.5, 2.0, 7.0, 9.0]),
+            "ts": pd.to_datetime(
+                [100, 100, 250, 40, 90, 5], unit="s"
+            ),
+        }
+    )
+    got = (
+        key_lag_deltas(rd.from_pandas(df), num_partitions=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # events 0, 3, 5 are each key's first -> absent; duplicate-ts pair
+    # (0, 1) orders by event_id so event 1 has dt 0 vs event 0
+    assert got["event_id"].tolist() == [1, 2, 4]
+    np.testing.assert_allclose(got["dv"].to_numpy(), [3.0, -1.5, 5.0])
+    assert got["dt_us"].astype(np.int64).tolist() == [
+        0,
+        150_000_000,
+        50_000_000,
+    ]
+
+
+def test_twa_lag_partition_invariance(ray_session, twa_events):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import (
+        key_lag_deltas,
+        time_weighted_avg,
+    )
+
+    for op, sort_col in [
+        (time_weighted_avg, "user_id"),
+        (key_lag_deltas, "event_id"),
+    ]:
+        a = (
+            op(rd.from_pandas(twa_events), num_partitions=3)
+            .to_pandas()
+            .sort_values(sort_col)
+            .reset_index(drop=True)
+        )
+        b = (
+            op(rd.from_pandas(twa_events), num_partitions=13)
+            .to_pandas()
+            .sort_values(sort_col)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
