@@ -1792,6 +1792,72 @@ FROM ranked WHERE rk <= 3
 """
 
 
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_doc_bm25(sf_dir: str):
+    """Per-document top-3 BM25 terms (pipelines/text.py bm25_top_terms):
+    the Okapi/Lucene ranking function with length normalization — df
+    table + corpus token total in ONE combiner pass (sentinel row),
+    vocab/idf broadcast once via ray.put, vectorized polars scoring,
+    exact per-doc top-k with term tie-break."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import bm25_top_terms
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _finalize(
+        bm25_top_terms(docs, k=3, k1=BM25_K1, b=BM25_B), skip=()
+    )
+
+
+SQL_DOC_BM25 = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(coalesce(text, '')),
+                  '{_TOKEN_REGEX}')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM toks GROUP BY doc_id, term
+),
+dl AS (
+    SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1
+),
+df AS (
+    SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+    FROM toks GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+ad AS (
+    SELECT (SELECT CAST(count(*) AS DOUBLE) FROM toks) / n.n AS avgdl
+    FROM n
+),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * (tf.tf * ({BM25_K1} + 1))
+             / (tf.tf + {BM25_K1}
+                * (1 - {BM25_B} + {BM25_B} * (dl.dl / ad.avgdl)))
+               AS score
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl USING (doc_id), n, ad
+),
+ranked AS (
+    SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rk
+    FROM scored
+)
+SELECT doc_id, term, round(score, 6) AS score, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (pipelines/text.py
     repetition_stats): top-token / top-bigram fraction and duplicate-
@@ -5232,6 +5298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trimmed_mean": q_events_trimmed_mean,
         "events_twa": q_events_twa,
         "events_lag_deltas": q_events_lag_deltas,
+        "doc_bm25": q_doc_bm25,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5362,6 +5429,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trimmed_mean": SQL_EVENTS_TRIMMED_MEAN,
         "events_twa": SQL_EVENTS_TWA,
         "events_lag_deltas": SQL_EVENTS_LAG_DELTAS,
+        "doc_bm25": SQL_DOC_BM25,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

@@ -236,6 +236,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timings["doc_editdist_dups"] = round(time.perf_counter() - t0, 3)
 
         from light_curve_feature_ray.pipelines.text import (
+            bm25_top_terms,
             tfidf_top_terms,
             top_terms,
         )
@@ -246,6 +247,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         tfidf_top_terms(docs, k=3).count()
         timings["doc_tfidf"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        bm25_top_terms(docs, k=3).count()
+        timings["doc_bm25"] = round(time.perf_counter() - t0, 3)
 
         from light_curve_feature_ray.pipelines.text import (
             lm_score,

@@ -132,6 +132,7 @@ from .pipelines.sampling import (  # noqa: F401
 
 # --- text analysis + dedup family ---------------------------------------
 from .pipelines.text import (  # noqa: F401
+    bm25_top_terms,
     boilerplate_score,
     chunk_text,
     dsir_weights,

@@ -533,6 +533,130 @@ def tfidf_top_terms(docs_ds, k: int = 3, max_vocab_broadcast: int = 5_000_000):
     return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+def bm25_top_terms(
+    docs_ds,
+    k: int = 3,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_vocab_broadcast: int = 5_000_000,
+):
+    """Per-document top-k BM25 terms — the Okapi/Lucene ranking function
+    with the document itself as the "query" side, i.e. the terms that
+    best CHARACTERIZE each document under length normalization (the
+    retrieval-native upgrade of :func:`tfidf_top_terms`):
+
+        idf   = ln((N - df + 0.5) / (df + 0.5) + 1)      [Lucene form]
+        score = idf * (tf * (k1 + 1))
+                    / (tf + k1 * (1 - b + b * (dl / avgdl)))
+
+    with dl = the document's token count and avgdl = total corpus
+    tokens / N (all documents count, empty/null text as 0 tokens).
+    Every expression above is replayed LITERALLY by the SQL twin
+    (same parenthesization, doubles throughout — change both or
+    none); ties break (score DESC, term ASC). Tokens are the shared
+    ``_TOKEN_RE_POLARS`` lowercased stream (identical to the twin's
+    ``regexp_extract_all(lower(text), ...)``).
+
+    Scale shape: the :func:`tfidf_top_terms` pattern — one pass builds
+    the document-frequency table (block-local per-doc DISTINCT is
+    globally exact because each doc is one row) plus the corpus token
+    total (a scalar); the vocab/idf table broadcasts ONCE via
+    ``ray.put`` (loud ``max_vocab_broadcast`` bound); a second pass
+    scores fully vectorized (polars group_by + join) and keeps the
+    exact per-doc top-k. The corpus itself is never shuffled."""
+    import polars as pl
+    import ray
+
+    from .sampling import _topk_frame
+
+    n_docs = docs_ds.count()
+
+    def _doc_terms(batch: pa.Table) -> "pl.DataFrame":
+        s = pl.from_arrow(batch["text"]).fill_null("").alias("text")
+        ids = pl.from_arrow(batch["doc_id"]).alias("doc_id")
+        return (
+            pl.DataFrame([ids, s])
+            .with_columns(
+                pl.col("text")
+                .str.to_lowercase()
+                .str.extract_all(_TOKEN_RE_POLARS)
+                .alias("term")
+            )
+            .drop("text")
+            .explode("term")
+            .drop_nulls("term")
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = _doc_terms(batch)
+        vc = t.unique().group_by("term").len()
+        # one sentinel row rides along with the block's token total so
+        # df and avgdl come out of a single corpus pass ("" can never be
+        # a real term: the token regex has no empty match)
+        return pa.table(
+            {
+                "term": pa.concat_arrays(
+                    [
+                        vc["term"].to_arrow().cast(pa.string()),
+                        pa.array([""], type=pa.string()),
+                    ]
+                ),
+                "df": pa.array(
+                    np.r_[
+                        vc["len"].to_numpy().astype(np.int64), len(t)
+                    ]
+                ),
+            }
+        )
+
+    df_tbl = (
+        docs_ds.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("df")
+    )
+    vocab = pa.concat_tables(
+        ray.get(df_tbl.to_arrow_refs()), promote_options="default"
+    )
+    if vocab.num_rows > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary has {vocab.num_rows} terms > max_vocab_broadcast="
+            f"{max_vocab_broadcast}; shuffle docs by term instead"
+        )
+    terms = vocab["term"].to_pandas()
+    dfs = vocab["sum(df)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sentinel = terms == ""
+    total_tokens = float(dfs[sentinel.to_numpy()].sum())
+    avgdl = total_tokens / float(n_docs)
+    keep = ~sentinel.to_numpy()
+    idf = np.log(
+        (float(n_docs) - dfs[keep] + 0.5) / (dfs[keep] + 0.5) + 1.0
+    )
+    vocab_pl = pl.DataFrame({"term": terms[keep], "idf": idf})
+    vocab_ref = ray.put(vocab_pl)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        voc = ray.get(vocab_ref)
+        tf = _doc_terms(batch).group_by(["doc_id", "term"]).len()
+        dl = tf.group_by("doc_id").agg(pl.col("len").sum().alias("dl"))
+        tfd = pl.col("len").cast(pl.Float64)
+        dld = pl.col("dl").cast(pl.Float64)
+        scored = (
+            tf.join(dl, on="doc_id", how="inner")
+            .join(voc, on="term", how="inner")
+            .with_columns(
+                (
+                    (pl.col("idf") * (tfd * (k1 + 1)))
+                    / (tfd + k1 * (1 - b + b * (dld / avgdl)))
+                ).alias("score")
+            )
+        )
+        out = scored.select(["doc_id", "term", "score"]).to_pandas()
+        return _topk_frame(out, "doc_id", "score", "term", k, True)
+
+    return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 def pmi_bigrams(
     docs_ds,
     *,

@@ -72,3 +72,86 @@ def test_tfidf_vocab_bound(ray_session):
     )
     with pytest.raises(ValueError, match="max_vocab_broadcast"):
         tfidf_top_terms(ds, k=1, max_vocab_broadcast=2)
+
+
+def _naive_bm25(texts, k, k1=1.2, b=0.75):
+    toks = [_PAT.findall((t or "").lower()) for t in texts]
+    df = Counter()
+    for ts in toks:
+        df.update(set(ts))
+    n = float(len(texts))
+    avgdl = sum(len(ts) for ts in toks) / n
+    rows = []
+    for i, ts in enumerate(toks):
+        dl = float(len(ts))
+        tf = Counter(ts)
+        scored = sorted(
+            (
+                (
+                    t,
+                    np.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                    * (c * (k1 + 1))
+                    / (c + k1 * (1 - b + b * (dl / avgdl))),
+                )
+                for t, c in tf.items()
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:k]
+        rows += [(i, t, s, r + 1) for r, (t, s) in enumerate(scored)]
+    return rows
+
+
+def test_bm25_matches_naive_and_invariant(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import bm25_top_terms
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog ate the cat food",
+        "quantum flux capacitor flux flux flux",
+        "",
+        None,
+        "cat cat cat dog",
+        "a much longer document with many extra words to stretch "
+        "the length normalization denominator well past the average",
+        "the the the the",
+    ] * 3
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    exp = _naive_bm25(texts, 3)
+    for p in (1, 6):
+        got = (
+            bm25_top_terms(rd.from_pandas(df).repartition(p), k=3)
+            .to_pandas()
+            .sort_values(["doc_id", "rk"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp), p
+        for (gi, gt, gs, gr), (ei, et, es, er) in zip(
+            got.itertuples(index=False), exp
+        ):
+            assert (gi, gt, gr) == (ei, et, er), p
+            assert gs == pytest.approx(es, rel=1e-12), (p, et)
+
+
+def test_bm25_idf_positive_and_vocab_bound(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import bm25_top_terms
+
+    # a term in EVERY document would go negative under the raw
+    # Robertson idf; the Lucene +1 form keeps it positive
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["common alpha", "common beta", "common", "common"],
+        }
+    )
+    got = bm25_top_terms(rd.from_pandas(df), k=2).to_pandas()
+    assert (got["score"] > 0).all()
+    with pytest.raises(ValueError, match="max_vocab_broadcast"):
+        bm25_top_terms(
+            rd.from_pandas(df), k=2, max_vocab_broadcast=1
+        ).to_pandas()
