@@ -3686,6 +3686,61 @@ FROM reach GROUP BY u
 """
 
 
+# the triangle twin replays the IDENTICAL candidate-pair CTE chain as
+# the dedup-groups twin (derived textually so blocking changes stay in
+# lockstep — the _minhash_cand_sql rule), then closes wedges with the
+# ordered 3-way self-join
+_NGRAM_PAIR_CTE = (
+    SQL_DOC_DEDUP_GROUPS.split("edges AS (")[0]
+    .rstrip()
+    .rstrip(",")
+    .replace("WITH RECURSIVE", "WITH")
+)
+
+SQL_DOC_TRIANGLES = (
+    _NGRAM_PAIR_CTE
+    + """,
+tr AS (
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM prs e1
+    JOIN prs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+    JOIN prs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+),
+tri AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tr
+        UNION ALL SELECT b FROM tr
+        UNION ALL SELECT c FROM tr
+    ) GROUP BY 1
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS node FROM prs
+        UNION ALL SELECT doc_b FROM prs
+    ) GROUP BY 1
+)
+SELECT deg.node, deg.degree,
+       coalesce(tri.n_triangles, 0) AS n_triangles
+FROM deg LEFT JOIN tri USING (node)
+"""
+)
+
+
+def q_doc_triangles(sf_dir: str):
+    """Per-node triangle participation + distinct-neighbour degree over
+    the exact n-gram Jaccard near-dup graph (pipelines/graph.py
+    triangle_counts): the two-round wedge join — edges co-located by
+    lower vertex (globally exact local distinct), _segment_pairs wedge
+    explosion, dictionary-encoded closure membership, one final node
+    groupby-sum. The cohesion signal separating clique-like dup
+    families from chains of borderline matches."""
+    from light_curve_feature_ray.pipelines.graph import triangle_counts
+    from light_curve_feature_ray.pipelines.text import ngram_jaccard_dups
+
+    pairs = ngram_jaccard_dups(_docs(sf_dir), k=5, threshold=0.3, max_df=100)
+    return triangle_counts(pairs)
+
+
 def q_doc_redact(sf_dir: str):
     """PII-style scrubbing (emails/URLs/long digit runs -> placeholders);
     compared via md5 of the cleaned text (RE2-compatible patterns, so
@@ -5299,6 +5354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_twa": q_events_twa,
         "events_lag_deltas": q_events_lag_deltas,
         "doc_bm25": q_doc_bm25,
+        "doc_triangles": q_doc_triangles,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5430,6 +5486,7 @@ def oracle_sql() -> dict[str, str]:
         "events_twa": SQL_EVENTS_TWA,
         "events_lag_deltas": SQL_EVENTS_LAG_DELTAS,
         "doc_bm25": SQL_DOC_BM25,
+        "doc_triangles": SQL_DOC_TRIANGLES,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

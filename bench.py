@@ -531,6 +531,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["doc_dedup_groups"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.graph import triangle_counts
+
+        t0 = time.perf_counter()
+        triangle_counts(
+            ngram_jaccard_dups(docs, k=5, threshold=0.3, max_df=100)
+        ).count()
+        timings["doc_triangles"] = round(time.perf_counter() - t0, 3)
+
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(emb_path):
         from light_curve_feature_ray.pipelines.similarity import (

@@ -300,3 +300,175 @@ def dedup_keep_representatives(pairs_ds, **kwargs):
         )
 
     return comps.map_batches(decide, batch_format="pandas", batch_size=None)
+
+
+def triangle_counts(
+    pairs_ds,
+    *,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    num_partitions: int | None = None,
+):
+    """Per-node triangle participation over the undirected simple graph
+    of candidate pairs — the clustering-cohesion signal for near-dup
+    families (a dup cluster that is a clique triangulates fully; a
+    chain of borderline matches doesn't). Returns one row per node that
+    appears in the pair set: ``(node, degree, n_triangles)`` where
+    ``degree`` counts DISTINCT neighbours and ``n_triangles`` counts
+    the triangles the node belongs to (0 kept — cohesion is meaningful
+    precisely when absent). Self-loops drop; duplicate input pairs
+    collapse (both sides: the twin's edge CTE is DISTINCT).
+
+    Scale shape (the classic two-round wedge join, partition-level
+    vectorized): edges normalize to u < v and materialize ONCE (the
+    upstream candidate generation executes exactly once — the
+    ``connected_components_min_label`` rule). Round 1 co-locates edges
+    by their LOWER vertex; each partition dedups its own (u, v) pairs
+    — globally exact, all copies of an edge share u — emits degree
+    partials and the wedge list (all neighbour pairs of each u via the
+    `_segment_pairs` triangular inverse; wedge count is bounded by the
+    near-dup generator's candidate cap, sum-of-deg² worst case
+    documented). Round 2 co-locates wedges (keyed by their smaller leg)
+    with the edge partition that could close them; closure tests are a
+    partition-local dictionary-encode + sorted-membership — no Python
+    per wedge. One final (node)-keyed groupby-sum merges degree and
+    triangle partials. Assumes non-negative int node ids (doc ids).
+    """
+    from .text import _segment_pairs
+
+    if num_partitions is None:
+        num_partitions = _auto_parts()
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[id_a].to_numpy(dtype=np.int64)
+        b = batch[id_b].to_numpy(dtype=np.int64)
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pd.DataFrame(
+            {
+                "u": u,
+                "part": (u.view(np.uint64) % np.uint64(num_partitions)).astype(
+                    np.int32
+                ),
+                "v": v,
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        norm, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    def wedges_and_deg(grp: pd.DataFrame) -> pd.DataFrame:
+        # all edges sharing a lower vertex are in this partition, so the
+        # local distinct is globally exact
+        u = grp["u"].to_numpy()
+        v = grp["v"].to_numpy()
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        u, v = u[keep], v[keep]
+        n = u.shape[0]
+        # degree partials, pre-counted so the second exchange moves one
+        # row per (partition, node) instead of two rows per edge
+        deg_node, deg_cnt = (
+            np.unique(np.concatenate([u, v]), return_counts=True)
+            if n
+            else (np.empty(0, np.int64), np.empty(0, np.int64))
+        )
+        # wedges: neighbour pairs (w1 < w2 in sorted v order) per u
+        first = np.r_[True, u[1:] != u[:-1]] if n else np.empty(0, bool)
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, n])
+        ii, jj = _segment_pairs(starts, sizes)
+        return pd.DataFrame(
+            {
+                # kind 0 = deduped edge (closure set), 1 = wedge,
+                # 2 = degree partial (w2 carries the count)
+                "kind": np.concatenate(
+                    [
+                        np.zeros(n, np.int8),
+                        np.ones(ii.shape[0], np.int8),
+                        np.full(deg_node.shape[0], 2, np.int8),
+                    ]
+                ),
+                "w1": np.concatenate([u, v[ii], deg_node]),
+                "w2": np.concatenate(
+                    [v, v[jj], deg_cnt.astype(np.int64)]
+                ),
+                "origin": np.concatenate(
+                    [
+                        np.full(n, -1, np.int64),
+                        u[ii],
+                        np.full(deg_node.shape[0], -1, np.int64),
+                    ]
+                ),
+            }
+        )
+
+    def repart(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["part"] = (
+            batch["w1"].to_numpy().view(np.uint64) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return batch
+
+    def close_and_count(grp: pd.DataFrame) -> pd.DataFrame:
+        kind = grp["kind"].to_numpy()
+        w1 = grp["w1"].to_numpy()
+        w2 = grp["w2"].to_numpy()
+        origin = grp["origin"].to_numpy()
+        is_deg = kind == 2
+        dn = w1[is_deg]
+        dc = w2[is_deg]
+        is_edge = kind == 0
+        is_wedge = kind == 1
+        eu, ev = w1[is_edge], w2[is_edge]
+        qu, qv, qo = w1[is_wedge], w2[is_wedge], origin[is_wedge]
+        tri_nodes = np.empty(0, np.int64)
+        if eu.shape[0] and qu.shape[0]:
+            # partition-local dictionary-encode BOTH pair columns (raw
+            # ids * base would overflow int64 for large doc ids) so the
+            # membership test is a single sorted int64 searchsorted
+            all_u = np.unique(np.concatenate([eu, qu]))
+            all_v = np.unique(np.concatenate([ev, qv]))
+            base = np.int64(all_v.shape[0] + 1)
+            ek = np.searchsorted(all_u, eu) * base + np.searchsorted(all_v, ev)
+            qk = np.searchsorted(all_u, qu) * base + np.searchsorted(all_v, qv)
+            ek_sorted = np.sort(ek)
+            pos = np.searchsorted(ek_sorted, qk)
+            pos[pos >= ek_sorted.shape[0]] = 0
+            hit = ek_sorted[pos] == qk
+            tri_nodes = np.concatenate([qo[hit], qu[hit], qv[hit]])
+        tn, tc = (
+            np.unique(tri_nodes, return_counts=True)
+            if tri_nodes.shape[0]
+            else (np.empty(0, np.int64), np.empty(0, np.int64))
+        )
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([dn, tn]),
+                "degree": np.concatenate([dc.astype(np.int64), np.zeros(tn.shape[0], np.int64)]),
+                "n_triangles": np.concatenate([np.zeros(dn.shape[0], np.int64), tc.astype(np.int64)]),
+            }
+        )
+
+    partials = (
+        edges.groupby("part")
+        .map_groups(wedges_and_deg, batch_format="pandas")
+        .map_batches(repart, batch_format="pandas", batch_size=None)
+        .groupby("part")
+        .map_groups(close_and_count, batch_format="pandas")
+    )
+    agg = partials.groupby("node").sum(["degree", "n_triangles"])
+    return agg.map_batches(
+        lambda t: pd.DataFrame(
+            {
+                "node": t["node"].astype("int64"),
+                "degree": t["sum(degree)"].astype("int64"),
+                "n_triangles": t["sum(n_triangles)"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=None,
+    )

@@ -235,3 +235,95 @@ def test_twa_lag_partition_invariance(ray_session, twa_events):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+def _tri_df(pairs):
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+
+def test_triangle_counts_shapes(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.graph import triangle_counts
+
+    # K4 clique on {0,1,2,3}: every node degree 3, in C(3,2)=3 triangles;
+    # chain 10-11-12: degrees 1,2,1, no triangles; one dangling edge
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    chain = [(10, 11), (11, 12)]
+    extra = [(2, 20)]
+    got = (
+        triangle_counts(rd.from_pandas(_tri_df(k4 + chain + extra)))
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+    assert got.loc[0:3, "n_triangles"].tolist() == [3, 3, 3, 3]
+    assert got.loc[0:1, "degree"].tolist() == [3, 3]
+    assert got.loc[2, "degree"] == 4  # + the dangling edge
+    assert got.loc[[10, 11, 12], "n_triangles"].tolist() == [0, 0, 0]
+    assert got.loc[[10, 11, 12], "degree"].tolist() == [1, 2, 1]
+    assert got.loc[20, "degree"] == 1 and got.loc[20, "n_triangles"] == 0
+
+
+def test_triangle_counts_dups_reversed_selfloops(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.graph import triangle_counts
+
+    # triangle {5,6,7} given with duplicates, reversed orientation and a
+    # self-loop: must collapse to the simple graph
+    pairs = [(5, 6), (6, 5), (6, 7), (5, 7), (7, 5), (6, 6), (5, 6)]
+    got = (
+        triangle_counts(rd.from_pandas(_tri_df(pairs)))
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+    assert got["degree"].tolist() == [2, 2, 2]
+    assert got["n_triangles"].tolist() == [1, 1, 1]
+
+
+def test_triangle_counts_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.graph import triangle_counts
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 60, size=400).astype(np.int64)
+    b = rng.integers(0, 60, size=400).astype(np.int64)
+    df = pd.DataFrame({"doc_a": a, "doc_b": b})
+    outs = []
+    for p in (3, 17):
+        outs.append(
+            triangle_counts(rd.from_pandas(df), num_partitions=p)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # cross-check against a brute-force O(n^3) count on the dense graph
+    import itertools
+
+    edges = {
+        (min(x, y), max(x, y)) for x, y in zip(a, b) if x != y
+    }
+    nodes = sorted({n for e in edges for n in e})
+    tri = {n: 0 for n in nodes}
+    deg = {n: 0 for n in nodes}
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (
+            (x, y) in edges
+            and (y, z) in edges
+            and (x, z) in edges
+        ):
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    got = outs[0].set_index("node")
+    assert got["degree"].to_dict() == deg
+    assert got["n_triangles"].to_dict() == tri
