@@ -3741,6 +3741,66 @@ def q_doc_triangles(sf_dir: str):
     return triangle_counts(pairs)
 
 
+PR_D, PR_ITERS = 0.85, 3
+
+
+def _pr_rounds_sql(iters: int) -> str:
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""r{i} AS (
+    SELECT e.v AS node,
+           (1 - {PR_D}) / n.n + {PR_D} * sum(r{i - 1}.r / deg.od) AS r
+    FROM edges e JOIN r{i - 1} ON r{i - 1}.node = e.u
+    JOIN deg USING (u), n
+    GROUP BY e.v, n.n
+)"""
+        )
+    return ",\n".join(rounds)
+
+
+# the pagerank twin shares the SAME textually-derived pair CTE as the
+# triangle twin, doubles each pair to two directed edges, and unrolls
+# exactly PR_ITERS synchronous power steps — every arithmetic
+# expression replayed literally from pipelines/graph.py
+# pagerank_undirected (change both or none)
+SQL_DOC_PAGERANK = (
+    _NGRAM_PAIR_CTE
+    + f""",
+edges AS (
+    SELECT DISTINCT u, v FROM (
+        SELECT doc_a AS u, doc_b AS v FROM prs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM prs
+    )
+),
+deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT u AS node, 1 / n.n AS r FROM deg, n),
+"""
+    + _pr_rounds_sql(PR_ITERS)
+    + f"""
+SELECT node, round(r, 6) AS pagerank FROM r{PR_ITERS}
+"""
+)
+
+
+def q_doc_pagerank(sf_dir: str):
+    """Fixed-iteration PageRank over the exact n-gram Jaccard near-dup
+    graph (pipelines/graph.py pagerank_undirected): directed edges
+    co-located by source once (exact local distinct + out-degree), one
+    tagged co-partitioning exchange per power step, node-keyed
+    groupby-sum, vectorized teleport finish — which document anchors
+    its near-dup family."""
+    from light_curve_feature_ray.pipelines.graph import pagerank_undirected
+    from light_curve_feature_ray.pipelines.text import ngram_jaccard_dups
+
+    pairs = ngram_jaccard_dups(_docs(sf_dir), k=5, threshold=0.3, max_df=100)
+    return _finalize(
+        pagerank_undirected(pairs, damping=PR_D, iters=PR_ITERS),
+        skip=("node",),
+    )
+
+
 def q_doc_redact(sf_dir: str):
     """PII-style scrubbing (emails/URLs/long digit runs -> placeholders);
     compared via md5 of the cleaned text (RE2-compatible patterns, so
@@ -5355,6 +5415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_deltas": q_events_lag_deltas,
         "doc_bm25": q_doc_bm25,
         "doc_triangles": q_doc_triangles,
+        "doc_pagerank": q_doc_pagerank,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5487,6 +5548,7 @@ def oracle_sql() -> dict[str, str]:
         "events_lag_deltas": SQL_EVENTS_LAG_DELTAS,
         "doc_bm25": SQL_DOC_BM25,
         "doc_triangles": SQL_DOC_TRIANGLES,
+        "doc_pagerank": SQL_DOC_PAGERANK,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

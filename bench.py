@@ -539,6 +539,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["doc_triangles"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.graph import (
+            pagerank_undirected,
+        )
+
+        t0 = time.perf_counter()
+        pagerank_undirected(
+            ngram_jaccard_dups(docs, k=5, threshold=0.3, max_df=100)
+        ).count()
+        timings["doc_pagerank"] = round(time.perf_counter() - t0, 3)
+
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(emb_path):
         from light_curve_feature_ray.pipelines.similarity import (

@@ -159,6 +159,7 @@ from .pipelines.text import (  # noqa: F401
     winnow_fingerprints,
 )
 from .pipelines.graph import (  # noqa: F401
+    pagerank_undirected,
     triangle_counts,
     connected_components_min_label,
     dedup_keep_representatives,

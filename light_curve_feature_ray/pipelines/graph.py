@@ -472,3 +472,233 @@ def triangle_counts(
         batch_format="pandas",
         batch_size=None,
     )
+
+
+def pagerank_undirected(
+    pairs_ds,
+    *,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    damping: float = 0.85,
+    iters: int = 3,
+    num_partitions: int | None = None,
+):
+    """Fixed-iteration PageRank over the undirected simple graph of
+    candidate pairs (each pair doubled to two directed edges) — the
+    centrality signal ranking which document anchors its near-dup
+    family. Deterministic and SQL-replayable by construction: uniform
+    init r0 = 1/N, exactly ``iters`` synchronous power steps of
+
+        r_{k+1}(v) = (1 - d) / N + d * sum_{u->v} r_k(u) / outdeg(u)
+
+    with every expression replayed literally by the unrolled-CTE twin
+    (change both or none). The undirected doubling means every node
+    has in- and out-degree >= 1, so there is no dangling mass and the
+    node set is invariant across rounds. Duplicate input pairs
+    collapse; self-loops drop (both sides).
+
+    Returns (node, pagerank) after ``iters`` steps (unnormalized by
+    convention — the (1-d)/N teleport keeps the total at 1).
+
+    Scale shape: directed edges co-locate by source ONCE (local
+    distinct is globally exact per source; out-degree falls out of the
+    same pass) and the edge list + degree table materialize once; each
+    round is ONE tagged co-partitioning exchange (edges ∪ degrees ∪
+    ranks, the connected-components attach pattern: sorted searchsorted
+    scatter, no per-node Python) emitting per-edge contributions, a
+    (node)-keyed groupby-sum, and a vectorized teleport finish. Rank
+    tables are node-sized; only the static edge list rides every round.
+    """
+    if num_partitions is None:
+        num_partitions = _auto_parts()
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    d = float(damping)
+
+    def norm_directed(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[id_a].to_numpy(dtype=np.int64)
+        b = batch[id_b].to_numpy(dtype=np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pd.DataFrame(
+            {
+                "u": u,
+                "part": (u.view(np.uint64) % np.uint64(num_partitions)).astype(
+                    np.int32
+                ),
+                "v": v,
+            }
+        )
+
+    def dedup_and_deg(grp: pd.DataFrame) -> pd.DataFrame:
+        # all out-edges of a source are in this partition -> the local
+        # distinct and the out-degree are globally exact
+        u = grp["u"].to_numpy()
+        v = grp["v"].to_numpy()
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        u, v = u[keep], v[keep]
+        n = u.shape[0]
+        first = np.r_[True, u[1:] != u[:-1]] if n else np.empty(0, bool)
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, n])
+        # kind 0 = directed edge, 1 = out-degree row (v carries od)
+        return pd.DataFrame(
+            {
+                "kind": np.concatenate(
+                    [np.zeros(n, np.int8), np.ones(starts.shape[0], np.int8)]
+                ),
+                "u": np.concatenate([u, u[starts]]),
+                "v": np.concatenate([v, sizes.astype(np.int64)]),
+            }
+        )
+
+    base = (
+        pairs_ds.map_batches(norm_directed, batch_format="pandas", batch_size=None)
+        .groupby("part")
+        .map_groups(dedup_and_deg, batch_format="pandas")
+        .materialize()
+    )
+    def _split(kind_val):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["kind"] == kind_val].drop(columns=["kind"])
+
+        return f
+
+    edges = base.map_batches(
+        _split(0), batch_format="pandas", batch_size=None
+    ).materialize()
+    degs = base.map_batches(
+        _split(1), batch_format="pandas", batch_size=None
+    ).materialize()
+    n_nodes = degs.count()
+    if n_nodes == 0:
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "pagerank": pa.array([], pa.float64()),
+                }
+            )
+        )
+    r0 = 1.0 / float(n_nodes)
+    teleport = (1.0 - d) / float(n_nodes)
+
+    # tagged rows through the per-round exchange:
+    # kind 0 edge (key=u, other=v), 1 degree (key=node, val=od),
+    # 2 rank (key=node, val=r)
+    def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kind": np.zeros(len(batch), np.int8),
+                "key": batch["u"].to_numpy(dtype=np.int64),
+                "other": batch["v"].to_numpy(dtype=np.int64),
+                "val": np.zeros(len(batch), np.float64),
+            }
+        )
+
+    def deg_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kind": np.ones(len(batch), np.int8),
+                "key": batch["u"].to_numpy(dtype=np.int64),
+                "other": np.full(len(batch), -1, np.int64),
+                "val": batch["v"].to_numpy(dtype=np.int64).astype(np.float64),
+            }
+        )
+
+    def rank_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kind": np.full(len(batch), 2, np.int8),
+                "key": batch["node"].to_numpy(dtype=np.int64),
+                "other": np.full(len(batch), -1, np.int64),
+                "val": batch["r"].to_numpy(dtype=np.float64),
+            }
+        )
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["part"] = (
+            batch["key"].to_numpy().view(np.uint64) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return batch
+
+    def contribute(grp: pd.DataFrame) -> pd.DataFrame:
+        kind = grp["kind"].to_numpy()
+        key = grp["key"].to_numpy()
+        other = grp["other"].to_numpy()
+        val = grp["val"].to_numpy()
+        is_e = kind == 0
+        ek, ev = key[is_e], other[is_e]
+        dk = key[kind == 1]
+        dv = val[kind == 1]
+        rk = key[kind == 2]
+        rv = val[kind == 2]
+        do = np.argsort(dk, kind="stable")
+        dk, dv = dk[do], dv[do]
+        ro = np.argsort(rk, kind="stable")
+        rk, rv = rk[ro], rv[ro]
+        # every edge source has a degree row and a rank row by
+        # construction (all three derive from the same edge set)
+        od = dv[np.searchsorted(dk, ek)]
+        r = rv[np.searchsorted(rk, ek)]
+        return pd.DataFrame({"node": ev, "contrib": r / od})
+
+    edge_tagged = edges.map_batches(
+        edge_rows, batch_format="pandas", batch_size=None
+    ).materialize()
+    deg_tagged = degs.map_batches(
+        deg_rows, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    ranks = degs.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["u"].to_numpy(dtype=np.int64),
+                "r": np.full(len(b), r0, np.float64),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=None,
+    ).materialize()
+
+    for _ in range(iters):
+        tagged = edge_tagged.union(
+            deg_tagged,
+            ranks.map_batches(rank_rows, batch_format="pandas", batch_size=None),
+        ).map_batches(add_part, batch_format="pandas", batch_size=None)
+        sums = (
+            tagged.groupby("part")
+            .map_groups(contribute, batch_format="pandas")
+            .groupby("node")
+            .sum("contrib")
+        )
+        ranks = sums.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "node": t["node"].astype("int64"),
+                    "r": teleport
+                    + d * t["sum(contrib)"].to_numpy(dtype=np.float64),
+                }
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["node"].to_numpy(dtype=np.int64),
+                "pagerank": b["r"].to_numpy(dtype=np.float64),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=None,
+    )

@@ -327,3 +327,93 @@ def test_triangle_counts_partition_invariance(ray_session):
     got = outs[0].set_index("node")
     assert got["degree"].to_dict() == deg
     assert got["n_triangles"].to_dict() == tri
+
+
+def _pr_brute(pairs, d=0.85, iters=3):
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+    n = float(len(nodes))
+    r = {x: 1.0 / n for x in nodes}
+    for _ in range(iters):
+        nr = {}
+        for v in nodes:
+            s = sum(r[u] / len(adj[u]) for u in adj[v])
+            nr[v] = (1.0 - d) / n + d * s
+        r = nr
+    return r
+
+
+def test_pagerank_brute_force_and_mass(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.graph import pagerank_undirected
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 30, size=120).astype(np.int64)
+    b = rng.integers(0, 30, size=120).astype(np.int64)
+    df = pd.DataFrame({"doc_a": a, "doc_b": b})
+    got = (
+        pagerank_undirected(rd.from_pandas(df), iters=3)
+        .to_pandas()
+        .set_index("node")["pagerank"]
+        .sort_index()
+    )
+    want = _pr_brute(zip(a, b))
+    assert sorted(got.index) == sorted(want)
+    for node, r in want.items():
+        assert got[node] == pytest.approx(r, rel=1e-12), node
+    # no dangling mass on the undirected doubling: total rank stays 1
+    assert got.sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dups_selfloops_and_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.graph import pagerank_undirected
+
+    pairs = [(5, 6), (6, 5), (5, 6), (6, 7), (7, 7)]
+    outs = []
+    for p in (2, 9):
+        outs.append(
+            pagerank_undirected(
+                rd.from_pandas(
+                    pd.DataFrame(
+                        {
+                            "doc_a": [x for x, _ in pairs],
+                            "doc_b": [y for _, y in pairs],
+                        }
+                    )
+                ),
+                num_partitions=p,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    want = _pr_brute(pairs)
+    got = outs[0].set_index("node")["pagerank"]
+    for node, r in want.items():
+        assert got[node] == pytest.approx(r, rel=1e-12)
+    # path graph 5-6-7: the middle node dominates
+    assert got[6] > got[5] == got[7]
+
+
+def test_pagerank_empty_and_bad_iters(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.graph import pagerank_undirected
+
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype=np.int64),
+            "doc_b": pd.Series(dtype=np.int64),
+        }
+    )
+    assert pagerank_undirected(rd.from_pandas(empty)).count() == 0
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_undirected(rd.from_pandas(empty), iters=0)
