@@ -4682,6 +4682,73 @@ SQL_EVENTS_TYPE_QUANTILES = "\nUNION ALL\n".join(
 )
 
 
+def q_events_disc_quantiles(sf_dir: str):
+    """Exact per-group DISCONTINUOUS quantiles (pipelines/quantiles.py
+    grouped_quantile_disc): PERCENTILE_DISC semantics — the selected
+    value is an actual group member at 1-based rank max(ceil(q*n), 1),
+    pinned against DuckDB quantile_disc by fuzz test; same single
+    key-hash shuffle shape as the continuous variant."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import (
+        grouped_quantile_disc,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = grouped_quantile_disc(
+        ev, "event_type", "value", QUANTILE_QS, num_partitions=8
+    )
+    return _finalize(out, skip=("q",))
+
+
+SQL_EVENTS_DISC_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT event_type, {q} AS q,"
+    f" round(quantile_disc(value, {q}), 6) AS value"
+    # the kernel drops NULL group keys (grouped_quantile_cont contract)
+    " FROM events WHERE event_type IS NOT NULL GROUP BY event_type"
+    for q in QUANTILE_QS
+)
+
+
+def q_events_entropy(sf_dir: str):
+    """Per-user categorical Shannon entropy (pipelines/aggregates.py
+    group_entropy): block (key, cat) count partials, one pair groupby-
+    sum, tiny key-hash repartition + segment reduceat finish — the
+    behavioural-diversity signal, -sum((c/n)·ln(c/n)) in nats."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import group_entropy
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return _finalize(
+        group_entropy(ev), skip=("user_id", "n", "n_cats")
+    )
+
+
+SQL_EVENTS_ENTROPY = """
+WITH pc AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_cats
+    FROM pc GROUP BY 1
+)
+SELECT p.user_id, any_value(t.n) AS n, any_value(t.n_cats) AS n_cats,
+       round(-sum((CAST(p.c AS DOUBLE) / t.n)
+                  * ln(CAST(p.c AS DOUBLE) / t.n)) + 0, 6) AS entropy
+FROM pc p JOIN tot t USING (user_id)
+GROUP BY 1
+"""
+
+
 def q_events_heavy_users(sf_dir: str):
     """EXACT heavy hitters with bounded memory (pipelines/sketches.py
     heavy_hitters): a Misra-Gries candidate pass (O(k) state per block,
@@ -5416,6 +5483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": q_doc_bm25,
         "doc_triangles": q_doc_triangles,
         "doc_pagerank": q_doc_pagerank,
+        "events_disc_quantiles": q_events_disc_quantiles,
+        "events_entropy": q_events_entropy,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5549,6 +5618,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25": SQL_DOC_BM25,
         "doc_triangles": SQL_DOC_TRIANGLES,
         "doc_pagerank": SQL_DOC_PAGERANK,
+        "events_disc_quantiles": SQL_EVENTS_DISC_QUANTILES,
+        "events_entropy": SQL_EVENTS_ENTROPY,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

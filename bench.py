@@ -503,6 +503,31 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["events_lag_deltas"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.aggregates import (
+            group_entropy,
+        )
+        from light_curve_feature_ray.pipelines.quantiles import (
+            grouped_quantile_disc,
+        )
+
+        t0 = time.perf_counter()
+        group_entropy(
+            rd.read_parquet(
+                events_path, columns=["user_id", "event_type"]
+            )
+        ).count()
+        timings["events_entropy"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        grouped_quantile_disc(
+            rd.read_parquet(events_path, columns=["event_type", "value"]),
+            "event_type",
+            "value",
+            (0.01, 0.25, 0.5, 0.75, 0.9, 0.99),
+        ).count()
+        timings["events_disc_quantiles"] = round(
+            time.perf_counter() - t0, 3
+        )
+
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
             pack_sequences,

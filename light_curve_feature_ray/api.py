@@ -66,6 +66,7 @@ from .pipelines.aggregates import (  # noqa: F401
     first_seen_cumulative,
     group_corr,
     group_count_distinct,
+    group_entropy,
     group_linear_trend,
     group_mode,
     group_top_k,
@@ -101,6 +102,7 @@ from .pipelines.quantiles import (  # noqa: F401
     grouped_mad,
     grouped_histogram,
     grouped_quantile_cont,
+    grouped_quantile_disc,
     grouped_trimmed_mean,
     ks_drift,
     mad_outliers,

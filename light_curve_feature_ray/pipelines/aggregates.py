@@ -1168,3 +1168,83 @@ def first_event_latency(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def group_entropy(
+    ds,
+    *,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+    num_partitions: int | None = None,
+):
+    """Shannon entropy (nats) of each key's categorical distribution —
+    the behavioural-diversity / concentration signal (0 for a
+    single-category key, ln(n_cats) for a uniform one):
+
+        H(key) = -sum_cat (c/n) * ln(c/n)
+
+    replayed literally by the SQL twin (doubles throughout; the final
+    ``+ 0`` on both sides normalizes the -0.0 a single-category key's
+    negated zero sum would otherwise produce). NULL key / category rows
+    drop on both sides. Returns (key, n, n_cats, entropy) with n and
+    n_cats integer-exact.
+
+    Scale shape: block-local (key, cat) Arrow count partials (the
+    shuffle carries pairs, not rows), one pair-keyed groupby-sum, then
+    a tiny key-hash repartition of the pair table for the per-key
+    segment reduction (``add.reduceat`` — no per-key Python)."""
+    import pyarrow.compute as pc
+
+    from .windows import _with_part
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, cat_col]).combine_chunks()
+        t = t.filter(
+            pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[cat_col]))
+        )
+        out = t.group_by([key_col, cat_col]).aggregate([([], "count_all")])
+        return out.rename_columns([key_col, cat_col, "c"])
+
+    counted = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby([key_col, cat_col])
+        .sum("c")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        c = t["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.size == 0:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    "n": pa.array([], pa.int64()),
+                    "n_cats": pa.array([], pa.int64()),
+                    "entropy": pa.array([], pa.float64()),
+                }
+            )
+        order = np.argsort(k, kind="stable")
+        k, c = k[order], c[order]
+        first = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1
+        n = np.add.reduceat(c, starts)
+        n_cats = np.add.reduceat(np.ones_like(c), starts)
+        p = c.astype(np.float64) / n[seg].astype(np.float64)
+        ent = -np.add.reduceat(p * np.log(p), starts) + 0.0
+        take = pa.array(order[starts])
+        return pa.table(
+            {
+                key_col: t[key_col].take(take),
+                "n": pa.array(n),
+                "n_cats": pa.array(n_cats),
+                "entropy": pa.array(ent),
+            }
+        )
+
+    return (
+        _with_part(counted, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -963,3 +963,73 @@ def grouped_trimmed_mean(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_quantile_disc(
+    ds,
+    group_col: str,
+    col: str,
+    qs,
+    num_partitions: int | None = None,
+):
+    """Exact per-group DISCONTINUOUS quantiles (SQL PERCENTILE_DISC /
+    DuckDB ``quantile_disc``): the selected value is an ACTUAL group
+    member — the element at 1-based rank ``max(ceil(q * n), 1)`` of the
+    group's sorted values (the smallest value whose cumulative share
+    reaches q; pinned against DuckDB by fuzz test). Same shuffle shape,
+    null-key drop and NaN exclusion as :func:`grouped_quantile_cont`;
+    ``ceil(q * n)`` is evaluated in IEEE doubles on both sides.
+
+    Scale shape: ONE hash shuffle on the group key, one lexsort +
+    segment gather per partition — no per-group Python."""
+    from .text import _auto_pair_parts
+
+    qs = np.array([float(q) for q in qs])
+    if ((qs < 0) | (qs > 1)).any():
+        raise ValueError("quantiles must be in [0, 1]")
+    num_partitions = num_partitions or _auto_pair_parts()
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=[group_col])
+        h = pd.util.hash_array(b[group_col].to_numpy(), categorize=False)
+        b = b.copy()
+        b["part"] = (h % np.uint64(num_partitions)).astype(np.int32)
+        return b
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part[group_col].to_numpy()
+        v = part[col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        g, v = g[ok], v[ok]
+        if g.size == 0:
+            return pd.DataFrame({group_col: [], "q": [], "value": []})
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        new = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, g.size])
+        ngroups = starts.size
+        out_g, out_q, out_v = [], [], []
+        for q in qs:
+            k = np.maximum(
+                np.ceil(q * counts.astype(np.float64)).astype(np.int64), 1
+            )
+            out_g.append(g[starts])
+            out_q.append(np.full(ngroups, q))
+            out_v.append(v[starts + (k - 1)])
+        return pd.DataFrame(
+            {
+                group_col: np.concatenate(out_g),
+                "q": np.concatenate(out_q),
+                "value": np.concatenate(out_v),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pandas", batch_size=None)
+        .groupby("part")
+        .map_groups(
+            lambda p: per_part(p.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )

@@ -417,3 +417,120 @@ def test_pagerank_empty_and_bad_iters(ray_session):
     assert pagerank_undirected(rd.from_pandas(empty)).count() == 0
     with pytest.raises(ValueError, match="iters"):
         pagerank_undirected(rd.from_pandas(empty), iters=0)
+
+
+def test_grouped_quantile_disc_fuzz_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import (
+        grouped_quantile_disc,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["a", "b", "c", "d"], size=n),
+            # heavy ties + NaN to stress the rank selection
+            "value": np.round(rng.normal(scale=3, size=n), 1),
+        }
+    )
+    df.loc[df.index[::19], "value"] = np.nan
+    qs = [0.0, 0.1, 0.25, 0.5, 0.733, 0.9, 0.999, 1.0]
+    got = (
+        grouped_quantile_disc(
+            rd.from_pandas(df), "event_type", "value", qs, num_partitions=5
+        )
+        .to_pandas()
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = (
+        con.execute(
+            "\nUNION ALL\n".join(
+                f"SELECT event_type, {q} AS q, quantile_disc(value, {q})"
+                " AS value FROM events GROUP BY event_type"
+                for q in qs
+            )
+        )
+        .df()
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # discontinuous: every selected value is an actual group member
+    vals = {
+        t: set(df.loc[df.event_type == t, "value"].dropna())
+        for t in "abcd"
+    }
+    for _, r in got.iterrows():
+        assert r["value"] in vals[r["event_type"]]
+
+
+def test_group_entropy_hand_and_null_parity(ray_session, entry_mod):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import group_entropy
+
+    df = pd.DataFrame(
+        {
+            "user_id": pd.Series(
+                [1, 1, 1, 1, 2, 2, 3, None, 4], dtype="Int64"
+            ),
+            "event_type": [
+                "a", "b", "c", "d",  # uniform over 4 -> ln 4
+                "x", "x",  # single cat -> exactly 0.0 (not -0.0)
+                "y",
+                "z",  # null key drops
+                None,  # null cat drops -> user 4 absent
+            ],
+        }
+    )
+    got = (
+        group_entropy(rd.from_pandas(df), num_partitions=3)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["user_id"].astype(np.int64).tolist() == [1, 2, 3]
+    assert got["n"].tolist() == [4, 2, 1]
+    assert got["n_cats"].tolist() == [4, 1, 1]
+    assert got.loc[0, "entropy"] == pytest.approx(np.log(4), rel=1e-12)
+    assert got.loc[1, "entropy"] == 0.0
+    assert not np.signbit(got.loc[1, "entropy"])  # -0.0 normalized
+    con = duckdb.connect()
+    con.register("events", df)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_ENTROPY)
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert want["user_id"].astype(np.int64).tolist() == [1, 2, 3]
+    np.testing.assert_allclose(
+        _round6(got["entropy"]), want["entropy"].to_numpy(), atol=1e-9
+    )
+
+
+def test_group_entropy_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import group_entropy
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, size=500).astype(np.int64),
+            "event_type": rng.choice(list("abcdefg"), size=500),
+        }
+    )
+    outs = [
+        group_entropy(rd.from_pandas(df), num_partitions=p)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+        for p in (3, 11)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
