@@ -3968,6 +3968,33 @@ FROM c WHERE CAST(co AS DOUBLE)/(na + nb - co) >= 0.3
 """
 
 
+def q_doc_containment(sf_dir: str):
+    """Asymmetric n-gram containment near-dups (pipelines/text.py
+    ngram_containment_dups): co / min(na, nb) over the SAME shared
+    candidate stage as the Jaccard path — catches a short document
+    quoted inside a long one, which Jaccard structurally misses."""
+    from light_curve_feature_ray.pipelines.text import (
+        ngram_containment_dups,
+    )
+
+    return _finalize(
+        ngram_containment_dups(_docs(sf_dir), k=5, threshold=0.6, max_df=100),
+        skip=("doc_a", "doc_b"),
+    )
+
+
+# same CTE chain as the jaccard twin up to the counted pairs (lockstep
+# with _ngram_counted_pairs), asymmetric containment finish
+SQL_DOC_CONTAINMENT = (
+    SQL_DOC_NGRAM_JACCARD.rsplit("\nSELECT doc_a, doc_b,", 1)[0]
+    + """
+SELECT doc_a, doc_b,
+       round(CAST(co AS DOUBLE)/least(na, nb), 6) AS containment
+FROM c WHERE CAST(co AS DOUBLE)/least(na, nb) >= 0.6
+"""
+)
+
+
 def q_doc_winnow(sf_dir: str):
     """Winnowing fingerprints (Schleimer et al. 2003), k=5 char grams,
     window 4; rolling hash uses exact sub-2^53 integer arithmetic so the
@@ -5405,11 +5432,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # exchange) now sit just past the window at 51-54 — they are green
     # in earlier driver rounds AND locally; never-checked coverage wins
     # the window slots. Everything later is green in r01-r03 driver
-    # files. Round-5 note: rotate to the FRONT (a) the nine queries
-    # added after the r04 window froze (events_zorder, events_ks_drift,
-    # doc_editdist_dups, events_type_histogram, events_audience_overlap,
-    # events_conversion_latency, events_trimmed_mean, + any later
-    # additions below them) and (b) any first-50 entry that missed r04.
+    # files. Round-5 note: rotate to the FRONT (a) every query in the
+    # "round-5 rotation targets" section below (events_zorder,
+    # events_ks_drift, doc_editdist_dups, events_type_histogram,
+    # events_audience_overlap, events_conversion_latency,
+    # events_trimmed_mean, events_twa, events_lag_deltas, doc_bm25,
+    # doc_triangles, doc_pagerank, events_disc_quantiles,
+    # events_entropy, doc_containment, + any later additions) and
+    # (b) any first-50 entry that missed r04.
     return {
         # -- newest round-4 operators (4) ----------------------------------
         "events_coverage": q_events_coverage,
@@ -5485,6 +5515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pagerank": q_doc_pagerank,
         "events_disc_quantiles": q_events_disc_quantiles,
         "events_entropy": q_events_entropy,
+        "doc_containment": q_doc_containment,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5620,6 +5651,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pagerank": SQL_DOC_PAGERANK,
         "events_disc_quantiles": SQL_EVENTS_DISC_QUANTILES,
         "events_entropy": SQL_EVENTS_ENTROPY,
+        "doc_containment": SQL_DOC_CONTAINMENT,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

@@ -574,6 +574,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["doc_pagerank"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.text import (
+            ngram_containment_dups,
+        )
+
+        t0 = time.perf_counter()
+        ngram_containment_dups(
+            docs, k=5, threshold=0.6, max_df=100
+        ).count()
+        timings["doc_containment"] = round(time.perf_counter() - t0, 3)
+
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(emb_path):
         from light_curve_feature_ray.pipelines.similarity import (

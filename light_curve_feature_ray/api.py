@@ -146,6 +146,7 @@ from .pipelines.text import (  # noqa: F401
     lm_score,
     minhash_lsh_dups,
     char_entropy,
+    ngram_containment_dups,
     ngram_decontaminate,
     ngram_jaccard_dups,
     normalize_text,

@@ -1616,24 +1616,14 @@ def simhash_signatures(docs_ds, hasher: str = "ahash"):
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_dups(
-    docs_ds,
-    k: int = 5,
-    threshold: float = 0.4,
-    max_df: int = 100,
-):
-    """EXACT word-k-gram Jaccard near-duplicate pairs via inverted pair
-    counting — the deterministic complement to the approximate MinHash
-    path. Word k-grams (k>=5) are rare by construction (df ~ 1-2 for
-    non-duplicated text), so the pair explosion Sum(df^2) stays linear in
-    the corpus; grams with df > ``max_df`` (boilerplate) are dropped on
-    both sides of the driver oracle, bounding the worst case.
-
-    Pipeline: distinct shingle hashes per doc (vectorized, with the
-    per-doc gram count carried on every row) -> groupby(gram) -> pairs
-    (doc_a, doc_b, na, nb) -> groupby(pair) -> co-occurrence count ->
-    jaccard = co / (na + nb - co) >= threshold. Every stage is a
-    pre-aggregated groupby; nothing materializes on the driver.
+def _ngram_counted_pairs(docs_ds, k: int, max_df: int):
+    """Shared candidate stage of the exact n-gram dup family
+    (:func:`ngram_jaccard_dups` / :func:`ngram_containment_dups`):
+    distinct word-k-gram hashes per doc -> gram-keyed pair explosion ->
+    pair-keyed co-occurrence count. Returns the counted-pair Dataset
+    with columns (doc_a, doc_b, na, nb, ``count()`` = co). Any blocking
+    change here changes BOTH consumers and their SQL twins (the shared
+    w/g0/g/df/p/c CTE chain) — keep all in lockstep.
     """
     import pyarrow as pa
 
@@ -1711,9 +1701,31 @@ def ngram_jaccard_dups(
 
     # co-occurrence = COUNT aggregate over the pair key (na/nb are
     # functionally dependent on the doc ids, so they ride in the key);
-    # jaccard + threshold are then one vectorized map_batches — no
-    # per-pair Python anywhere
-    counted = pairs.groupby(["doc_a", "doc_b", "na", "nb"]).count()
+    # the similarity expression + threshold are then one vectorized
+    # map_batches in the consumer — no per-pair Python anywhere
+    return pairs.groupby(["doc_a", "doc_b", "na", "nb"]).count()
+
+
+def ngram_jaccard_dups(
+    docs_ds,
+    k: int = 5,
+    threshold: float = 0.4,
+    max_df: int = 100,
+):
+    """EXACT word-k-gram Jaccard near-duplicate pairs via inverted pair
+    counting — the deterministic complement to the approximate MinHash
+    path. Word k-grams (k>=5) are rare by construction (df ~ 1-2 for
+    non-duplicated text), so the pair explosion Sum(df^2) stays linear in
+    the corpus; grams with df > ``max_df`` (boilerplate) are dropped on
+    both sides of the driver oracle, bounding the worst case.
+
+    Pipeline: distinct shingle hashes per doc (vectorized, with the
+    per-doc gram count carried on every row) -> groupby(gram) -> pairs
+    (doc_a, doc_b, na, nb) -> groupby(pair) -> co-occurrence count ->
+    jaccard = co / (na + nb - co) >= threshold. Every stage is a
+    pre-aggregated groupby; nothing materializes on the driver.
+    """
+    counted = _ngram_counted_pairs(docs_ds, k, max_df)
 
     def jaccard_filter(b: pd.DataFrame) -> pd.DataFrame:
         co = b["count()"].to_numpy(dtype=np.float64)
@@ -1731,6 +1743,46 @@ def ngram_jaccard_dups(
 
     return counted.map_batches(
         jaccard_filter, batch_format="pandas", batch_size=None
+    )
+
+
+def ngram_containment_dups(
+    docs_ds,
+    k: int = 5,
+    threshold: float = 0.6,
+    max_df: int = 100,
+):
+    """EXACT word-k-gram CONTAINMENT near-duplicate pairs — the
+    asymmetric complement of :func:`ngram_jaccard_dups`:
+    ``containment = co / min(na, nb)``, i.e. how much of the SMALLER
+    document's gram set lives inside the larger one. This is the dedup
+    signal Jaccard structurally misses: a short document fully quoted
+    inside a much longer one has containment 1.0 but Jaccard ≈
+    small/large. Same candidate stage (shared
+    :func:`_ngram_counted_pairs` — gram-keyed pair explosion with the
+    df ∈ [2, max_df] boilerplate bound), so blocking changes stay in
+    lockstep with the Jaccard path and the twin's shared CTE chain;
+    the division is IEEE doubles on both sides (twin:
+    ``co / least(na, nb)``). Returns (doc_a, doc_b, containment).
+    """
+    counted = _ngram_counted_pairs(docs_ds, k, max_df)
+
+    def containment_filter(b: pd.DataFrame) -> pd.DataFrame:
+        co = b["count()"].to_numpy(dtype=np.float64)
+        na = b["na"].to_numpy(dtype=np.float64)
+        nb = b["nb"].to_numpy(dtype=np.float64)
+        c = co / np.minimum(na, nb)
+        keep = c >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": b["doc_a"].to_numpy()[keep],
+                "doc_b": b["doc_b"].to_numpy()[keep],
+                "containment": c[keep],
+            }
+        )
+
+    return counted.map_batches(
+        containment_filter, batch_format="pandas", batch_size=None
     )
 
 

@@ -534,3 +534,66 @@ def test_group_entropy_partition_invariance(ray_session):
         for p in (3, 11)
     ]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_ngram_containment_planted_subset(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import (
+        ngram_containment_dups,
+        ngram_jaccard_dups,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"word{i} token{i*7%13} path{i%5}" for i in range(80))
+    long_doc = filler + " " + short + " " + filler.replace("word", "item")
+    other = "completely different content about ray data pipelines " * 6
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [short, long_doc, other],
+        }
+    )
+    cont = ngram_containment_dups(
+        rd.from_pandas(df), k=5, threshold=0.9, max_df=100
+    ).to_pandas()
+    # the short doc's grams are fully inside the long one
+    assert len(cont) == 1
+    assert (cont.loc[0, "doc_a"], cont.loc[0, "doc_b"]) == (0, 1)
+    assert cont.loc[0, "containment"] == pytest.approx(1.0)
+    # ...which Jaccard at the same bar structurally misses
+    jac = ngram_jaccard_dups(
+        rd.from_pandas(df), k=5, threshold=0.9, max_df=100
+    ).to_pandas()
+    assert len(jac) == 0
+
+
+def test_ngram_containment_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import (
+        ngram_containment_dups,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(8, 40)))
+        for _ in range(60)
+    ]
+    # plant a contained pair
+    texts[7] = texts[3] + " " + " ".join(rng.choice(vocab, size=25))
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    outs = [
+        ngram_containment_dups(
+            rd.from_pandas(df).repartition(p), k=5, threshold=0.5
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        for p in (1, 7)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert ((outs[0]["doc_a"] == 3) & (outs[0]["doc_b"] == 7)).any()
