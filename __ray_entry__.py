@@ -4776,6 +4776,34 @@ GROUP BY 1
 """
 
 
+def q_events_windowed_distinct(sf_dir: str):
+    """Exact distinct-user cardinality per (event_type, tumbling hour)
+    (pipelines/windows.py windowed_count_distinct): block-local distinct
+    (key, window, id) triples — the shuffle carries triples, not events
+    — triple dedup, tiny cell-keyed count."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import (
+        windowed_count_distinct,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+    )
+    return windowed_count_distinct(ev, window_s=3600)
+
+
+SQL_EVENTS_WINDOWED_DISTINCT = """
+SELECT event_type,
+       (CAST(floor(epoch(ts)) AS BIGINT)//3600)*3600 AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_events_heavy_users(sf_dir: str):
     """EXACT heavy hitters with bounded memory (pipelines/sketches.py
     heavy_hitters): a Misra-Gries candidate pass (O(k) state per block,
@@ -5516,6 +5544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_disc_quantiles": q_events_disc_quantiles,
         "events_entropy": q_events_entropy,
         "doc_containment": q_doc_containment,
+        "events_windowed_distinct": q_events_windowed_distinct,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5652,6 +5681,7 @@ def oracle_sql() -> dict[str, str]:
         "events_disc_quantiles": SQL_EVENTS_DISC_QUANTILES,
         "events_entropy": SQL_EVENTS_ENTROPY,
         "doc_containment": SQL_DOC_CONTAINMENT,
+        "events_windowed_distinct": SQL_EVENTS_WINDOWED_DISTINCT,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

@@ -528,6 +528,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             time.perf_counter() - t0, 3
         )
 
+        from light_curve_feature_ray.pipelines.windows import (
+            windowed_count_distinct,
+        )
+
+        t0 = time.perf_counter()
+        windowed_count_distinct(
+            rd.read_parquet(
+                events_path, columns=["event_type", "ts", "user_id"]
+            ),
+            window_s=3600,
+        ).count()
+        timings["events_windowed_distinct"] = round(
+            time.perf_counter() - t0, 3
+        )
+
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
             pack_sequences,

@@ -92,6 +92,7 @@ from .pipelines.windows import (  # noqa: F401
     sliding_window_agg,
     state_intervals,
     tumbling_window_agg,
+    windowed_count_distinct,
 )
 
 # --- quantiles / order statistics ---------------------------------------

@@ -1220,3 +1220,78 @@ def key_lag_deltas(
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def windowed_count_distinct(
+    events_ds,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    window_s: int = 3600,
+):
+    """Exact DISTINCT-id cardinality per (key, tumbling window) — the
+    streaming "unique users per hour per surface" signal, the windowed
+    complement of :func:`~.aggregates.group_count_distinct`. NULL key /
+    ts / id rows drop (mirror with ``WHERE ... IS NOT NULL``); the
+    window is ``floor(epoch_s / window_s) * window_s`` like every
+    tumbling operator here.
+
+    Scale shape: block-local DISTINCT (key, window, id) combiner (each
+    block contributes a triple at most once — the shuffle carries
+    triples, not events), one triple-keyed groupby to dedup across
+    blocks, then block ``(key, window)`` count partials and a tiny
+    cell-keyed groupby-sum. Returns (key, window_start, n_distinct)."""
+    import pyarrow.compute as pc
+
+    def triples(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, ts_col, id_col]).combine_chunks()
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col])),
+                pc.is_valid(t[id_col]),
+            )
+        )
+        win = (
+            _epoch_seconds(t[ts_col].to_pandas()) // window_s
+        ) * window_s
+        t = pa.table(
+            {
+                key_col: t[key_col],
+                "window_start": pa.array(win, type=pa.int64()),
+                id_col: t[id_col],
+            }
+        )
+        return t.group_by([key_col, "window_start", id_col]).aggregate([])
+
+    deduped = (
+        events_ds.map_batches(triples, batch_format="pyarrow", batch_size=None)
+        .groupby([key_col, "window_start", id_col])
+        .count()
+    )
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "window_start": t["window_start"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return (
+        deduped.map_batches(ones, batch_format="pyarrow", batch_size=None)
+        .groupby([key_col, "window_start"])
+        .sum("one")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    key_col: t[key_col],
+                    "window_start": t["window_start"],
+                    "n_distinct": t["sum(one)"],
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )

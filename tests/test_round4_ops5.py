@@ -597,3 +597,50 @@ def test_ngram_containment_partition_invariance(ray_session):
     ]
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert ((outs[0]["doc_a"] == 3) & (outs[0]["doc_b"] == 7)).any()
+
+
+def test_windowed_count_distinct_null_parity_and_invariance(
+    ray_session, entry_mod, twa_events
+):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import (
+        windowed_count_distinct,
+    )
+
+    # reuse the null-bearing fixture: event_type := a 3-way category,
+    # user_id/ts nulls already planted
+    df = twa_events.copy()
+    df["event_type"] = np.where(
+        np.arange(len(df)) % 3 == 0, "a",
+        np.where(np.arange(len(df)) % 3 == 1, "b", None),
+    )
+    outs = []
+    for p in (1, 6):
+        outs.append(
+            windowed_count_distinct(
+                rd.from_pandas(df).repartition(p), window_s=3600
+            )
+            .to_pandas()
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    con = duckdb.connect()
+    con.register("events", df)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_WINDOWED_DISTINCT)
+        .df()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    got = outs[0]
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert (
+        got["window_start"].astype(np.int64).tolist()
+        == want["window_start"].astype(np.int64).tolist()
+    )
+    assert (
+        got["n_distinct"].astype(np.int64).tolist()
+        == want["n_distinct"].astype(np.int64).tolist()
+    )
