@@ -3995,6 +3995,72 @@ FROM c WHERE CAST(co AS DOUBLE)/least(na, nb) >= 0.6
 )
 
 
+def q_doc_diff(sf_dir: str):
+    """Snapshot diff / CDC (pipelines/joins.py table_diff): two
+    deterministic "versions" of the documents table (v1 drops doc_id %
+    7 == 0; v2 drops % 5 == 0 and bumps n_chars on % 3 == 0) diffed on
+    doc_id — added/removed/changed rows only, one co-partitioning
+    exchange, per-partition searchsorted alignment."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import table_diff
+
+    def v1(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % 7 != 0]
+        return b[["doc_id", "n_chars"]]
+
+    def v2(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % 5 != 0].copy()
+        b["n_chars"] = b["n_chars"] + (b["doc_id"] % 3 == 0).astype(
+            "int64"
+        )
+        return b[["doc_id", "n_chars"]]
+
+    import pandas as pd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    left = docs.map_batches(v1, batch_format="pandas", batch_size=None)
+    right = docs.map_batches(v2, batch_format="pandas", batch_size=None)
+    diff = table_diff(
+        left, right, key_col="doc_id", compare_cols=["n_chars"]
+    )
+
+    # the driver's value hash can't carry nullable ints: ship the
+    # absent-side values as DOUBLE (NULL -> NaN), mirrored by the
+    # twin's CAST AS DOUBLE
+    def as_double(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["l_n_chars"] = b["l_n_chars"].astype("float64")
+        b["r_n_chars"] = b["r_n_chars"].astype("float64")
+        return b
+
+    return diff.map_batches(as_double, batch_format="pandas", batch_size=None)
+
+
+SQL_DOC_DIFF = """
+WITH l AS (
+    SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0
+),
+r AS (
+    SELECT doc_id,
+           n_chars + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+               AS n_chars
+    FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+       CASE WHEN l.doc_id IS NULL THEN 'added'
+            WHEN r.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CAST(l.n_chars AS DOUBLE) AS l_n_chars,
+       CAST(r.n_chars AS DOUBLE) AS r_n_chars
+FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id
+WHERE l.doc_id IS NULL OR r.doc_id IS NULL
+   OR l.n_chars IS DISTINCT FROM r.n_chars
+"""
+
+
 def q_doc_winnow(sf_dir: str):
     """Winnowing fingerprints (Schleimer et al. 2003), k=5 char grams,
     window 4; rolling hash uses exact sub-2^53 integer arithmetic so the
@@ -5545,6 +5611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_entropy": q_events_entropy,
         "doc_containment": q_doc_containment,
         "events_windowed_distinct": q_events_windowed_distinct,
+        "doc_diff": q_doc_diff,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5682,6 +5749,7 @@ def oracle_sql() -> dict[str, str]:
         "events_entropy": SQL_EVENTS_ENTROPY,
         "doc_containment": SQL_DOC_CONTAINMENT,
         "events_windowed_distinct": SQL_EVENTS_WINDOWED_DISTINCT,
+        "doc_diff": SQL_DOC_DIFF,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

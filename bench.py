@@ -599,6 +599,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["doc_containment"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.joins import table_diff
+
+        t0 = time.perf_counter()
+        base = rd.read_parquet(
+            docs_path, columns=["doc_id", "n_chars"]
+        )
+        table_diff(
+            base.map_batches(
+                lambda b: b[b["doc_id"] % 7 != 0],
+                batch_format="pandas",
+                batch_size=None,
+            ),
+            base.map_batches(
+                lambda b: b[b["doc_id"] % 5 != 0],
+                batch_format="pandas",
+                batch_size=None,
+            ),
+            key_col="doc_id",
+            compare_cols=["n_chars"],
+        ).count()
+        timings["doc_diff"] = round(time.perf_counter() - t0, 3)
+
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(emb_path):
         from light_curve_feature_ray.pipelines.similarity import (

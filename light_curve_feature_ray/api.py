@@ -56,6 +56,7 @@ from .pipelines.joins import (  # noqa: F401
     broadcast_join,
     broadcast_semi_join,
     interval_join,
+    table_diff,
 )
 
 # --- all-aggregate analytics ----------------------------------------------

@@ -644,3 +644,108 @@ def test_windowed_count_distinct_null_parity_and_invariance(
         got["n_distinct"].astype(np.int64).tolist()
         == want["n_distinct"].astype(np.int64).tolist()
     )
+
+
+def test_table_diff_hand_example(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import table_diff
+
+    left = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4, 6],
+            "v": [10.0, 20.0, np.nan, 40.0, 60.0],
+            "s": ["a", "b", "c", "d", "f"],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [2, 3, 4, 5, 6],
+            "v": [20.0, np.nan, 41.0, 50.0, 60.0],
+            "s": ["b", "c", "x", "e", "f"],
+        }
+    )
+    got = (
+        table_diff(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            key_col="k",
+            compare_cols=["v", "s"],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # 1 removed; 2 unchanged (absent); 3 unchanged (NaN == NaN);
+    # 4 changed (both cols); 5 added; 6 unchanged (absent)
+    assert got["k"].tolist() == [1, 4, 5]
+    assert got["status"].tolist() == ["removed", "changed", "added"]
+    assert got.loc[1, "l_v"] == 40.0 and got.loc[1, "r_v"] == 41.0
+    assert pd.isna(got.loc[2, "l_v"]) and got.loc[2, "r_v"] == 50.0
+    # include_unchanged surfaces the other three
+    all_rows = (
+        table_diff(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            key_col="k",
+            compare_cols=["v", "s"],
+            include_unchanged=True,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert all_rows["status"].tolist() == [
+        "removed", "unchanged", "unchanged", "changed", "added",
+        "unchanged",
+    ]
+
+
+def test_table_diff_duplicate_keys_raise(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import table_diff
+
+    left = pd.DataFrame({"k": [1, 1], "v": [1.0, 2.0]})
+    right = pd.DataFrame({"k": [1], "v": [1.0]})
+    with pytest.raises(Exception, match="unique"):
+        table_diff(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            key_col="k",
+            compare_cols=["v"],
+        ).to_pandas()
+
+
+def test_table_diff_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import table_diff
+
+    rng = np.random.default_rng(13)
+    lk = rng.permutation(400)[:300]
+    rk = rng.permutation(400)[:300]
+    left = pd.DataFrame(
+        {"k": lk, "v": (lk % 17).astype("int64")}
+    )
+    right = pd.DataFrame(
+        {"k": rk, "v": (rk % 19).astype("int64")}
+    )
+    outs = [
+        table_diff(
+            rd.from_pandas(left).repartition(rp),
+            rd.from_pandas(right),
+            key_col="k",
+            compare_cols=["v"],
+            num_partitions=p,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+        for p, rp in ((3, 1), (13, 5))
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # statuses reconcile with set arithmetic
+    s = outs[0].set_index("k")["status"]
+    assert (s == "added").sum() == len(set(rk) - set(lk))
+    assert (s == "removed").sum() == len(set(lk) - set(rk))
