@@ -4836,7 +4836,9 @@ tot AS (
 )
 SELECT p.user_id, any_value(t.n) AS n, any_value(t.n_cats) AS n_cats,
        round(-sum((CAST(p.c AS DOUBLE) / t.n)
-                  * ln(CAST(p.c AS DOUBLE) / t.n)) + 0, 6) AS entropy
+                  * ln(CAST(p.c AS DOUBLE) / t.n)) + 0, 6) AS entropy,
+       round(sum((CAST(p.c AS DOUBLE) / t.n)
+                 * (CAST(p.c AS DOUBLE) / t.n)), 6) AS hhi
 FROM pc p JOIN tot t USING (user_id)
 GROUP BY 1
 """

@@ -1183,11 +1183,14 @@ def group_entropy(
 
         H(key) = -sum_cat (c/n) * ln(c/n)
 
-    replayed literally by the SQL twin (doubles throughout; the final
-    ``+ 0`` on both sides normalizes the -0.0 a single-category key's
-    negated zero sum would otherwise produce). NULL key / category rows
-    drop on both sides. Returns (key, n, n_cats, entropy) with n and
-    n_cats integer-exact.
+    plus the Herfindahl concentration index ``hhi = sum (c/n)*(c/n)``
+    (1 for a single-category key, 1/n_cats for uniform — the inverse
+    lens on the same distribution), both replayed literally by the SQL
+    twin (doubles throughout; the final ``+ 0`` on both sides
+    normalizes the -0.0 a single-category key's negated zero sum would
+    otherwise produce). NULL key / category rows drop on both sides.
+    Returns (key, n, n_cats, entropy, hhi) with n and n_cats
+    integer-exact.
 
     Scale shape: block-local (key, cat) Arrow count partials (the
     shuffle carries pairs, not rows), one pair-keyed groupby-sum, then
@@ -1222,6 +1225,7 @@ def group_entropy(
                     "n": pa.array([], pa.int64()),
                     "n_cats": pa.array([], pa.int64()),
                     "entropy": pa.array([], pa.float64()),
+                    "hhi": pa.array([], pa.float64()),
                 }
             )
         order = np.argsort(k, kind="stable")
@@ -1233,6 +1237,7 @@ def group_entropy(
         n_cats = np.add.reduceat(np.ones_like(c), starts)
         p = c.astype(np.float64) / n[seg].astype(np.float64)
         ent = -np.add.reduceat(p * np.log(p), starts) + 0.0
+        hhi = np.add.reduceat(p * p, starts)
         take = pa.array(order[starts])
         return pa.table(
             {
@@ -1240,6 +1245,7 @@ def group_entropy(
                 "n": pa.array(n),
                 "n_cats": pa.array(n_cats),
                 "entropy": pa.array(ent),
+                "hhi": pa.array(hhi),
             }
         )
 

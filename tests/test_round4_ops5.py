@@ -498,7 +498,9 @@ def test_group_entropy_hand_and_null_parity(ray_session, entry_mod):
     assert got["n"].tolist() == [4, 2, 1]
     assert got["n_cats"].tolist() == [4, 1, 1]
     assert got.loc[0, "entropy"] == pytest.approx(np.log(4), rel=1e-12)
+    assert got.loc[0, "hhi"] == pytest.approx(0.25, rel=1e-12)
     assert got.loc[1, "entropy"] == 0.0
+    assert got.loc[1, "hhi"] == 1.0
     assert not np.signbit(got.loc[1, "entropy"])  # -0.0 normalized
     con = duckdb.connect()
     con.register("events", df)
@@ -511,6 +513,9 @@ def test_group_entropy_hand_and_null_parity(ray_session, entry_mod):
     assert want["user_id"].astype(np.int64).tolist() == [1, 2, 3]
     np.testing.assert_allclose(
         _round6(got["entropy"]), want["entropy"].to_numpy(), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        _round6(got["hhi"]), want["hhi"].to_numpy(), atol=1e-9
     )
 
 
