@@ -474,6 +474,39 @@ def triangle_counts(
     )
 
 
+def _pagerank_driver_numpy(
+    a: np.ndarray, b: np.ndarray, d: float, iters: int
+):
+    """In-memory power iteration over the normalized directed edge
+    arrays — the small-side fast path; the SAME formula as the
+    distributed rounds (rank-identical to round-6; sums may differ in
+    the last ulp from reassociation, like any two shuffle layouts)."""
+    keep = a != b
+    a, b = a[keep], b[keep]
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    # dedup directed edges
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    kp = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+    u, v = u[kp], v[kp]
+    if u.size == 0:  # e.g. all input pairs were self-loops
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    nodes = np.unique(u)
+    iu = np.searchsorted(nodes, u)
+    iv = np.searchsorted(nodes, v)
+    od = np.bincount(iu, minlength=nodes.size).astype(np.float64)
+    n = nodes.size
+    r = np.full(n, 1.0 / float(n))
+    teleport = (1.0 - d) / float(n)
+    for _ in range(iters):
+        contrib = r[iu] / od[iu]
+        s = np.zeros(n)
+        np.add.at(s, iv, contrib)
+        r = teleport + d * s
+    return nodes, r
+
+
 def pagerank_undirected(
     pairs_ds,
     *,
@@ -482,6 +515,8 @@ def pagerank_undirected(
     damping: float = 0.85,
     iters: int = 3,
     num_partitions: int | None = None,
+    method: str = "auto",
+    max_driver_edges: int = 5_000_000,
 ):
     """Fixed-iteration PageRank over the undirected simple graph of
     candidate pairs (each pair doubled to two directed edges) — the
@@ -508,12 +543,71 @@ def pagerank_undirected(
     scatter, no per-node Python) emitting per-edge contributions, a
     (node)-keyed groupby-sum, and a vectorized teleport finish. Rank
     tables are node-sized; only the static edge list rides every round.
+
+    Sized-to-data routing (the :func:`connected_components_min_label`
+    rule — same-session A/B at sf0.1: 47.9 s distributed vs 14.3 s via
+    the driver path, where the remainder is the shared upstream pair
+    generation; each of the 3 distributed rounds pays two shuffle
+    barriers on a node-sized table):
+    ``method='auto'`` collects the pair list to the driver under a loud
+    ``max_driver_edges`` bound and runs the SAME power iteration in
+    numpy; 'driver' / 'distributed' force a path. Ranks agree to well
+    past round-6 (last-ulp reassociation only, like any two shuffle
+    layouts).
     """
+    if method not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
     if num_partitions is None:
         num_partitions = _auto_parts()
     if iters < 1:
         raise ValueError("iters must be >= 1")
     d = float(damping)
+
+    if method != "distributed":
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        pairs_ab = pairs_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "a": b[id_a].to_numpy(dtype=np.int64),
+                    "b": b[id_b].to_numpy(dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        ).materialize()
+        n_pairs = pairs_ab.count()
+        if method == "driver" and n_pairs > max_driver_edges:
+            raise ValueError(
+                f"method='driver' but {n_pairs} pairs > max_driver_edges="
+                f"{max_driver_edges}; use method='auto'/'distributed'"
+            )
+        if n_pairs <= max_driver_edges:
+            if n_pairs == 0:
+                return rd.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array([], pa.int64()),
+                            "pagerank": pa.array([], pa.float64()),
+                        }
+                    )
+                )
+            tbl = pa.concat_tables(
+                ray.get(pairs_ab.to_arrow_refs()), promote_options="default"
+            )
+            nodes, r = _pagerank_driver_numpy(
+                tbl["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                tbl["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                d,
+                iters,
+            )
+            return rd.from_arrow(
+                pa.table({"node": pa.array(nodes), "pagerank": pa.array(r)})
+            )
+        pairs_ds = pairs_ab  # fall through: reuse the materialization
+        id_a, id_b = "a", "b"
 
     def norm_directed(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch[id_a].to_numpy(dtype=np.int64)

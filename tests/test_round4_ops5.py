@@ -754,3 +754,31 @@ def test_table_diff_partition_invariance(ray_session):
     s = outs[0].set_index("k")["status"]
     assert (s == "added").sum() == len(set(rk) - set(lk))
     assert (s == "removed").sum() == len(set(lk) - set(rk))
+
+
+def test_pagerank_driver_vs_distributed_parity(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.graph import pagerank_undirected
+
+    rng = np.random.default_rng(53)
+    a = rng.integers(0, 80, size=300).astype(np.int64)
+    b = rng.integers(0, 80, size=300).astype(np.int64)
+    df = pd.DataFrame({"doc_a": a, "doc_b": b})
+    outs = {}
+    for method in ("driver", "distributed"):
+        outs[method] = (
+            pagerank_undirected(rd.from_pandas(df), method=method)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+    assert (
+        outs["driver"]["node"].tolist()
+        == outs["distributed"]["node"].tolist()
+    )
+    np.testing.assert_allclose(
+        outs["driver"]["pagerank"].to_numpy(),
+        outs["distributed"]["pagerank"].to_numpy(),
+        rtol=1e-12,
+    )
