@@ -4016,8 +4016,6 @@ def q_doc_diff(sf_dir: str):
         )
         return b[["doc_id", "n_chars"]]
 
-    import pandas as pd
-
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
@@ -4028,15 +4026,18 @@ def q_doc_diff(sf_dir: str):
     )
 
     # the driver's value hash can't carry nullable ints: ship the
-    # absent-side values as DOUBLE (NULL -> NaN), mirrored by the
-    # twin's CAST AS DOUBLE
-    def as_double(b: pd.DataFrame) -> pd.DataFrame:
+    # compared values as DOUBLE, absent side NaN -> Arrow NULL via
+    # _finalize (parity with the twin's CAST(... AS DOUBLE) = SQL NULL)
+    def as_double(b):
         b = b.copy()
         b["l_n_chars"] = b["l_n_chars"].astype("float64")
         b["r_n_chars"] = b["r_n_chars"].astype("float64")
         return b
 
-    return diff.map_batches(as_double, batch_format="pandas", batch_size=None)
+    return _finalize(
+        diff.map_batches(as_double, batch_format="pandas", batch_size=None),
+        skip=("doc_id", "status"),
+    )
 
 
 SQL_DOC_DIFF = """

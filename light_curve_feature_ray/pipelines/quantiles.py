@@ -376,23 +376,14 @@ WHERE cum <= q * (n - 1) AND q * (n - 1) < cum + c
 """
 
 
-def grouped_quantile_cont(
-    ds,
-    group_col: str,
-    col: str,
-    qs,
-    num_partitions: int | None = None,
-):
-    """Exact per-group continuous quantiles: ONE hash shuffle on the
-    group key, then a fully vectorized per-partition kernel (one lexsort
-    over (group, value), segment offsets, gather) — no per-group Python,
-    no global sort. Same bit-parity interpolation as
-    :func:`quantile_cont`.
-
-    Partitioning assumption (documented per the custom-operator
-    contract): one group's rows fit in one partition's task memory —
-    the same key-locality assumption the rollup makes. NaN values are
-    excluded per group; groups with only NaN are dropped."""
+def _grouped_order_stats(ds, group_col, col, qs, num_partitions, select):
+    """Shared scaffolding of the exact per-group order statistics
+    (:func:`grouped_quantile_cont` / :func:`grouped_quantile_disc`):
+    null-key drop, the ONE group-key hash shuffle, and the per-partition
+    lexsort + segment-bounds kernel. ``select(v, starts, counts, q)``
+    returns the per-group value at quantile q over the NaN-filtered
+    sorted segments. The null-key / NaN / hash spellings here are
+    pinned by CLAUDE.md for BOTH variants — change once, both follow."""
     from .text import _auto_pair_parts
 
     qs = np.array([float(q) for q in qs])
@@ -426,15 +417,9 @@ def grouped_quantile_cont(
         ngroups = starts.size
         out_g, out_q, out_v = [], [], []
         for q in qs:
-            h = q * (counts - 1.0)
-            k = np.floor(h).astype(np.int64)
-            frac = h - k
-            k2 = np.where(frac == 0.0, k, k + 1)
-            lo = v[starts + k]
-            hi = v[starts + np.minimum(k2, counts - 1)]
             out_g.append(g[starts])
             out_q.append(np.full(ngroups, q))
-            out_v.append(lo * (1.0 - frac) + hi * frac)
+            out_v.append(select(v, starts, counts, q))
         return pd.DataFrame(
             {
                 group_col: np.concatenate(out_g),
@@ -451,6 +436,36 @@ def grouped_quantile_cont(
             batch_format="pandas",
         )
     )
+
+
+def grouped_quantile_cont(
+    ds,
+    group_col: str,
+    col: str,
+    qs,
+    num_partitions: int | None = None,
+):
+    """Exact per-group continuous quantiles: ONE hash shuffle on the
+    group key, then a fully vectorized per-partition kernel (one lexsort
+    over (group, value), segment offsets, gather) — no per-group Python,
+    no global sort. Same bit-parity interpolation as
+    :func:`quantile_cont`.
+
+    Partitioning assumption (documented per the custom-operator
+    contract): one group's rows fit in one partition's task memory —
+    the same key-locality assumption the rollup makes. NaN values are
+    excluded per group; groups with only NaN are dropped."""
+
+    def select(v, starts, counts, q):
+        h = q * (counts - 1.0)
+        k = np.floor(h).astype(np.int64)
+        frac = h - k
+        k2 = np.where(frac == 0.0, k, k + 1)
+        lo = v[starts + k]
+        hi = v[starts + np.minimum(k2, counts - 1)]
+        return lo * (1.0 - frac) + hi * frac
+
+    return _grouped_order_stats(ds, group_col, col, qs, num_partitions, select)
 
 
 def histogram(ds, value_col: str, *, bins: int = 64, lo=None, hi=None):
@@ -981,55 +996,13 @@ def grouped_quantile_disc(
     ``ceil(q * n)`` is evaluated in IEEE doubles on both sides.
 
     Scale shape: ONE hash shuffle on the group key, one lexsort +
-    segment gather per partition — no per-group Python."""
-    from .text import _auto_pair_parts
+    segment gather per partition — no per-group Python (shared
+    :func:`_grouped_order_stats` scaffolding)."""
 
-    qs = np.array([float(q) for q in qs])
-    if ((qs < 0) | (qs > 1)).any():
-        raise ValueError("quantiles must be in [0, 1]")
-    num_partitions = num_partitions or _auto_pair_parts()
-
-    def assign(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.dropna(subset=[group_col])
-        h = pd.util.hash_array(b[group_col].to_numpy(), categorize=False)
-        b = b.copy()
-        b["part"] = (h % np.uint64(num_partitions)).astype(np.int32)
-        return b
-
-    def per_part(part: pd.DataFrame) -> pd.DataFrame:
-        g = part[group_col].to_numpy()
-        v = part[col].to_numpy(dtype=np.float64)
-        ok = ~np.isnan(v)
-        g, v = g[ok], v[ok]
-        if g.size == 0:
-            return pd.DataFrame({group_col: [], "q": [], "value": []})
-        order = np.lexsort((v, g))
-        g, v = g[order], v[order]
-        new = np.r_[True, g[1:] != g[:-1]]
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.r_[starts, g.size])
-        ngroups = starts.size
-        out_g, out_q, out_v = [], [], []
-        for q in qs:
-            k = np.maximum(
-                np.ceil(q * counts.astype(np.float64)).astype(np.int64), 1
-            )
-            out_g.append(g[starts])
-            out_q.append(np.full(ngroups, q))
-            out_v.append(v[starts + (k - 1)])
-        return pd.DataFrame(
-            {
-                group_col: np.concatenate(out_g),
-                "q": np.concatenate(out_q),
-                "value": np.concatenate(out_v),
-            }
+    def select(v, starts, counts, q):
+        k = np.maximum(
+            np.ceil(q * counts.astype(np.float64)).astype(np.int64), 1
         )
+        return v[starts + (k - 1)]
 
-    return (
-        ds.map_batches(assign, batch_format="pandas", batch_size=None)
-        .groupby("part")
-        .map_groups(
-            lambda p: per_part(p.drop(columns=["part"])),
-            batch_format="pandas",
-        )
-    )
+    return _grouped_order_stats(ds, group_col, col, qs, num_partitions, select)

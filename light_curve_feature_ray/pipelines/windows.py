@@ -1189,7 +1189,7 @@ def key_lag_deltas(
         if n == 0:
             return pd.DataFrame(
                 {
-                    id_col: pd.Series(dtype=np.int64),
+                    id_col: pd.Series(dtype=g[id_col].dtype),
                     key_col: pd.Series(dtype=g[key_col].dtype),
                     "dv": pd.Series(dtype=np.float64),
                     "dt_us": pd.Series(dtype=np.int64),
