@@ -782,3 +782,73 @@ def test_pagerank_driver_vs_distributed_parity(ray_session):
         outs["distributed"]["pagerank"].to_numpy(),
         rtol=1e-12,
     )
+
+
+def test_table_diff_fuzz_vs_duckdb_full_outer(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.joins import table_diff
+
+    rng = np.random.default_rng(97)
+    for trial in range(4):
+        lk = rng.permutation(200)[: rng.integers(50, 150)]
+        rk = rng.permutation(200)[: rng.integers(50, 150)]
+        left = pd.DataFrame(
+            {
+                "k": lk,
+                "v": np.where(
+                    rng.random(lk.size) < 0.15,
+                    np.nan,
+                    (lk % 11).astype(np.float64),
+                ),
+                "s": np.array([f"s{x % 9}" for x in lk], dtype=object),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rk,
+                "v": np.where(
+                    rng.random(rk.size) < 0.15,
+                    np.nan,
+                    (rk % 13).astype(np.float64),
+                ),
+                "s": np.array([f"s{x % 7}" for x in rk], dtype=object),
+            }
+        )
+        got = (
+            table_diff(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                key_col="k",
+                compare_cols=["v", "s"],
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        # NaN==NaN on the operator side -> compare the twin under the
+        # same convention by mapping NaN to a sentinel before the join
+        want = (
+            con.execute(
+                """
+            WITH lf AS (SELECT k, coalesce(v, 1e308) AS v, s FROM l),
+                 rf AS (SELECT k, coalesce(v, 1e308) AS v, s FROM r)
+            SELECT coalesce(lf.k, rf.k) AS k,
+                   CASE WHEN lf.k IS NULL THEN 'added'
+                        WHEN rf.k IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM lf FULL OUTER JOIN rf ON lf.k = rf.k
+            WHERE lf.k IS NULL OR rf.k IS NULL
+               OR lf.v IS DISTINCT FROM rf.v
+               OR lf.s IS DISTINCT FROM rf.s
+            ORDER BY k
+            """
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        assert got["k"].astype(np.int64).tolist() == want["k"].tolist(), trial
+        assert got["status"].tolist() == want["status"].tolist(), trial
