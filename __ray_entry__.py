@@ -4873,6 +4873,64 @@ GROUP BY 1, 2
 """
 
 
+GAPPROX_BINS = 512
+_GAPPROX_QROWS = ", ".join(f"({float(q)!r})" for q in QUANTILE_QS)
+
+
+def q_events_grouped_approx(sf_dir: str):
+    """Per-group histogram-sketch quantiles (pipelines/quantiles.py
+    grouped_approx_quantiles): the SCALE path for grouped order
+    statistics — mergeable (group, bin) count partials, group stats
+    broadcast once, NOTHING collected on the driver; rank error <
+    n_g/bins per group, estimate bit-replayed by the twin."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import (
+        grouped_approx_quantiles,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = grouped_approx_quantiles(
+        ev, "event_type", "value", QUANTILE_QS, bins=GAPPROX_BINS
+    )
+    return _finalize(out, skip=("q",))
+
+
+SQL_EVENTS_GROUPED_APPROX = f"""
+WITH v AS (
+    SELECT event_type AS g, value AS x FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+      AND NOT isnan(value)
+),
+mm AS (SELECT g, min(x) AS lo, max(x) AS hi, count(*) AS n
+       FROM v GROUP BY g),
+p AS (SELECT g, lo, hi, n, (hi - lo) / {GAPPROX_BINS} AS w FROM mm),
+b AS (
+    SELECT v.g,
+           least(greatest(CAST(floor((x - lo) / w) AS BIGINT), 0),
+                 {GAPPROX_BINS} - 1) AS j
+    FROM v JOIN p USING (g) WHERE w > 0
+),
+c AS (SELECT g, j, count(*) AS c FROM b GROUP BY g, j),
+cc AS (
+    SELECT g, j, c,
+           COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+    FROM c
+)
+SELECT cc.g AS event_type, q,
+       round(lo + j * w + ((q * (n - 1) - cum) / c) * w, 6) AS value
+FROM cc JOIN p USING (g), (VALUES {_GAPPROX_QROWS}) qs(q)
+WHERE cum <= q * (n - 1) AND q * (n - 1) < cum + c
+UNION ALL
+SELECT g AS event_type, q, round(lo, 6) AS value
+FROM p, (VALUES {_GAPPROX_QROWS}) qs(q) WHERE w = 0
+"""
+
+
 def q_events_heavy_users(sf_dir: str):
     """EXACT heavy hitters with bounded memory (pipelines/sketches.py
     heavy_hitters): a Misra-Gries candidate pass (O(k) state per block,
@@ -5615,6 +5673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment": q_doc_containment,
         "events_windowed_distinct": q_events_windowed_distinct,
         "doc_diff": q_doc_diff,
+        "events_grouped_approx": q_events_grouped_approx,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5753,6 +5812,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_containment": SQL_DOC_CONTAINMENT,
         "events_windowed_distinct": SQL_EVENTS_WINDOWED_DISTINCT,
         "doc_diff": SQL_DOC_DIFF,
+        "events_grouped_approx": SQL_EVENTS_GROUPED_APPROX,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

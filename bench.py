@@ -544,6 +544,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             time.perf_counter() - t0, 3
         )
 
+        from light_curve_feature_ray.pipelines.quantiles import (
+            grouped_approx_quantiles,
+        )
+
+        t0 = time.perf_counter()
+        grouped_approx_quantiles(
+            rd.read_parquet(events_path, columns=["event_type", "value"]),
+            "event_type",
+            "value",
+            (0.01, 0.25, 0.5, 0.75, 0.9, 0.99),
+        ).count()
+        timings["events_grouped_approx"] = round(
+            time.perf_counter() - t0, 3
+        )
+
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
             pack_sequences,

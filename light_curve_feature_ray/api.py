@@ -103,6 +103,7 @@ from .pipelines.quantiles import (  # noqa: F401
     exact_order_stats,
     grouped_mad,
     grouped_histogram,
+    grouped_approx_quantiles,
     grouped_quantile_cont,
     grouped_quantile_disc,
     grouped_trimmed_mean,

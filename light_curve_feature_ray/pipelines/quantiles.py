@@ -1006,3 +1006,185 @@ def grouped_quantile_disc(
         return v[starts + (k - 1)]
 
     return _grouped_order_stats(ds, group_col, col, qs, num_partitions, select)
+
+
+def grouped_approx_quantiles(
+    ds,
+    group_col: str,
+    col: str,
+    qs,
+    *,
+    bins: int = 512,
+    max_groups_broadcast: int = 1_000_000,
+    num_partitions: int | None = None,
+):
+    """Per-group histogram-sketch quantiles — the SCALE path for grouped
+    order statistics: :func:`grouped_quantile_cont` assumes one group
+    fits one partition's memory; this needs only a per-group (min, max,
+    n) pass plus per-(group, bin) count partials, all mergeable across
+    blocks/nodes/retries, with rank error < n_g/bins per group. The
+    estimate replays :func:`approx_quantile_hist` exactly, per group:
+    w = (hi-lo)/bins, bucket = clamp(floor((x-lo)/w)), h = q*(n-1),
+    value = lo + j*w + ((h - cum)/c)*w — identical double arithmetic to
+    the SQL twin. Constant groups (lo == hi, so w == 0) emit ``lo`` for
+    every q (the twin's ``WHERE w = 0`` branch); NULL keys and NaN
+    values drop on both sides.
+
+    Scale shape: one grouped min/max/count aggregate whose result
+    broadcasts ONCE via ``ray.put`` (loud ``max_groups_broadcast``
+    bound — group stats are O(groups), not O(rows)); one
+    block-bincount pass emitting (group, bin) partials (the shuffle
+    carries occupied cells, never rows); a (group, bin) groupby-sum;
+    and a group-keyed finish of per-segment cumsums + interpolation.
+    Unlike the global sketch, NOTHING is collected on the driver."""
+    import ray
+
+    qs = [float(q) for q in qs]
+    if any(q < 0.0 or q > 1.0 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+
+    def stat_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=[group_col])
+        v = b[col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        g = b[group_col].to_numpy()[ok]
+        v = v[ok]
+        if g.size == 0:
+            return pd.DataFrame(
+                {group_col: [], "lo": [], "hi": [], "n": []}
+            )
+        df = pd.DataFrame({group_col: g, "v": v})
+        out = df.groupby(group_col, sort=False)["v"].agg(
+            lo="min", hi="max", n="count"
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out.reset_index()
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats_ds = (
+        ds.map_batches(stat_partial, batch_format="pandas", batch_size=None)
+        .groupby(group_col)
+        .aggregate(Min("lo"), Max("hi"), Sum("n"))
+    )
+    stats = stats_ds.to_pandas()
+    if len(stats) > max_groups_broadcast:
+        raise ValueError(
+            f"{len(stats)} groups > max_groups_broadcast="
+            f"{max_groups_broadcast}; shuffle rows by group instead"
+        )
+    stats = stats.rename(
+        columns={"min(lo)": "lo", "max(hi)": "hi", "sum(n)": "n"}
+    )
+    stats["w"] = (stats["hi"].to_numpy() - stats["lo"].to_numpy()) / bins
+    stats_ref = ray.put(
+        {
+            "lo": dict(zip(stats[group_col], stats["lo"])),
+            "w": dict(zip(stats[group_col], stats["w"])),
+        }
+    )
+
+    def bin_partial(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        b = b.dropna(subset=[group_col])
+        v = b[col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        g = pd.Series(b[group_col].to_numpy()[ok])
+        v = v[ok]
+        lo = g.map(st["lo"]).to_numpy(dtype=np.float64)
+        w = g.map(st["w"]).to_numpy(dtype=np.float64)
+        nz = w > 0  # constant groups emit no bin rows (finish handles them)
+        if not nz.any():
+            return pd.DataFrame({group_col: [], "j": [], "cnt": []})
+        j = np.clip(
+            np.floor((v[nz] - lo[nz]) / w[nz]).astype(np.int64),
+            0,
+            bins - 1,
+        )
+        out = (
+            pd.DataFrame({group_col: g.to_numpy()[nz], "j": j})
+            .groupby([group_col, "j"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    cells = (
+        ds.map_batches(bin_partial, batch_format="pandas", batch_size=None)
+        .groupby([group_col, "j"])
+        .sum("cnt")
+    )
+
+    stats_full_ref = ray.put(
+        {
+            "lo": dict(zip(stats[group_col], stats["lo"])),
+            "w": dict(zip(stats[group_col], stats["w"])),
+            "n": dict(zip(stats[group_col], stats["n"])),
+        }
+    )
+    qs_arr = np.array(qs)
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_full_ref)
+        g = part[group_col].to_numpy()
+        j = part["j"].to_numpy(dtype=np.int64)
+        c = part["sum(cnt)"].to_numpy(dtype=np.int64)
+        order = np.lexsort((j, g))
+        g, j, c = g[order], j[order], c[order]
+        new = np.r_[True, g[1:] != g[:-1]] if g.size else np.empty(0, bool)
+        seg = np.cumsum(new) - 1 if g.size else np.empty(0, np.int64)
+        cum_all = np.cumsum(c) - c
+        base = cum_all[np.flatnonzero(new)][seg] if g.size else cum_all
+        cum = cum_all - base
+        gs = pd.Series(g)
+        lo = gs.map(st["lo"]).to_numpy(dtype=np.float64)
+        w = gs.map(st["w"]).to_numpy(dtype=np.float64)
+        n = gs.map(st["n"]).to_numpy(dtype=np.float64)
+        out_g, out_q, out_v = [], [], []
+        for q in qs_arr:
+            h = q * (n - 1.0)
+            pick = (cum <= h) & (h < cum + c)
+            out_g.append(g[pick])
+            out_q.append(np.full(int(pick.sum()), q))
+            out_v.append(
+                lo[pick]
+                + j[pick] * w[pick]
+                + ((h[pick] - cum[pick]) / c[pick]) * w[pick]
+            )
+        return pd.DataFrame(
+            {
+                group_col: np.concatenate(out_g) if out_g else [],
+                "q": np.concatenate(out_q) if out_q else [],
+                "value": np.concatenate(out_v) if out_v else [],
+            }
+        )
+
+    from .windows import _with_part
+
+    binned = (
+        _with_part(cells, group_col, num_partitions)
+        .groupby("part")
+        .map_groups(
+            lambda p: finish(p.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )
+
+    # constant groups (w == 0): value = lo for every q, emitted once
+    const = stats[stats["w"] == 0.0]
+    if len(const):
+        import ray.data as rd
+
+        rows = pd.DataFrame(
+            {
+                group_col: np.repeat(const[group_col].to_numpy(), len(qs)),
+                "q": np.tile(qs_arr, len(const)),
+                "value": np.repeat(
+                    const["lo"].to_numpy(dtype=np.float64), len(qs)
+                ),
+            }
+        )
+        binned = binned.union(rd.from_pandas(rows))
+    return binned

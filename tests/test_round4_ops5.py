@@ -852,3 +852,102 @@ def test_table_diff_fuzz_vs_duckdb_full_outer(ray_session):
         )
         assert got["k"].astype(np.int64).tolist() == want["k"].tolist(), trial
         assert got["status"].tolist() == want["status"].tolist(), trial
+
+
+def test_grouped_approx_quantiles_accuracy_and_twin(ray_session, entry_mod):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import (
+        grouped_approx_quantiles,
+        grouped_quantile_cont,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["a", "b", "c"], size=n),
+            "value": rng.normal(scale=30, size=n),
+        }
+    )
+    # a constant group and null/NaN noise
+    df.loc[df.index[:25], "event_type"] = "const"
+    df.loc[df.index[:25], "value"] = 7.5
+    df.loc[df.index[::31], "value"] = np.nan
+    df.loc[df.index[::37], "event_type"] = None
+    qs = (0.1, 0.5, 0.9)
+    bins = 256
+    got = (
+        grouped_approx_quantiles(
+            rd.from_pandas(df), "event_type", "value", qs, bins=bins
+        )
+        .to_pandas()
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+    # twin parity over the null-bearing frame
+    con = duckdb.connect()
+    con.register("events", df)
+    sql = entry_mod.SQL_EVENTS_GROUPED_APPROX.replace("512", str(bins))
+    sql = sql.replace(
+        entry_mod._GAPPROX_QROWS, ", ".join(f"({float(q)!r})" for q in qs)
+    )
+    want = (
+        con.execute(sql)
+        .df()
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    np.testing.assert_allclose(
+        _round6(got["value"]), want["value"].to_numpy(), atol=1e-9
+    )
+    # constant group emits lo for every q
+    cg = got[got.event_type == "const"]
+    assert cg["value"].tolist() == [7.5] * len(qs)
+    # rank error bound vs exact: within (max-min)/bins per group
+    exact = (
+        grouped_quantile_cont(
+            rd.from_pandas(df), "event_type", "value", qs
+        )
+        .to_pandas()
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+    for t in ("a", "b", "c"):
+        sub = df[(df.event_type == t) & df.value.notna()]["value"]
+        width = (sub.max() - sub.min()) / bins
+        ga = got[got.event_type == t]["value"].to_numpy()
+        ex = exact[exact.event_type == t]["value"].to_numpy()
+        assert (np.abs(ga - ex) <= 2 * width + 1e-9).all(), t
+
+
+def test_grouped_approx_quantiles_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quantiles import (
+        grouped_approx_quantiles,
+    )
+
+    rng = np.random.default_rng(67)
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(list("pqrs"), size=900),
+            "value": rng.normal(size=900),
+        }
+    )
+    outs = [
+        grouped_approx_quantiles(
+            rd.from_pandas(df).repartition(rp),
+            "event_type",
+            "value",
+            (0.25, 0.75),
+            bins=128,
+            num_partitions=p,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+        for rp, p in ((1, 3), (6, 11))
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
