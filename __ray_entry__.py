@@ -4931,6 +4931,63 @@ FROM p, (VALUES {_GAPPROX_QROWS}) qs(q) WHERE w = 0
 """
 
 
+RESAMPLE_STEP_S = 21600  # 6h grid over the ~30-day event span
+
+
+def q_events_resample(sf_dir: str):
+    """Per-user regular-grid resampling with linear interpolation
+    (pipelines/windows.py resample_time_grid): grid anchored at each
+    series' first timestamp, min-id dedup of duplicate (key, ts),
+    composite-band searchsorted prev/next lookup — the user-facing
+    generalization of the rollup's gap-fill tier."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import (
+        resample_time_grid,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return _finalize(
+        resample_time_grid(ev, step_s=RESAMPLE_STEP_S, num_partitions=16),
+        skip=("user_id", "grid_ts"),
+    )
+
+
+SQL_EVENTS_RESAMPLE = f"""
+WITH e0 AS (
+    SELECT user_id AS k, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id) AS rn
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+e AS (SELECT k, ts, epoch_us(ts) AS tu, value FROM e0 WHERE rn = 1),
+bounds AS (SELECT k, min(tu) AS lo, max(tu) AS hi FROM e GROUP BY 1),
+g AS (
+    SELECT k, make_timestamp(unnest(generate_series(
+               lo, hi, {RESAMPLE_STEP_S * 1_000_000}))) AS t
+    FROM bounds
+),
+pj AS (
+    SELECT g.k, g.t, e.tu AS pt, e.value AS pv
+    FROM g ASOF JOIN e ON g.k = e.k AND g.t >= e.ts
+),
+nj AS (
+    SELECT g.k, g.t, e.tu AS nt, e.value AS nv
+    FROM g ASOF JOIN e ON g.k = e.k AND g.t <= e.ts
+)
+SELECT pj.k AS user_id, pj.t AS grid_ts,
+       round(CASE WHEN nt = pt THEN pv
+             ELSE pv + (nv - pv)
+                  * (CAST(epoch_us(pj.t) - pt AS DOUBLE)
+                     / CAST(nt - pt AS DOUBLE)) END, 6) AS value
+FROM pj JOIN nj ON pj.k = nj.k AND pj.t = nj.t
+"""
+
+
 def q_events_heavy_users(sf_dir: str):
     """EXACT heavy hitters with bounded memory (pipelines/sketches.py
     heavy_hitters): a Misra-Gries candidate pass (O(k) state per block,
@@ -5674,6 +5731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed_distinct": q_events_windowed_distinct,
         "doc_diff": q_doc_diff,
         "events_grouped_approx": q_events_grouped_approx,
+        "events_resample": q_events_resample,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5813,6 +5871,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed_distinct": SQL_EVENTS_WINDOWED_DISTINCT,
         "doc_diff": SQL_DOC_DIFF,
         "events_grouped_approx": SQL_EVENTS_GROUPED_APPROX,
+        "events_resample": SQL_EVENTS_RESAMPLE,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

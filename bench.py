@@ -559,6 +559,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             time.perf_counter() - t0, 3
         )
 
+        from light_curve_feature_ray.pipelines.windows import (
+            resample_time_grid,
+        )
+
+        t0 = time.perf_counter()
+        resample_time_grid(
+            rd.read_parquet(
+                events_path,
+                columns=["event_id", "user_id", "ts", "value"],
+            ),
+            step_s=21600,
+        ).count()
+        timings["events_resample"] = round(time.perf_counter() - t0, 3)
+
     if os.path.exists(docs_path):
         from light_curve_feature_ray.pipelines.scan import (
             pack_sequences,

@@ -83,6 +83,7 @@ from .pipelines.windows import (  # noqa: F401
     funnel_steps,
     interval_coverage,
     key_lag_deltas,
+    resample_time_grid,
     throttle,
     time_weighted_avg,
     rolling_agg,

@@ -1295,3 +1295,118 @@ def windowed_count_distinct(
             batch_size=None,
         )
     )
+
+
+def resample_time_grid(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    step_s: int = 3600,
+    num_partitions: int | None = None,
+    max_points_per_key: int = 1_000_000,
+):
+    """Regular-grid resampling with linear interpolation per key — the
+    user-facing generalization of the rollup's gap-fill: each key's
+    irregular series becomes values at ``first_ts, first_ts + step,
+    ..., <= last_ts`` (grid ANCHORED at the series start — anchoring
+    avoids any floor/ceil division whose negative-operand semantics
+    differ between numpy (floors) and SQL (truncates); the count
+    ``(last - first) // step`` is non-negative on both sides).
+
+    Interpolation between the nearest events: ``prev`` = latest event
+    with ts <= g, ``next`` = earliest event with ts >= g (both exist —
+    the grid never leaves [first, last]);
+    ``value = pv + (nv - pv) * ((g - pt) / (nt - pt))`` in integer-us
+    diffs and IEEE doubles, replayed literally by the twin's double
+    ASOF JOIN; a grid point ON an event takes that event's value
+    exactly (nt == pt branch). Duplicate (key, ts) rows first collapse
+    to the MIN-id row (the throttle survivor rule, twin:
+    ``row_number() OVER (PARTITION BY key, ts ORDER BY id) = 1``);
+    NULL key / ts / value rows drop. Single-event keys emit exactly
+    their one point.
+
+    Returns (key, grid_ts, value). Loud ``max_points_per_key`` bound —
+    a decade-span key at 1 s steps is an input error, not a silent
+    300M-row explosion.
+
+    Scale shape: ONE key-hash exchange; per partition a lexsort +
+    min-id dedup, vectorized grid construction (repeat/cumsum), and
+    TWO searchsorted passes over per-key-offset composite coordinates
+    (each key's time range shifted into a disjoint int64 band — no
+    per-key Python, no join)."""
+    step_us = int(step_s) * 1_000_000
+    if step_us <= 0:
+        raise ValueError("step_s must be positive")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
+        g = g[g[key_col].notna() & g[value_col].notna()]
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series(dtype=g[key_col].dtype),
+                    "grid_ts": pd.Series(dtype="datetime64[us]"),
+                    "value": pd.Series(dtype=np.float64),
+                }
+            )
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        t = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        v = g[value_col].to_numpy(dtype=np.float64)
+        order = np.lexsort((ids, t, keys))
+        keys, t, v = keys[order], t[order], v[order]
+        # min-id survivor per (key, ts): lexsort put it first in its run
+        keep = np.r_[True, (keys[1:] != keys[:-1]) | (t[1:] != t[:-1])]
+        keys, t, v = keys[keep], t[keep], v[keep]
+        n = keys.shape[0]
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new_key)
+        ends = np.r_[starts[1:], n] - 1
+        first, last = t[starts], t[ends]
+        m = (last - first) // step_us + 1
+        if (m > max_points_per_key).any():
+            bad = int(m.max())
+            raise ValueError(
+                f"resample_time_grid: a key expands to {bad} grid points"
+                f" > max_points_per_key={max_points_per_key}; raise step_s"
+                " or the bound"
+            )
+        total = int(m.sum())
+        nk = starts.size
+        pg = np.repeat(np.arange(nk), m)
+        within = np.arange(total, dtype=np.int64) - np.r_[
+            0, np.cumsum(m)[:-1]
+        ][pg]
+        gt = first[pg] + within * step_us
+        # disjoint per-key composite bands for the one-shot searchsorted
+        span = last - first + 1
+        off = np.r_[0, np.cumsum(span)[:-1]]
+        seg_of_event = np.cumsum(new_key) - 1
+        comp_ev = (t - first[seg_of_event]) + off[seg_of_event]
+        comp_g = (gt - first[pg]) + off[pg]
+        prev = np.searchsorted(comp_ev, comp_g, side="right") - 1
+        nxt = np.searchsorted(comp_ev, comp_g, side="left")
+        pv, pt = v[prev], t[prev]
+        nv, nt = v[nxt], t[nxt]
+        dd = nt - pt
+        same = dd == 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = (gt - pt).astype(np.float64) / dd.astype(np.float64)
+            val = np.where(same, pv, pv + (nv - pv) * frac)
+        return pd.DataFrame(
+            {
+                key_col: keys[starts][pg],
+                "grid_ts": pd.Series(gt.view("datetime64[us]")),
+                "value": val,
+            }
+        )
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

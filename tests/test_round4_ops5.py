@@ -951,3 +951,96 @@ def test_grouped_approx_quantiles_partition_invariance(ray_session):
         for rp, p in ((1, 3), (6, 11))
     ]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_resample_hand_example(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import resample_time_grid
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 1, 2, 3], dtype=np.int64),
+            "value": [10.0, 99.0, 20.0, 40.0, 5.0, 8.0],
+            "ts": pd.to_datetime([0, 0, 100, 200, 50, 75], unit="s"),
+        }
+    )
+    got = (
+        resample_time_grid(rd.from_pandas(df), step_s=50, num_partitions=3)
+        .to_pandas()
+        .sort_values(["user_id", "grid_ts"])
+        .reset_index(drop=True)
+    )
+    u1 = got[got.user_id == 1]
+    # grid anchored at first ts: 0, 50, 100, 150, 200
+    assert (
+        u1["grid_ts"].astype("datetime64[s]").astype("int64").tolist()
+        == [0, 50, 100, 150, 200]
+    )
+    # duplicate (key, ts=0): min event_id (value 10.0) survives, 99 drops
+    np.testing.assert_allclose(
+        u1["value"].to_numpy(), [10.0, 15.0, 20.0, 30.0, 40.0]
+    )
+    # single-event keys emit exactly their one point
+    assert got[got.user_id == 2]["value"].tolist() == [5.0]
+    assert got[got.user_id == 3]["value"].tolist() == [8.0]
+
+
+def test_resample_null_parity_and_invariance(
+    ray_session, entry_mod, twa_events
+):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import resample_time_grid
+
+    step = entry_mod.RESAMPLE_STEP_S
+    outs = [
+        resample_time_grid(
+            rd.from_pandas(twa_events), step_s=step, num_partitions=p
+        )
+        .to_pandas()
+        .sort_values(["user_id", "grid_ts"])
+        .reset_index(drop=True)
+        for p in (3, 13)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    con = duckdb.connect()
+    con.register("events", twa_events)
+    want = (
+        con.execute(entry_mod.SQL_EVENTS_RESAMPLE)
+        .df()
+        .sort_values(["user_id", "grid_ts"])
+        .reset_index(drop=True)
+    )
+    got = outs[0]
+    assert (
+        got["user_id"].astype(np.int64).tolist()
+        == want["user_id"].astype(np.int64).tolist()
+    )
+    assert (
+        got["grid_ts"].astype("datetime64[us]").tolist()
+        == want["grid_ts"].astype("datetime64[us]").tolist()
+    )
+    np.testing.assert_allclose(
+        _round6(got["value"]), want["value"].to_numpy(), atol=1e-9
+    )
+
+
+def test_resample_points_bound(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import resample_time_grid
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([0, 1], dtype=np.int64),
+            "user_id": np.array([1, 1], dtype=np.int64),
+            "value": [1.0, 2.0],
+            "ts": pd.to_datetime([0, 10**6], unit="s"),
+        }
+    )
+    with pytest.raises(Exception, match="max_points_per_key"):
+        resample_time_grid(
+            rd.from_pandas(df), step_s=1, max_points_per_key=1000
+        ).to_pandas()
