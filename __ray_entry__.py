@@ -4893,7 +4893,8 @@ def q_events_grouped_approx(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
     out = grouped_approx_quantiles(
-        ev, "event_type", "value", QUANTILE_QS, bins=GAPPROX_BINS
+        ev, "event_type", "value", QUANTILE_QS, bins=GAPPROX_BINS,
+        num_partitions=8,
     )
     return _finalize(out, skip=("q",))
 
@@ -4963,6 +4964,7 @@ WITH e0 AS (
                               ORDER BY event_id) AS rn
     FROM events
     WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      AND NOT isnan(value)
 ),
 e AS (SELECT k, ts, epoch_us(ts) AS tu, value FROM e0 WHERE rn = 1),
 bounds AS (SELECT k, min(tu) AS lo, max(tu) AS hi FROM e GROUP BY 1),

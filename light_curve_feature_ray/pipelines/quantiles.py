@@ -1077,10 +1077,12 @@ def grouped_approx_quantiles(
         columns={"min(lo)": "lo", "max(hi)": "hi", "sum(n)": "n"}
     )
     stats["w"] = (stats["hi"].to_numpy() - stats["lo"].to_numpy()) / bins
+    # ONE broadcast serves both the bin pass (lo/w) and the finish (+n)
     stats_ref = ray.put(
         {
             "lo": dict(zip(stats[group_col], stats["lo"])),
             "w": dict(zip(stats[group_col], stats["w"])),
+            "n": dict(zip(stats[group_col], stats["n"])),
         }
     )
 
@@ -1117,17 +1119,10 @@ def grouped_approx_quantiles(
         .sum("cnt")
     )
 
-    stats_full_ref = ray.put(
-        {
-            "lo": dict(zip(stats[group_col], stats["lo"])),
-            "w": dict(zip(stats[group_col], stats["w"])),
-            "n": dict(zip(stats[group_col], stats["n"])),
-        }
-    )
     qs_arr = np.array(qs)
 
     def finish(part: pd.DataFrame) -> pd.DataFrame:
-        st = ray.get(stats_full_ref)
+        st = ray.get(stats_ref)
         g = part[group_col].to_numpy()
         j = part["j"].to_numpy(dtype=np.int64)
         c = part["sum(cnt)"].to_numpy(dtype=np.int64)

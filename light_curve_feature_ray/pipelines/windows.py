@@ -1382,16 +1382,41 @@ def resample_time_grid(
             0, np.cumsum(m)[:-1]
         ][pg]
         gt = first[pg] + within * step_us
-        # disjoint per-key composite bands for the one-shot searchsorted
+        # disjoint per-key composite bands for the one-shot searchsorted.
+        # The band offsets are a cumsum of per-key microsecond SPANS and
+        # can overflow int64 for many wide keys in one partition (the
+        # overflow breaks the monotonicity searchsorted requires), so
+        # keys chunk wherever the running span total approaches 2^62 —
+        # a loop over CHUNKS (almost always one), never over keys.
         span = last - first + 1
-        off = np.r_[0, np.cumsum(span)[:-1]]
+        cum_span = np.cumsum(span.astype(np.float64))
+        chunk_of_key = (cum_span // float(2**62)).astype(np.int64)
         seg_of_event = np.cumsum(new_key) - 1
-        comp_ev = (t - first[seg_of_event]) + off[seg_of_event]
-        comp_g = (gt - first[pg]) + off[pg]
-        prev = np.searchsorted(comp_ev, comp_g, side="right") - 1
-        nxt = np.searchsorted(comp_ev, comp_g, side="left")
-        pv, pt = v[prev], t[prev]
-        nv, nt = v[nxt], t[nxt]
+        grid_end = np.cumsum(m)
+        ev_end = np.r_[starts[1:], n]
+        pv = np.empty(total, np.float64)
+        pt = np.empty(total, np.int64)
+        nv = np.empty(total, np.float64)
+        nt = np.empty(total, np.int64)
+        for ck in range(int(chunk_of_key[-1]) + 1 if nk else 0):
+            kmask = chunk_of_key == ck
+            if not kmask.any():
+                continue
+            k0 = int(np.flatnonzero(kmask)[0])
+            k1 = int(np.flatnonzero(kmask)[-1]) + 1
+            e0 = int(starts[k0])
+            e1 = int(ev_end[k1 - 1])
+            g0 = int(grid_end[k0 - 1]) if k0 else 0
+            g1 = int(grid_end[k1 - 1])
+            off = np.r_[0, np.cumsum(span[k0:k1])[:-1]]
+            comp_ev = (t[e0:e1] - first[seg_of_event[e0:e1]]) + off[
+                seg_of_event[e0:e1] - k0
+            ]
+            comp_g = (gt[g0:g1] - first[pg[g0:g1]]) + off[pg[g0:g1] - k0]
+            prev = e0 + np.searchsorted(comp_ev, comp_g, side="right") - 1
+            nxt = e0 + np.searchsorted(comp_ev, comp_g, side="left")
+            pv[g0:g1], pt[g0:g1] = v[prev], t[prev]
+            nv[g0:g1], nt[g0:g1] = v[nxt], t[nxt]
         dd = nt - pt
         same = dd == 0
         with np.errstate(invalid="ignore", divide="ignore"):

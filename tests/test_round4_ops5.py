@@ -1044,3 +1044,50 @@ def test_resample_points_bound(ray_session):
         resample_time_grid(
             rd.from_pandas(df), step_s=1, max_points_per_key=1000
         ).to_pandas()
+
+
+def test_resample_wide_span_chunked_bands(ray_session):
+    """Many maximal-span keys in ONE partition force the composite-band
+    cumsum past 2^62 — the chunked searchsorted path must agree with a
+    per-key brute force (the unchunked form would overflow int64)."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import resample_time_grid
+
+    nk = 40
+    lo = np.datetime64("1970-01-03", "us").astype("int64")
+    hi = np.datetime64("9999-01-01", "us").astype("int64")
+    ts = np.empty(2 * nk, dtype=np.int64)
+    ts[0::2] = lo + np.arange(nk)  # distinct firsts
+    ts[1::2] = hi
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(2 * nk, dtype=np.int64),
+            "user_id": np.repeat(np.arange(nk, dtype=np.int64), 2),
+            "value": np.tile([0.0, 100.0], nk),
+            "ts": ts.view("datetime64[us]"),
+        }
+    )
+    assert float(hi - lo) * nk > 2.0**63  # the int64-overflow regime
+    step_s = (hi - lo) // 3 // 1_000_000
+    got = (
+        resample_time_grid(
+            rd.from_pandas(df),
+            step_s=int(step_s),
+            num_partitions=1,
+            max_points_per_key=10,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "grid_ts"])
+        .reset_index(drop=True)
+    )
+    step_us = int(step_s) * 1_000_000
+    for k in range(nk):
+        sub = got[got.user_id == k]
+        t0 = lo + k
+        m = (hi - t0) // step_us + 1
+        assert len(sub) == m, k
+        g = sub["grid_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        assert (g == t0 + np.arange(m) * step_us).all()
+        want = (g - t0) / float(hi - t0) * 100.0
+        np.testing.assert_allclose(sub["value"].to_numpy(), want, rtol=1e-12)
