@@ -1858,6 +1858,61 @@ FROM ranked WHERE rk <= 3
 """
 
 
+BM25_QUERY = "table scan merge"
+BM25_TOP_N = 20
+
+
+def q_doc_bm25_search(sf_dir: str):
+    """BM25 retrieval against a fixed query string (pipelines/text.py
+    bm25_search): one df+token-total corpus pass whose broadcast
+    carries only the query terms' idf, per-block scoring, exact
+    associative global top-n — the text-retrieval complement of the
+    vector knn family."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import bm25_search
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _finalize(
+        bm25_search(
+            docs, BM25_QUERY, top_n=BM25_TOP_N, k1=BM25_K1, b=BM25_B
+        ),
+        skip=("rank", "doc_id"),
+    )
+
+
+# shares the toks/tf/dl/df/n/ad CTE prefix with the per-doc BM25 twin
+# (derived textually — lockstep rule), then sums over the query terms
+_BM25_QT = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY.split())))
+SQL_DOC_BM25_SEARCH = (
+    SQL_DOC_BM25.rsplit("scored AS (", 1)[0]
+    + f"""qt(term) AS (VALUES {_BM25_QT}),
+scored AS (
+    SELECT tf.doc_id,
+           sum(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * (dl.dl / ad.avgdl))))
+               AS score
+    FROM tf
+    JOIN qt USING (term)
+    JOIN df USING (term)
+    JOIN dl USING (doc_id), n, ad
+    GROUP BY tf.doc_id
+),
+ranked AS (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM scored
+)
+SELECT rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {BM25_TOP_N}
+"""
+)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (pipelines/text.py
     repetition_stats): top-token / top-bigram fraction and duplicate-
@@ -5734,6 +5789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_diff": q_doc_diff,
         "events_grouped_approx": q_events_grouped_approx,
         "events_resample": q_events_resample,
+        "doc_bm25_search": q_doc_bm25_search,
         # -- green in r01-r03 driver files ---------------------------------
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -5874,6 +5930,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_diff": SQL_DOC_DIFF,
         "events_grouped_approx": SQL_EVENTS_GROUPED_APPROX,
         "events_resample": SQL_EVENTS_RESAMPLE,
+        "doc_bm25_search": SQL_DOC_BM25_SEARCH,
         "doc_weighted_sample": _sql_doc_weighted_sample(),
         "doc_quota_sample": _sql_doc_quota_sample(),
         "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,

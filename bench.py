@@ -252,6 +252,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         bm25_top_terms(docs, k=3).count()
         timings["doc_bm25"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.text import bm25_search
+
+        t0 = time.perf_counter()
+        bm25_search(docs, "table scan merge", top_n=20).count()
+        timings["doc_bm25_search"] = round(time.perf_counter() - t0, 3)
+
         from light_curve_feature_ray.pipelines.text import (
             lm_score,
             repetition_stats,

@@ -138,6 +138,7 @@ from .pipelines.sampling import (  # noqa: F401
 
 # --- text analysis + dedup family ---------------------------------------
 from .pipelines.text import (  # noqa: F401
+    bm25_search,
     bm25_top_terms,
     boilerplate_score,
     chunk_text,

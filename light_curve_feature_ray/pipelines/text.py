@@ -657,6 +657,139 @@ def bm25_top_terms(
     return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+def bm25_search(
+    docs_ds,
+    query: str,
+    *,
+    top_n: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_vocab_broadcast: int = 5_000_000,
+):
+    """Rank documents against a QUERY string with Okapi BM25 — the
+    text-retrieval complement of the vector knn family: per document,
+    ``score = sum over query terms of idf(t) * (tf * (k1+1)) /
+    (tf + k1 * (1 - b + b * (dl / avgdl)))`` with the exact
+    :func:`bm25_top_terms` idf / length-normalization expressions
+    (replayed literally by the twin — change both or none; duplicate
+    query terms count once). Returns the global top ``top_n`` scored
+    documents as (rank, doc_id, score), ties (score DESC, doc_id ASC).
+
+    Scale shape: the same ONE df+token-total corpus pass as
+    :func:`bm25_top_terms` (sentinel-row combiner), but the broadcast
+    carries ONLY the query terms' idf (O(|query|), not O(vocab));
+    per-block scoring emits one row per matching document, and the
+    exact global top-n reduces associatively (block top-n partials,
+    single-block finish — the quota/weighted-sample rule)."""
+    import polars as pl
+    import ray
+
+    q_terms = sorted(
+        {t.lower() for t in _TOKEN_RE.findall(query.lower())}
+    )
+    if not q_terms:
+        raise ValueError("query has no tokens")
+    n_docs = docs_ds.count()
+
+    def _doc_terms(batch: pa.Table) -> "pl.DataFrame":
+        s = pl.from_arrow(batch["text"]).fill_null("").alias("text")
+        ids = pl.from_arrow(batch["doc_id"]).alias("doc_id")
+        return (
+            pl.DataFrame([ids, s])
+            .with_columns(
+                pl.col("text")
+                .str.to_lowercase()
+                .str.extract_all(_TOKEN_RE_POLARS)
+                .alias("term")
+            )
+            .drop("text")
+            .explode("term")
+            .drop_nulls("term")
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = _doc_terms(batch)
+        vc = (
+            t.unique()
+            .filter(pl.col("term").is_in(q_terms))
+            .group_by("term")
+            .len()
+        )
+        return pa.table(
+            {
+                "term": pa.concat_arrays(
+                    [
+                        vc["term"].to_arrow().cast(pa.string()),
+                        pa.array([""], type=pa.string()),
+                    ]
+                ),
+                "df": pa.array(
+                    np.r_[vc["len"].to_numpy().astype(np.int64), len(t)]
+                ),
+            }
+        )
+
+    df_tbl = (
+        docs_ds.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("df")
+    )
+    vocab = pa.concat_tables(
+        ray.get(df_tbl.to_arrow_refs()), promote_options="default"
+    )
+    if vocab.num_rows > max_vocab_broadcast:
+        raise ValueError("query df table exceeded max_vocab_broadcast")
+    terms = vocab["term"].to_pandas()
+    dfs = vocab["sum(df)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sentinel = (terms == "").to_numpy()
+    total_tokens = float(dfs[sentinel].sum())
+    avgdl = total_tokens / float(n_docs)
+    keep = ~sentinel
+    idf = np.log(
+        (float(n_docs) - dfs[keep] + 0.5) / (dfs[keep] + 0.5) + 1.0
+    )
+    voc_ref = ray.put(pl.DataFrame({"term": terms[keep], "idf": idf}))
+
+    def block_topn(batch: pa.Table) -> pd.DataFrame:
+        voc = ray.get(voc_ref)
+        tf = _doc_terms(batch).group_by(["doc_id", "term"]).len()
+        dl = tf.group_by("doc_id").agg(pl.col("len").sum().alias("dl"))
+        tfd = pl.col("len").cast(pl.Float64)
+        dld = pl.col("dl").cast(pl.Float64)
+        scored = (
+            tf.join(voc, on="term", how="inner")
+            .join(dl, on="doc_id", how="inner")
+            .with_columns(
+                (
+                    (pl.col("idf") * (tfd * (k1 + 1)))
+                    / (tfd + k1 * (1 - b + b * (dld / avgdl)))
+                ).alias("s")
+            )
+            .group_by("doc_id")
+            .agg(pl.col("s").sum().alias("score"))
+        )
+        out = scored.to_pandas()
+        # block-local top-n partial: exact because top-n is associative
+        out = out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(top_n)
+        return out
+
+    def final_topn(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(top_n)
+        part = part.reset_index(drop=True)
+        part.insert(0, "rank", np.arange(1, len(part) + 1, dtype=np.int64))
+        return part[["rank", "doc_id", "score"]]
+
+    return (
+        docs_ds.map_batches(block_topn, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final_topn, batch_format="pandas", batch_size=None)
+    )
+
+
 def pmi_bigrams(
     docs_ds,
     *,

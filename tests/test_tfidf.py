@@ -155,3 +155,58 @@ def test_bm25_idf_positive_and_vocab_bound(ray_session):
         bm25_top_terms(
             rd.from_pandas(df), k=2, max_vocab_broadcast=1
         ).to_pandas()
+
+
+def _naive_bm25_search(texts, q_terms, n_top, k1=1.2, b=0.75):
+    toks = [_PAT.findall((t or "").lower()) for t in texts]
+    df = Counter()
+    for ts in toks:
+        df.update(set(ts))
+    n = float(len(texts))
+    avgdl = sum(len(ts) for ts in toks) / n
+    rows = []
+    for i, ts in enumerate(toks):
+        tf = Counter(ts)
+        dl = float(len(ts))
+        s = sum(
+            np.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            * (tf[t] * (k1 + 1))
+            / (tf[t] + k1 * (1 - b + b * (dl / avgdl)))
+            for t in q_terms
+            if tf[t]
+        )
+        if s > 0:
+            rows.append((i, s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:n_top]
+
+
+def test_bm25_search_matches_naive_and_block_invariant(ray_session):
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import bm25_search
+
+    rng = np.random.default_rng(71)
+    vocab = ["table", "scan", "merge", "row", "key", "agg", "hash",
+             "part", "fast", "slow"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+        for _ in range(40)
+    ] + ["", None]
+    exp = _naive_bm25_search(texts, ["merge", "scan", "table"], 7)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    for p in (1, 9):
+        got = bm25_search(
+            rd.from_pandas(df).repartition(p),
+            "table scan merge table",  # duplicate query terms count once
+            top_n=7,
+        ).to_pandas()
+        assert got["rank"].tolist() == list(range(1, len(exp) + 1)), p
+        assert got["doc_id"].tolist() == [i for i, _ in exp], p
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), [s for _, s in exp], rtol=1e-12
+        )
+    with pytest.raises(ValueError, match="tokens"):
+        bm25_search(rd.from_pandas(df), "   ")
