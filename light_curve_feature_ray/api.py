@@ -27,7 +27,11 @@ from .pipelines.rollup import (  # noqa: F401
 )
 from .pipelines.update import rollup_update, update_rollup_job  # noqa: F401
 from .pipelines.turns import clean_turns  # noqa: F401
-from .state.checkpoint import run_rollup_job  # noqa: F401
+from .state.checkpoint import (  # noqa: F401
+    read_dataset_partitioned,
+    run_rollup_job,
+    write_dataset_partitioned,
+)
 from .stages.rollup import (  # noqa: F401
     RollupConfig,
     RollupWorker,

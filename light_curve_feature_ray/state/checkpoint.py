@@ -220,4 +220,126 @@ def read_rollup_output(out_dir: str):
         os.path.join(out_dir, f"part={p}", "data.parquet")
         for p in sorted(completed_partitions(out_dir))
     ]
-    return rd.read_parquet(paths)
+    ds = rd.read_parquet(paths)
+    # the hive-style part=<p> directory names make the reader infer a
+    # "part" column that isn't in the written files -- drop it
+    if "part" in ds.schema().names:
+        ds = ds.drop_columns(["part"])
+    return ds
+
+
+def write_dataset_partitioned(
+    ds,
+    out_dir: str,
+    *,
+    key_col: str,
+    num_partitions: int = 64,
+    lineage: dict | None = None,
+):
+    """Generic resumable partitioned-parquet sink for ANY Dataset — the
+    rollup job's checkpoint contract (one ``part=<p>/`` directory per
+    hash partition, atomic data.parquet + ``_manifest.json`` written
+    LAST, so a partition is complete iff its manifest exists) applied
+    to arbitrary pipelines: dedup decision tables, curation outputs,
+    resampled series. On rerun over the same ``out_dir``, completed
+    partitions are SKIPPED — their bytes are never rewritten — and only
+    the missing ones recompute, which is what makes a 100-TB write
+    restartable after a mid-job failure. Partition assignment hashes
+    ``key_col`` with the engine's fixed deterministic hash, so the
+    row→partition map is identical across retries and cluster sizes
+    (same rule as the rollup; ``num_partitions`` is part of the output
+    identity and is recorded in every manifest).
+
+    Returns a summary dict: partitions written / skipped, rows, bytes.
+
+    Scale shape: ONE key-hash exchange; each reduce task writes its own
+    partition directory and emits a one-row manifest summary — no
+    driver bottleneck, no single giant file.
+    """
+    import numpy as np
+
+    from ..stages.rollup import hash_strings
+
+    done = completed_partitions(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    base_lineage = dict(lineage or {})
+    base_lineage.setdefault("key_col", key_col)
+    base_lineage.setdefault("num_partitions", num_partitions)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        key = batch[key_col]
+        if not pa.types.is_string(key.type):
+            key = pc.cast(key, pa.string())
+        part = (
+            hash_strings(key) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return batch.append_column(
+            "part", pa.array(part, type=pa.int32())
+        )
+
+    def write_part(grp: pa.Table) -> pa.Table:
+        part = int(grp["part"][0].as_py())
+        grp = grp.drop_columns(["part"])
+        if part in done:
+            return pa.table(
+                {
+                    "partition": pa.array([part], type=pa.int32()),
+                    "rows": pa.array([0], type=pa.int64()),
+                    "skipped": pa.array([True]),
+                }
+            )
+        part_dir = os.path.join(out_dir, f"part={part}")
+        os.makedirs(part_dir, exist_ok=True)
+        tmp = os.path.join(part_dir, ".data.parquet.tmp")
+        pq.write_table(grp, tmp)
+        final = os.path.join(part_dir, "data.parquet")
+        os.replace(tmp, final)
+        manifest = {
+            "partition": part,
+            "rows": grp.num_rows,
+            "bytes": os.path.getsize(final),
+            "written_at": time.time(),
+            "lineage": base_lineage,
+        }
+        tmp_m = _manifest_path(out_dir, part) + ".tmp"
+        with open(tmp_m, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_m, _manifest_path(out_dir, part))
+        return pa.table(
+            {
+                "partition": pa.array([part], type=pa.int32()),
+                "rows": pa.array([grp.num_rows], type=pa.int64()),
+                "skipped": pa.array([False]),
+            }
+        )
+
+    results = (
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(write_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "out_dir": out_dir,
+        "partitions_written": int((~results["skipped"]).sum()),
+        "partitions_skipped": int(results["skipped"].sum()),
+        "rows_written": int(results["rows"].sum()),
+    }
+
+
+def read_dataset_partitioned(out_dir: str):
+    """Read back a :func:`write_dataset_partitioned` output as one
+    Dataset (only completed partitions — a torn partition without its
+    manifest is invisible, the resume contract)."""
+    import ray.data as rd
+
+    paths = [
+        os.path.join(out_dir, f"part={p}", "data.parquet")
+        for p in sorted(completed_partitions(out_dir))
+    ]
+    ds = rd.read_parquet(paths)
+    # the hive-style part=<p> directory names make the reader infer a
+    # "part" column that isn't in the written files -- drop it
+    if "part" in ds.schema().names:
+        ds = ds.drop_columns(["part"])
+    return ds

@@ -1091,3 +1091,63 @@ def test_resample_wide_span_chunked_bands(ray_session):
         assert (g == t0 + np.arange(m) * step_us).all()
         want = (g - t0) / float(hi - t0) * 100.0
         np.testing.assert_allclose(sub["value"].to_numpy(), want, rtol=1e-12)
+
+
+def test_write_dataset_partitioned_resume(ray_session, tmp_path):
+    import os
+    import ray.data as rd
+
+    from light_curve_feature_ray.state.checkpoint import (
+        completed_partitions,
+        read_dataset_partitioned,
+        write_dataset_partitioned,
+    )
+
+    out = str(tmp_path / "sink")
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            "v": np.arange(500, dtype=np.float64) * 0.5,
+        }
+    )
+    r1 = write_dataset_partitioned(
+        rd.from_pandas(df).repartition(4), out,
+        key_col="doc_id", num_partitions=8,
+    )
+    assert r1["partitions_written"] == 8 and r1["partitions_skipped"] == 0
+    assert r1["rows_written"] == 500
+    back = (
+        read_dataset_partitioned(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, df)
+    # simulate a torn run: remove two partitions' manifests + data
+    import shutil
+
+    for p in (1, 5):
+        shutil.rmtree(os.path.join(out, f"part={p}"))
+    assert len(completed_partitions(out)) == 6
+    # record the surviving partitions' mtimes — a resume must not touch
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out, f"part={p}", "data.parquet"))
+        for p in completed_partitions(out)
+    }
+    r2 = write_dataset_partitioned(
+        rd.from_pandas(df).repartition(3), out,
+        key_col="doc_id", num_partitions=8,
+    )
+    assert r2["partitions_written"] == 2 and r2["partitions_skipped"] == 6
+    for p, m in mtimes.items():
+        assert (
+            os.path.getmtime(os.path.join(out, f"part={p}", "data.parquet"))
+            == m
+        ), p
+    back2 = (
+        read_dataset_partitioned(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back2, df)
