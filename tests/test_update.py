@@ -197,8 +197,8 @@ def test_update_rollup_job(ray_session, tmp_path):
         after = open(f"{out_dir}/part={p}/data.parquet", "rb").read()
         assert after == before[p], f"partition {p} should be byte-untouched"
 
-    # read_rollup_output carries a hive-inferred `part` path column
-    updated = read_rollup_output(out_dir).to_pandas().drop(columns=["part"])
+    # read_rollup_output drops the hive-inferred `part` path column itself
+    updated = read_rollup_output(out_dir).to_pandas()
     full = rollup_dataset(rd.from_arrow(tbl).repartition(4), cfg).to_pandas()
     _assert_same(full, updated)
 
@@ -208,7 +208,7 @@ def test_update_rollup_job(ray_session, tmp_path):
     assert sorted(res2["partitions_skipped_applied"]) == sorted(
         res["partitions_rewritten"]
     )
-    again = read_rollup_output(out_dir).to_pandas().drop(columns=["part"])
+    again = read_rollup_output(out_dir).to_pandas()
     _assert_same(full, again)
 
 
