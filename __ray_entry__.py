@@ -5677,6 +5677,100 @@ SQL_MULTIMODAL_DECODE = (
 )
 
 
+def q_events_welch_ab(sf_dir: str):
+    """Per-type Welch two-sample t-test between Lehmer-parity A/B arms
+    (pipelines/aggregates.py welch_t_ab): block-local per-(key, arm)
+    shifted partial sums, one key-cardinality groupby-sum, single-block
+    closed-form finish. The t and Welch-Satterthwaite df expressions are
+    replayed literally by the twin from avg()/var_samp()."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import welch_t_ab
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return _finalize(welch_t_ab(ev), skip=("event_type", "n_a", "n_b"))
+
+
+def _build_sql_events_welch_ab() -> str:
+    from light_curve_feature_ray.pipelines.sampling import lehmer_sql
+
+    return f"""
+WITH s AS (
+    SELECT event_type, value,
+           CASE WHEN ({lehmer_sql("event_id")}) % 2 = 0 THEN 1 ELSE 0 END
+               AS ia
+    FROM events
+    WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(value)
+), g AS (
+    SELECT event_type,
+           count(*) FILTER (WHERE ia = 1) AS n_a,
+           count(*) FILTER (WHERE ia = 0) AS n_b,
+           avg(value) FILTER (WHERE ia = 1) AS m_a,
+           avg(value) FILTER (WHERE ia = 0) AS m_b,
+           var_samp(value) FILTER (WHERE ia = 1) AS v_a,
+           var_samp(value) FILTER (WHERE ia = 0) AS v_b
+    FROM s GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+       round(pow(v_a / n_a + v_b / n_b, 2)
+             / (pow(v_a / n_a, 2) / (n_a - 1)
+                + pow(v_b / n_b, 2) / (n_b - 1)), 6) AS welch_df
+FROM g
+WHERE n_a >= 2 AND n_b >= 2 AND (v_a / n_a + v_b / n_b) > 0
+"""
+
+
+LINE_DEDUP_TOKENS = 10
+LINE_DEDUP_MIN_DOCS = 2
+
+
+def q_doc_line_dedup(sf_dir: str):
+    """RefinedWeb-style corpus line dedup (pipelines/text.py
+    line_dedup): lines whose corpus document frequency >= min_docs are
+    removed from every document; docs reassembled from surviving lines.
+    Pseudo-lines of LINE_DEDUP_TOKENS tokens (the synthetic corpus has
+    no newlines); df pass is block-local DISTINCT (doc, line) partials
+    + one groupby-sum, common lines broadcast once."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import line_dedup
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return line_dedup(
+        docs, line_tokens=LINE_DEDUP_TOKENS, min_docs=LINE_DEDUP_MIN_DOCS
+    )
+
+
+SQL_DOC_LINE_DEDUP = f"""
+WITH w AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+    FROM documents WHERE text IS NOT NULL
+), l AS (
+    SELECT doc_id, (i - 1) // {LINE_DEDUP_TOKENS} AS ln,
+           string_agg(tok, ' ' ORDER BY i) AS line
+    FROM w GROUP BY doc_id, (i - 1) // {LINE_DEDUP_TOKENS}
+), f AS (
+    SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line
+), kept AS (
+    SELECT l.doc_id, l.ln, l.line
+    FROM l JOIN f USING (line) WHERE f.df < {LINE_DEDUP_MIN_DOCS}
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text_clean,
+       count(*) AS n_lines_kept
+FROM kept GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
@@ -5702,7 +5796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in earlier driver rounds AND locally; never-checked coverage wins
     # the window slots. Everything later is green in r01-r03 driver
     # files. Round-5 note: rotate to the FRONT (a) every query in the
-    # "round-5 rotation targets" section below (events_zorder,
+    # "round-5 rotation targets" section below (events_transitions,
+    # doc_char_entropy, events_zorder,
     # events_ks_drift, doc_editdist_dups, events_type_histogram,
     # events_audience_overlap, events_conversion_latency,
     # events_trimmed_mean, events_twa, events_lag_deltas, doc_bm25,
@@ -5710,7 +5805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # events_entropy, doc_containment, + any later additions) and
     # (b) any first-50 entry that missed r04.
     return {
-        # -- newest round-4 operators (4) ----------------------------------
+        # -- newest round-4 operators (6) ----------------------------------
+        "events_welch_ab": q_events_welch_ab,
+        "doc_line_dedup": q_doc_line_dedup,
         "events_coverage": q_events_coverage,
         "events_throttle": q_events_throttle,
         "events_new_users": q_events_new_users,
@@ -5761,15 +5858,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": q_events_percent_rank,
         "events_top_types": q_events_top_types,
         "doc_pmi_bigrams": q_doc_pmi_bigrams,
-        "events_transitions": q_events_transitions,
-        "doc_char_entropy": q_doc_char_entropy,
-        # -- headline / changed-this-round re-checks (47-51) ---------------
+        # -- headline / changed-this-round re-checks (49-53) ---------------
         "events_zscore": q_events_zscore,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash_dups": q_doc_simhash_dups,
         "emb_cosine_dups": q_emb_cosine_dups,
         "rollup_1m_stats": q_rollup_1m_stats,
         # -- added after the r04 window froze: round-5 rotation targets ----
+        "events_transitions": q_events_transitions,
+        "doc_char_entropy": q_doc_char_entropy,
         "events_zorder": q_events_zorder,
         "events_ks_drift": q_events_ks_drift,
         "doc_editdist_dups": q_doc_editdist_dups,
@@ -5911,6 +6008,8 @@ def oracle_sql() -> dict[str, str]:
         "events_throttle": SQL_EVENTS_THROTTLE,
         "events_new_users": SQL_EVENTS_NEW_USERS,
         "events_chi2": SQL_EVENTS_CHI2,
+        "events_welch_ab": _build_sql_events_welch_ab(),
+        "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "events_zorder": _build_sql_events_zorder(),
         "events_ks_drift": _build_sql_events_ks_drift(),
         "doc_editdist_dups": _build_sql_doc_editdist_dups(),

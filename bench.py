@@ -291,6 +291,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         char_entropy(docs).count()
         timings["doc_char_entropy"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.text import line_dedup
+
+        t0 = time.perf_counter()
+        line_dedup(
+            rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+            line_tokens=10,
+            min_docs=2,
+        ).count()
+        timings["doc_line_dedup"] = round(time.perf_counter() - t0, 3)
+
     events_path = f"{sf_dir}/events.parquet"
     if os.path.exists(events_path):
         from light_curve_feature_ray.pipelines.windows import (
@@ -442,6 +452,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             )
         ).count()
         timings["events_ks_drift"] = round(time.perf_counter() - t0, 3)
+
+        from light_curve_feature_ray.pipelines.aggregates import welch_t_ab
+
+        t0 = time.perf_counter()
+        welch_t_ab(
+            rd.read_parquet(
+                events_path, columns=["event_id", "event_type", "value"]
+            )
+        ).count()
+        timings["events_welch_ab"] = round(time.perf_counter() - t0, 3)
 
         from light_curve_feature_ray.pipelines.quantiles import (
             grouped_histogram,

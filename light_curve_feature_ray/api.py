@@ -78,6 +78,7 @@ from .pipelines.aggregates import (  # noqa: F401
     grouping_sets_agg,
     retention_cohorts,
     last_value_per_key,
+    welch_t_ab,
 )
 
 # --- windows -------------------------------------------------------------
@@ -152,6 +153,7 @@ from .pipelines.text import (  # noqa: F401
     fingerprint,
     json_extract_fields,
     lang_id,
+    line_dedup,
     lm_score,
     minhash_lsh_dups,
     char_entropy,

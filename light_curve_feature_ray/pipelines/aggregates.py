@@ -1254,3 +1254,145 @@ def group_entropy(
         .groupby("part")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def welch_t_ab(
+    ds,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    seed: int = 0,
+    value_offset: float | None = None,
+):
+    """Per-key Welch two-sample t-test between Lehmer-parity A/B arms —
+    the experiment-analysis primitive: rows split into arms by
+    ``lehmer_hash(id) % 2`` (the SQL-reproducible family ``hash_sample``
+    / ``ks_drift`` pin), then per key t = (m_a - m_b) /
+    sqrt(v_a/n_a + v_b/n_b) and the Welch–Satterthwaite df — both
+    evaluated in IEEE doubles exactly as the SQL twin spells them from
+    avg()/var_samp().  Returns (key, n_a, n_b, mean_a, mean_b, t_stat,
+    welch_df); keys with n < 2 in either arm, or zero pooled variance,
+    are dropped (mirror with WHERE in the twin).
+
+    Semantics pinned for the twin: rows with NULL key, NULL id or
+    NULL/NaN value drop entirely.  Variances are computed from sums of
+    values shifted by ``value_offset`` (default: the global min — one
+    tiny extra aggregate, the same anchor trick group_linear_trend uses
+    for x): the shift is variance-invariant and keeps the
+    (s2 - s1^2/n) closed form from catastrophically cancelling at
+    mean >> std, where the twin's var_samp is natively stable.  The t
+    numerator is the difference of SHIFTED means (the offset cancels
+    algebraically) — reconstructing each mean first would re-quantize
+    a tiny difference at the offset's ulp.  Parity domain: round-6
+    equality with the twin holds while the twin's own avg() difference
+    is round-6 exact (offset/std ratio up to ~1e6 — past that DuckDB's
+    avg quantization, not this kernel, is the limit).
+
+    Scale shape: the cheapest possible — block-local per-(key, arm)
+    partial sums (n, s1, s2) via one reduceat per arm, ONE
+    key-cardinality groupby-sum, and a single-block vectorized finish
+    (post-aggregate cardinality = distinct keys x 2).  No row
+    co-location, no data shuffle.
+    """
+    from .sampling import lehmer_hash
+
+    if value_offset is None:
+        m = ds.min(value_col)
+        value_offset = float(m) if m is not None and np.isfinite(m) else 0.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[id_col]))
+        )
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = ~np.isnan(v)
+        keys, v, ids = keys[ok], v[ok], ids[ok]
+        vs = v - value_offset
+        ia = lehmer_hash(ids, seed) % 2 == 0
+        parts = []
+        key_field = batch.schema.field(key_col)
+        for arm, mask in ((1, ia), (0, ~ia)):
+            t = _grouped_sums(
+                keys[mask],
+                key_field,
+                {"s1": vs[mask], "s2": vs[mask] * vs[mask]},
+            )
+            parts.append(
+                t.append_column(
+                    "ia", pa.array(np.full(t.num_rows, arm, dtype=np.int32))
+                )
+            )
+        return pa.concat_tables(parts)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby([key_col, "ia"])
+        .sum(["n", "s1", "s2"])
+        .repartition(1)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                key_col: t[key_col].slice(0, 0),
+                "n_a": pa.array(np.empty(0, np.int64)),
+                "n_b": pa.array(np.empty(0, np.int64)),
+                "mean_a": pa.array(np.empty(0, np.float64)),
+                "mean_b": pa.array(np.empty(0, np.float64)),
+                "t_stat": pa.array(np.empty(0, np.float64)),
+                "welch_df": pa.array(np.empty(0, np.float64)),
+            }
+        )
+        if keys.size == 0:
+            return empty
+        ia = t["ia"].to_numpy(zero_copy_only=False) == 1
+        n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t["sum(s1)"].to_numpy(zero_copy_only=False)
+        s2 = t["sum(s2)"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        k = uniq.size
+        na = np.zeros(k)
+        nb = np.zeros(k)
+        sa1 = np.zeros(k)
+        sb1 = np.zeros(k)
+        sa2 = np.zeros(k)
+        sb2 = np.zeros(k)
+        na[inv[ia]], sa1[inv[ia]], sa2[inv[ia]] = n[ia], s1[ia], s2[ia]
+        nb[inv[~ia]], sb1[inv[~ia]], sb2[inv[~ia]] = n[~ia], s1[~ia], s2[~ia]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ma = value_offset + sa1 / na
+            mb = value_offset + sb1 / nb
+            va = (sa2 - sa1 * sa1 / na) / (na - 1.0)
+            vb = (sb2 - sb1 * sb1 / nb) / (nb - 1.0)
+            pooled = va / na + vb / nb
+            # mean difference from the SHIFTED sums (offset cancels
+            # algebraically) — subtracting the two reconstructed means
+            # would re-quantize the tiny difference at the offset's ulp
+            tstat = (sa1 / na - sb1 / nb) / np.sqrt(pooled)
+            df = (pooled * pooled) / (
+                (va / na) ** 2 / (na - 1.0) + (vb / nb) ** 2 / (nb - 1.0)
+            )
+        keep = (na >= 2) & (nb >= 2) & (pooled > 0)
+        if not keep.any():
+            return empty
+        # map each unique key back to its first original row so the
+        # output carries the Arrow-typed key values, not numpy copies
+        first_pos = np.full(k, inv.size, dtype=np.int64)
+        np.minimum.at(first_pos, inv, np.arange(inv.size, dtype=np.int64))
+        return pa.table(
+            {
+                key_col: t[key_col].take(pa.array(first_pos[keep])),
+                "n_a": pa.array(na[keep].astype(np.int64)),
+                "n_b": pa.array(nb[keep].astype(np.int64)),
+                "mean_a": pa.array(ma[keep]),
+                "mean_b": pa.array(mb[keep]),
+                "t_stat": pa.array(tstat[keep]),
+                "welch_df": pa.array(df[keep]),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -2881,3 +2881,146 @@ def char_entropy(docs_ds, *, id_col: str = "doc_id", text_col: str = "text"):
     return docs_ds.map_batches(
         kernel, batch_format="pyarrow", batch_size=None
     )
+
+
+def _lines_long(batch: pa.Table, text_col: str, line_tokens: int | None):
+    """Long frame (i=row index, ln=line ordinal, line=text) of each
+    document's lines: physical ``\\n`` lines by default, or — for
+    corpora without newlines — fixed runs of ``line_tokens``
+    whitespace-separated tokens (the pseudo-line mode whose SQL twin is
+    the zipped unnest + ``(i-1)//k`` regroup).  NULL texts drop."""
+    import polars as pl
+
+    d = pl.DataFrame(
+        {
+            "i": np.arange(batch.num_rows, dtype=np.int64),
+            "t": pl.from_arrow(batch[text_col]).cast(pl.String),
+        }
+    ).filter(pl.col("t").is_not_null())
+    if line_tokens is None:
+        e = d.with_columns(pl.col("t").str.split("\n").alias("line"))
+        e = e.drop("t").explode("line")
+        return e.with_columns(
+            ln=pl.int_range(pl.len(), dtype=pl.Int64).over("i")
+        )
+    e = d.with_columns(pl.col("t").str.split(" ").alias("w"))
+    e = e.drop("t").explode("w")
+    e = e.with_columns(j=pl.int_range(pl.len(), dtype=pl.Int64).over("i"))
+    e = e.with_columns(ln=pl.col("j") // line_tokens)
+    return (
+        e.group_by(["i", "ln"], maintain_order=True)
+        .agg(pl.col("w"))
+        .with_columns(line=pl.col("w").list.join(" "))
+        .drop("w")
+    )
+
+
+def line_dedup(
+    docs_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    line_tokens: int | None = None,
+    max_common_broadcast: int = 20_000_000,
+):
+    """Corpus-level common-line removal — the RefinedWeb/CCNet line
+    dedup step (Penedo et al. 2023 §3.4: drop lines duplicated across
+    many pages; headers, nav bars, licence boilerplate): a line whose
+    corpus document frequency is >= ``min_docs`` is removed from EVERY
+    document; documents are reassembled from their surviving lines in
+    original order.  Output (id, text_clean, n_lines_kept); documents
+    whose every line is common (e.g. exact duplicates of a popular
+    page) drop from the output entirely (GROUP-BY semantics — mirror,
+    don't LEFT JOIN, in SQL twins).
+
+    ``line_tokens`` switches to pseudo-lines of that many
+    whitespace-separated tokens for corpora without newlines (the
+    driver's synthetic documents) — the split, regroup and reassembly
+    are all replayed by the twin's zipped-unnest CTE chain.
+
+    Scale shape (same contract as :func:`boilerplate_score`): the
+    document-frequency pass is block-local DISTINCT (doc, line) — exact
+    because each doc is one row — into per-block partial counts, then
+    ONE line-cardinality groupby-sum; only lines with df >= min_docs
+    are broadcast ONCE via ``ray.put`` (loud ``max_common_broadcast``
+    bound — boilerplate lines are the corpus's heavy tail, orders of
+    magnitude smaller than the line universe); the rewrite pass is one
+    streaming map_batches with a vectorized ``is_in``.  The corpus text
+    itself is never shuffled."""
+    import polars as pl
+
+    import ray
+
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if line_tokens is not None and line_tokens < 1:
+        raise ValueError(f"line_tokens must be >= 1, got {line_tokens}")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        u = _lines_long(batch, text_col, line_tokens).unique(
+            subset=["i", "line"]
+        )
+        c = u.group_by("line").len()
+        return pa.table(
+            {
+                "line": c["line"].to_arrow().cast(pa.string()),
+                "c": pa.array(c["len"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    df_ds = (
+        docs_ds.map_batches(
+            df_partial, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("line")
+        .sum("c")
+    )
+
+    def keep_common(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch["sum(c)"], min_docs)
+        return pa.table({"line": batch.filter(mask)["line"].cast(pa.string())})
+
+    common_tbl = pa.concat_tables(
+        ray.get(
+            df_ds.map_batches(
+                keep_common, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    if common_tbl.num_rows > max_common_broadcast:
+        raise ValueError(
+            f"{common_tbl.num_rows} corpus-common lines > "
+            f"max_common_broadcast={max_common_broadcast}; raise min_docs "
+            "or partition docs by line hash and join instead"
+        )
+    common_ref = ray.put(pl.from_arrow(common_tbl["line"].cast(pa.string())))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        common = ray.get(common_ref)
+        lines = _lines_long(batch, text_col, line_tokens)
+        kept = lines.filter(~pl.col("line").is_in(common))
+        agg = (
+            kept.sort(["i", "ln"])
+            .group_by("i", maintain_order=True)
+            .agg(
+                pl.col("line").alias("ls"),
+                pl.len().alias("n_lines_kept"),
+            )
+            .with_columns(text_clean=pl.col("ls").list.join("\n"))
+        )
+        idx = pa.array(agg["i"].to_numpy())
+        return pa.table(
+            {
+                id_col: batch[id_col].take(idx),
+                "text_clean": agg["text_clean"].to_arrow().cast(pa.string()),
+                "n_lines_kept": pa.array(
+                    agg["n_lines_kept"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(
+        rewrite, batch_format="pyarrow", batch_size=None
+    )

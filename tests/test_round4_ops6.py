@@ -1,0 +1,291 @@
+"""Round-4 batch 6: Welch A/B t-test and corpus line dedup."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from light_curve_feature_ray.pipelines.aggregates import welch_t_ab
+from light_curve_feature_ray.pipelines.sampling import lehmer_sql
+from light_curve_feature_ray.pipelines.text import line_dedup
+
+
+def _welch_sql(where_extra: str = "") -> str:
+    return f"""
+WITH s AS (
+    SELECT key, value,
+           CASE WHEN ({lehmer_sql("id")}) % 2 = 0 THEN 1 ELSE 0 END AS ia
+    FROM t
+    WHERE key IS NOT NULL AND id IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(value) {where_extra}
+), g AS (
+    SELECT key,
+           count(*) FILTER (WHERE ia = 1) AS n_a,
+           count(*) FILTER (WHERE ia = 0) AS n_b,
+           avg(value) FILTER (WHERE ia = 1) AS m_a,
+           avg(value) FILTER (WHERE ia = 0) AS m_b,
+           var_samp(value) FILTER (WHERE ia = 1) AS v_a,
+           var_samp(value) FILTER (WHERE ia = 0) AS v_b
+    FROM s GROUP BY key
+)
+SELECT key, n_a, n_b, m_a AS mean_a, m_b AS mean_b,
+       (m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) AS t_stat,
+       pow(v_a / n_a + v_b / n_b, 2)
+           / (pow(v_a / n_a, 2) / (n_a - 1)
+              + pow(v_b / n_b, 2) / (n_b - 1)) AS welch_df
+FROM g
+WHERE n_a >= 2 AND n_b >= 2 AND (v_a / n_a + v_b / n_b) > 0
+ORDER BY key
+"""
+
+
+def _run_welch(df: pd.DataFrame, **kw) -> pd.DataFrame:
+    ds = rd.from_pandas(df).repartition(5)
+    out = welch_t_ab(
+        ds, key_col="key", value_col="value", id_col="id", **kw
+    ).to_pandas()
+    return out.sort_values("key").reset_index(drop=True)
+
+
+def _ref_welch(df: pd.DataFrame, where_extra: str = "") -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    return con.execute(_welch_sql(where_extra)).df()
+
+
+def _assert_welch_match(out: pd.DataFrame, ref: pd.DataFrame):
+    assert len(out) == len(ref)
+    assert list(out["key"]) == list(ref["key"])
+    for c in ("n_a", "n_b"):
+        np.testing.assert_array_equal(out[c].to_numpy(), ref[c].to_numpy())
+    for c in ("mean_a", "mean_b", "t_stat", "welch_df"):
+        np.testing.assert_allclose(
+            np.round(out[c].to_numpy(), 6),
+            np.round(ref[c].to_numpy(), 6),
+            atol=1.5e-6,
+            rtol=0,
+            err_msg=c,
+        )
+
+
+def test_welch_large_offset_no_cancellation(ray_session):
+    # the rolling_zscore lesson: a large common offset must NOT cancel.
+    # At offset 1e6 / std 1 the NAIVE (s2 - s1^2/n) form loses ~4
+    # digits (mean^2/var = 1e12); the min-shift keeps round-6 parity
+    # with var_samp.  (1e8 / std 1e-3 is out of reach for ANY kernel:
+    # there the twin's own avg() difference is quantized past round-6.)
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "key": np.repeat(["a", "b"], n // 2),
+            "value": 1e6 + rng.normal(0.0, 1.0, n),
+        }
+    )
+    out = _run_welch(df)
+    ref = _ref_welch(df)
+    _assert_welch_match(out, ref)
+    # sanity: the t statistic is O(1), not collapsed to ~0
+    assert np.all(np.abs(ref["t_stat"]) < 10)
+    assert np.all(ref["welch_df"] > 100)
+
+
+def test_welch_null_parity_and_one_armed_keys(ray_session):
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "id": pd.array(np.arange(n, dtype=np.int64), dtype="Int64"),
+            "key": rng.choice(["x", "y", "z"], n),
+            "value": rng.normal(50.0, 30.0, n),
+        }
+    )
+    df.loc[5, "key"] = None
+    df.loc[7, "id"] = pd.NA
+    df.loc[9, "value"] = np.nan
+    df.loc[11, "value"] = None
+    # a key with rows in only one arm must be absent: give "solo" two
+    # rows whose lehmer parity is even (arm a) -- ids found by search
+    from light_curve_feature_ray.pipelines.sampling import lehmer_hash
+
+    ids = np.arange(100000, 100600, dtype=np.int64)
+    even = ids[lehmer_hash(ids) % 2 == 0][:3]
+    solo = pd.DataFrame(
+        {
+            "id": pd.array(even, dtype="Int64"),
+            "key": "solo",
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    df = pd.concat([df, solo], ignore_index=True)
+    out = _run_welch(df)
+    ref = _ref_welch(df)
+    assert "solo" not in set(out["key"])
+    _assert_welch_match(out, ref)
+
+
+def test_welch_parallelism_invariance(ray_session):
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "key": rng.choice(list("abcdef"), n),
+            "value": rng.normal(0.0, 30.0, n),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        o = (
+            welch_t_ab(ds, key_col="key", value_col="value", id_col="id")
+            .to_pandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    a, b = outs
+    np.testing.assert_array_equal(a["key"], b["key"])
+    for c in ("n_a", "n_b"):
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy())
+    for c in ("mean_a", "mean_b", "t_stat", "welch_df"):
+        np.testing.assert_allclose(
+            np.round(a[c].to_numpy(), 6),
+            np.round(b[c].to_numpy(), 6),
+            atol=1e-6,
+            rtol=0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+# ---------------------------------------------------------------------------
+
+
+HEADER = "site nav about contact"
+FOOTER = "copyright 2026 all rights reserved"
+
+
+def _docs() -> pd.DataFrame:
+    rows = []
+    for i in range(8):
+        body = f"unique body text for document {i} with extra words {i * 7}"
+        rows.append((i, f"{HEADER}\n{body}\n{FOOTER}"))
+    rows.append((100, f"{HEADER}\n{FOOTER}"))  # all lines common -> dropped
+    rows.append((101, "a single unshared line"))
+    rows.append((102, None))  # null text -> absent
+    rows.append((103, f"first unique line\n\nlast unique line"))  # empty line
+    rows.append((104, f"another one\n\nmore text here"))  # shares only ""
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_line_dedup_newline_mode_planted(ray_session):
+    df = _docs()
+    out = (
+        line_dedup(rd.from_pandas(df).repartition(4), min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    ref = con.execute(
+        """
+WITH l AS (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS line,
+           unnest(generate_series(1, len(string_split(text, chr(10)))))
+               AS ln
+    FROM documents WHERE text IS NOT NULL
+), f AS (
+    SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line
+), kept AS (
+    SELECT l.doc_id, l.ln, l.line
+    FROM l JOIN f USING (line) WHERE f.df < 2
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text_clean,
+       count(*) AS n_lines_kept
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+    ).df()
+    assert list(out["doc_id"]) == list(ref["doc_id"])
+    assert list(out["text_clean"]) == list(ref["text_clean"])
+    np.testing.assert_array_equal(
+        out["n_lines_kept"].to_numpy(), ref["n_lines_kept"].to_numpy()
+    )
+    # semantics spot-checks
+    ids = set(out["doc_id"])
+    assert 100 not in ids  # every line common
+    assert 102 not in ids  # null text
+    assert 101 in ids and out.set_index("doc_id").loc[101, "text_clean"] == (
+        "a single unshared line"
+    )
+    body0 = out.set_index("doc_id").loc[0, "text_clean"]
+    assert HEADER not in body0 and FOOTER not in body0
+    # the empty line is shared by docs 103/104 -> removed from both
+    assert out.set_index("doc_id").loc[103, "text_clean"] == (
+        "first unique line\nlast unique line"
+    )
+
+
+def test_line_dedup_parallelism_invariance_and_min_docs(ray_session):
+    df = _docs().dropna(subset=["text"])
+    outs = []
+    for parts in (1, 6):
+        o = (
+            line_dedup(rd.from_pandas(df).repartition(parts), min_docs=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # min_docs=3: header/footer still common (8 docs), the "" line only
+    # appears in 2 docs -> kept now
+    got = outs[0].set_index("doc_id")
+    assert got.loc[103, "text_clean"] == "first unique line\n\nlast unique line"
+
+
+def test_line_dedup_rejects_bad_params(ray_session):
+    df = _docs()
+    with pytest.raises(ValueError):
+        line_dedup(rd.from_pandas(df), min_docs=0)
+    with pytest.raises(ValueError):
+        line_dedup(rd.from_pandas(df), line_tokens=0)
+
+
+def test_line_dedup_pseudo_line_token_mode(ray_session):
+    # 10-token pseudo-lines: two docs share their first 10 tokens
+    shared = " ".join(f"tok{i}" for i in range(10))
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                shared + " tail one extra words here now alpha beta gamma",
+                shared + " different tail entirely with other words x y",
+                "completely unrelated words " + " ".join("w%d" % i for i in range(9)),
+            ],
+        }
+    )
+    out = (
+        line_dedup(
+            rd.from_pandas(df).repartition(2), line_tokens=10, min_docs=2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = out.set_index("doc_id")
+    assert shared not in got.loc[1, "text_clean"]
+    assert shared not in got.loc[2, "text_clean"]
+    # doc 3 (12 tokens) re-chunks into a 10-token line + a 2-token
+    # tail; neither is shared, so both survive, newline-joined
+    t3 = df.set_index("doc_id").loc[3, "text"].split(" ")
+    assert got.loc[3, "text_clean"] == (
+        " ".join(t3[:10]) + "\n" + " ".join(t3[10:])
+    )
+    assert got.loc[3, "n_lines_kept"] == 2
