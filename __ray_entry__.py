@@ -5726,6 +5726,76 @@ WHERE n_a >= 2 AND n_b >= 2 AND (v_a / n_a + v_b / n_b) > 0
 """
 
 
+def q_events_rolling_median(sf_dir: str):
+    """Per-user rolling 5-row median (pipelines/windows.py
+    rolling_median): the order-statistic ROWS window the prefix-sum
+    rolling_agg can't express — one key shuffle, one nanmedian over a
+    masked sliding_window_view per partition. Even windows average the
+    two middles (quantile_cont 0.5, the DuckDB median convention) —
+    bit-identical, not just round-6."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import rolling_median
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return _finalize(
+        rolling_median(ev, k=5),
+        skip=("event_id", "user_id", "t_us", "rolling_n"),
+    )
+
+
+SQL_EVENTS_ROLLING_MEDIAN = """
+SELECT event_id, user_id, epoch_us(ts) AS t_us,
+       count(value) OVER w AS rolling_n,
+       round(median(value) OVER w, 6) AS rolling_median
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+PATHS_N = 3
+PATHS_TOP = 40
+
+
+def q_events_paths(sf_dir: str):
+    """Top user-journey trigrams (pipelines/windows.py
+    event_path_ngrams): one key shuffle, shifted same-key mask emits
+    path-count partials, global path groupby-sum, associative
+    block-then-final top-k under the deterministic (cnt DESC, path ASC)
+    total order."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import event_path_ngrams
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return event_path_ngrams(ev, n=PATHS_N, top=PATHS_TOP)
+
+
+SQL_EVENTS_PATHS = f"""
+WITH e AS (
+    SELECT user_id, ts, event_id, event_type FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IS NOT NULL
+), w AS (
+    SELECT event_type AS a,
+           lead(event_type, 1) OVER win AS b,
+           lead(event_type, 2) OVER win AS c
+    FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+    SELECT a || '>' || b || '>' || c AS path, count(*) AS cnt
+    FROM w WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1
+)
+SELECT path, cnt FROM g ORDER BY cnt DESC, path ASC LIMIT {PATHS_TOP}
+"""
+
+
 LINE_DEDUP_TOKENS = 10
 LINE_DEDUP_MIN_DOCS = 2
 
@@ -5796,7 +5866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in earlier driver rounds AND locally; never-checked coverage wins
     # the window slots. Everything later is green in r01-r03 driver
     # files. Round-5 note: rotate to the FRONT (a) every query in the
-    # "round-5 rotation targets" section below (events_transitions,
+    # "round-5 rotation targets" section below (events_top_types,
+    # doc_pmi_bigrams, events_transitions,
     # doc_char_entropy, events_zorder,
     # events_ks_drift, doc_editdist_dups, events_type_histogram,
     # events_audience_overlap, events_conversion_latency,
@@ -5805,9 +5876,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # events_entropy, doc_containment, + any later additions) and
     # (b) any first-50 entry that missed r04.
     return {
-        # -- newest round-4 operators (6) ----------------------------------
+        # -- newest round-4 operators (8) ----------------------------------
         "events_welch_ab": q_events_welch_ab,
         "doc_line_dedup": q_doc_line_dedup,
+        "events_rolling_median": q_events_rolling_median,
+        "events_paths": q_events_paths,
         "events_coverage": q_events_coverage,
         "events_throttle": q_events_throttle,
         "events_new_users": q_events_new_users,
@@ -5856,15 +5929,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quota_sample": q_doc_quota_sample,
         "events_retention": q_events_retention,
         "events_percent_rank": q_events_percent_rank,
-        "events_top_types": q_events_top_types,
-        "doc_pmi_bigrams": q_doc_pmi_bigrams,
-        # -- headline / changed-this-round re-checks (49-53) ---------------
+        # -- headline / changed-this-round re-checks (51-55) ---------------
         "events_zscore": q_events_zscore,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash_dups": q_doc_simhash_dups,
         "emb_cosine_dups": q_emb_cosine_dups,
         "rollup_1m_stats": q_rollup_1m_stats,
         # -- added after the r04 window froze: round-5 rotation targets ----
+        "events_top_types": q_events_top_types,
+        "doc_pmi_bigrams": q_doc_pmi_bigrams,
         "events_transitions": q_events_transitions,
         "doc_char_entropy": q_doc_char_entropy,
         "events_zorder": q_events_zorder,
@@ -6010,6 +6083,8 @@ def oracle_sql() -> dict[str, str]:
         "events_chi2": SQL_EVENTS_CHI2,
         "events_welch_ab": _build_sql_events_welch_ab(),
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
+        "events_rolling_median": SQL_EVENTS_ROLLING_MEDIAN,
+        "events_paths": SQL_EVENTS_PATHS,
         "events_zorder": _build_sql_events_zorder(),
         "events_ks_drift": _build_sql_events_ks_drift(),
         "doc_editdist_dups": _build_sql_doc_editdist_dups(),

@@ -463,6 +463,31 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["events_welch_ab"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.windows import (
+            event_path_ngrams,
+            rolling_median,
+        )
+
+        t0 = time.perf_counter()
+        rolling_median(
+            rd.read_parquet(
+                events_path,
+                columns=["event_id", "user_id", "ts", "value"],
+            ),
+            k=5,
+        ).count()
+        timings["events_rolling_median"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        event_path_ngrams(
+            rd.read_parquet(
+                events_path,
+                columns=["event_id", "user_id", "ts", "event_type"],
+            ),
+            n=3,
+            top=40,
+        ).count()
+        timings["events_paths"] = round(time.perf_counter() - t0, 3)
+
         from light_curve_feature_ray.pipelines.quantiles import (
             grouped_histogram,
         )

@@ -83,8 +83,10 @@ from .pipelines.aggregates import (  # noqa: F401
 
 # --- windows -------------------------------------------------------------
 from .pipelines.windows import (  # noqa: F401
+    event_path_ngrams,
     event_transitions,
     ewma,
+    rolling_median,
     funnel_steps,
     interval_coverage,
     key_lag_deltas,

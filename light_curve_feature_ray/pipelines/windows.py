@@ -15,11 +15,14 @@ All three are SQL-expressible and oracle-checked by the driver:
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 
 from ..stages.rollup import hash_strings
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _epoch_seconds(col: pd.Series) -> np.ndarray:
@@ -1434,4 +1437,185 @@ def resample_time_grid(
         _with_part(events_ds, key_col, num_partitions)
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def rolling_median(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 5,
+    num_partitions: int | None = None,
+):
+    """Per-key rolling-last-``k``-rows MEDIAN — the order-statistic
+    window :func:`rolling_agg`'s algebraic prefix sums cannot express:
+    ``median(value) OVER (PARTITION BY key ORDER BY ts, id ROWS BETWEEN
+    k-1 PRECEDING AND CURRENT ROW)``.  Even-count windows average the
+    two middle values (the quantile_cont 0.5 convention DuckDB's
+    ``median`` shares with ``np.nanmedian``).  NaN/NULL values are
+    skipped like SQL NULLs (median over the non-null window rows;
+    all-null window -> NULL); NULL-ts rows drop (``_drop_null_ts``).
+
+    Returns (id, key, t_us, rolling_n, rolling_median).
+
+    Scale shape: ONE key-hash exchange, then a single vectorized pass
+    per partition — rows sort by (key, ts, id) and ALL window medians
+    come from one ``np.nanmedian`` over the front-padded
+    ``sliding_window_view`` (n x k) with positions before each key's
+    segment start masked to NaN.  O(n·k log k) work, no per-key Python;
+    ``k`` is small by contract (use the exact grouped quantiles for
+    whole-group order statistics).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
+        t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, t_us, keys))
+        keys, ids, t_us = keys[order], ids[order], t_us[order]
+        v = g[value_col].to_numpy(dtype=np.float64)[order]
+        n = v.shape[0]
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    key_col: keys,
+                    "t_us": t_us,
+                    "rolling_n": np.empty(0, dtype=np.int64),
+                    "rolling_median": np.empty(0, dtype=np.float64),
+                }
+            )
+        idx = np.arange(n)
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        pad = np.concatenate((np.full(k - 1, np.nan), v))
+        win = np.lib.stride_tricks.sliding_window_view(pad, k)
+        pos = idx[:, None] - (k - 1) + np.arange(k)[None, :]
+        masked = np.where(pos >= seg_start[:, None], win, np.nan)
+        r_n = np.count_nonzero(~np.isnan(masked), axis=1).astype(np.int64)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            med = np.nanmedian(masked, axis=1)
+        med = np.where(r_n > 0, med, np.nan)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                key_col: keys,
+                "t_us": t_us,
+                "rolling_n": r_n,
+                "rolling_median": med,
+            }
+        )
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def event_path_ngrams(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n: int = 3,
+    top: int = 50,
+    sep: str = ">",
+    num_partitions: int | None = None,
+):
+    """Top journey n-grams of an event log — the sequence-mining
+    generalization of :func:`event_transitions`' bigrams: every run of
+    ``n`` consecutive events within one key's (ts, id)-ordered stream
+    becomes the path string ``type1>type2>...>typeN``; returns the
+    global ``top`` most frequent paths as (path, cnt), ordered (cnt
+    DESC, path ASC) — a deterministic total order, so block-partial
+    top-k then a final top-k is EXACT (top-k is associative, the
+    weighted_sample rule).  NULL key / ts / type rows drop BEFORE
+    adjacency (the event_transitions contract — a dropped middle row
+    joins its neighbours, mirrored by filtering ahead of the lead()
+    window in SQL twins); duplicate timestamps order by ``id_col``.
+
+    Scale shape: one key-hash exchange co-locates each key's rows; one
+    lexsort + shifted same-key mask per partition emits path-count
+    PARTIALS (Arrow hash group_by — the second shuffle carries distinct
+    paths, never events); a global path groupby-sum; block-local top-k
+    partials then ONE single-block finish (at most ``top`` rows per
+    upstream block reach it).
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+
+    def path_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
+        g = g[g[key_col].notna() & g[type_col].notna()]
+        m = len(g)
+        empty = pd.DataFrame(
+            {
+                "path": pd.Series(dtype=object),
+                "cnt": pd.Series(dtype=np.int64),
+            }
+        )
+        if m < n:
+            return empty
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        t = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        order = np.lexsort((ids, t, keys))
+        keys = keys[order]
+        types = g[type_col].to_numpy()[order]
+        same = keys[1:] == keys[:-1]
+        w = m - n + 1
+        valid = np.ones(w, dtype=bool)
+        for i in range(n - 1):
+            valid &= same[i : i + w]
+        if not valid.any():
+            return empty
+        legs = [
+            pa.array(types[i : i + w][valid].astype(object))
+            for i in range(n)
+        ]
+        paths = pc.binary_join_element_wise(*legs, sep)
+        out = (
+            pa.table({"path": paths})
+            .group_by("path")
+            .aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["path", "cnt"]).to_pandas()
+
+    counted = (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(path_partials, batch_format="pandas")
+        .groupby("path")
+        .sum("cnt")
+    )
+
+    def top_k(t: pa.Table) -> pa.Table:
+        name = "sum(cnt)" if "sum(cnt)" in t.column_names else "cnt"
+        cnt = t[name].to_numpy(zero_copy_only=False).astype(np.int64)
+        paths = t["path"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((paths, -cnt))[:top]
+        take = pa.array(order)
+        return pa.table(
+            {
+                "path": t["path"].take(take),
+                "cnt": pa.array(cnt[order]),
+            }
+        )
+
+    return (
+        counted.map_batches(top_k, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(top_k, batch_format="pyarrow", batch_size=None)
     )

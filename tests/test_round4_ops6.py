@@ -289,3 +289,179 @@ def test_line_dedup_pseudo_line_token_mode(ray_session):
         " ".join(t3[:10]) + "\n" + " ".join(t3[10:])
     )
     assert got.loc[3, "n_lines_kept"] == 2
+
+
+# ---------------------------------------------------------------------------
+# rolling_median
+# ---------------------------------------------------------------------------
+
+
+from light_curve_feature_ray.pipelines.windows import (  # noqa: E402
+    event_path_ngrams,
+    rolling_median,
+)
+
+
+def _events_with_nulls() -> pd.DataFrame:
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(1_700_000_000, 1_700_100_000, n), unit="s"
+            ),
+            "value": rng.normal(0.0, 30.0, n),
+            "event_type": rng.choice(["a", "b", "c", "d"], n),
+        }
+    )
+    # duplicate timestamps within a user (id tie-break), NaN values,
+    # null ts
+    df.loc[10, "ts"] = df.loc[11, "ts"]
+    df.loc[[20, 21, 22], "value"] = np.nan
+    df.loc[30, "ts"] = pd.NaT
+    return df
+
+
+def test_rolling_median_matches_duckdb_with_nulls(ray_session):
+    df = _events_with_nulls()
+    out = (
+        rolling_median(
+            rd.from_pandas(df).repartition(4), k=4, num_partitions=8
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute(
+        """
+SELECT event_id, user_id, epoch_us(ts) AS t_us,
+       count(value) OVER w AS rolling_n,
+       median(value) OVER w AS rolling_median
+FROM events
+WHERE ts IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+    ).df()
+    assert len(out) == len(ref)
+    np.testing.assert_array_equal(
+        out["event_id"].to_numpy(), ref["event_id"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        out["rolling_n"].to_numpy(), ref["rolling_n"].to_numpy()
+    )
+    a = out["rolling_median"].to_numpy()
+    b = ref["rolling_median"].to_numpy()
+    both_nan = np.isnan(a) & np.isnan(b)
+    np.testing.assert_array_equal(a[~both_nan], b[~both_nan])
+    assert np.isnan(a).sum() == np.isnan(b).sum()
+    # the NaN-valued rows themselves still emit (their windows may be
+    # empty -> NULL median); null-ts row 30 is absent
+    assert 30 not in set(out["event_id"])
+
+
+def test_rolling_median_parallelism_invariance(ray_session):
+    df = _events_with_nulls().dropna(subset=["ts"])
+    outs = []
+    for parts, nparts in ((1, 3), (6, 11)):
+        o = (
+            rolling_median(
+                rd.from_pandas(df).repartition(parts),
+                k=5,
+                num_partitions=nparts,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_rolling_median_even_window_interpolates(ray_session):
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 7, 7],
+            "ts": pd.to_datetime([1, 2, 3, 4], unit="s"),
+            "value": [1.0, 3.0, 10.0, 20.0],
+        }
+    )
+    out = (
+        rolling_median(rd.from_pandas(df), k=2, num_partitions=2)
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    np.testing.assert_allclose(
+        out["rolling_median"].to_numpy(), [1.0, 2.0, 6.5, 15.0]
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_path_ngrams
+# ---------------------------------------------------------------------------
+
+
+def test_event_paths_matches_duckdb_and_null_adjacency(ray_session):
+    df = _events_with_nulls()
+    # plant a null type in the middle of a run: neighbours must join
+    df.loc[50, "event_type"] = None
+    out = event_path_ngrams(
+        rd.from_pandas(df).repartition(4), n=3, top=25, num_partitions=8
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute(
+        """
+WITH e AS (
+    SELECT user_id, ts, event_id, event_type FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IS NOT NULL
+), w AS (
+    SELECT event_type AS a,
+           lead(event_type, 1) OVER win AS b,
+           lead(event_type, 2) OVER win AS c
+    FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+    SELECT a || '>' || b || '>' || c AS path, count(*) AS cnt
+    FROM w WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1
+)
+SELECT path, cnt FROM g ORDER BY cnt DESC, path ASC LIMIT 25
+"""
+    ).df()
+    assert list(out["path"]) == list(ref["path"])
+    np.testing.assert_array_equal(out["cnt"].to_numpy(), ref["cnt"].to_numpy())
+
+
+def test_event_paths_partition_invariance_and_order(ray_session):
+    df = _events_with_nulls()
+    outs = []
+    for parts, nparts in ((1, 2), (7, 13)):
+        o = event_path_ngrams(
+            rd.from_pandas(df).repartition(parts),
+            n=2,
+            top=10,
+            num_partitions=nparts,
+        ).to_pandas()
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    c = outs[0]["cnt"].to_numpy()
+    assert (np.diff(c) <= 0).all()  # cnt DESC
+    # ties ordered path ASC
+    p = outs[0]["path"].to_numpy()
+    for i in range(len(c) - 1):
+        if c[i] == c[i + 1]:
+            assert p[i] < p[i + 1]
+
+
+def test_event_paths_rejects_bad_params(ray_session):
+    df = _events_with_nulls()
+    with pytest.raises(ValueError):
+        event_path_ngrams(rd.from_pandas(df), n=1)
+    with pytest.raises(ValueError):
+        event_path_ngrams(rd.from_pandas(df), top=0)
