@@ -5757,6 +5757,79 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_events_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation (pipelines/windows.py
+    lag_autocorr): one key shuffle, adjacency pairs finish locally
+    (keys co-located); min-anchored normal-equation closed form vs the
+    twin's corr() over the double-lead pair CTE."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import lag_autocorr
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return _finalize(lag_autocorr(ev, lag=1), skip=("user_id", "n_pairs"))
+
+
+SQL_EVENTS_AUTOCORR = """
+WITH e AS (
+    SELECT user_id, ts, event_id, value FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(value)
+), p AS (
+    SELECT user_id, value AS a,
+           lead(value, 1) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+    FROM e
+)
+SELECT user_id, count(*) AS n_pairs, round(corr(a, b), 6) AS autocorr
+FROM p WHERE b IS NOT NULL GROUP BY user_id
+HAVING corr(a, b) IS NOT NULL
+"""
+
+
+TE_SMOOTHING = 20.0
+
+
+def q_events_target_encode(sf_dir: str):
+    """Smoothed target encoding of event_type (pipelines/aggregates.py
+    target_encode): per-key min-anchored partial sums, one
+    key-cardinality groupby-sum, key->te map broadcast once, streaming
+    vectorized left-join encode — the data never shuffles. Twin replays
+    (n*avg + m*prior)/(n+m) with LEFT JOIN + COALESCE."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.aggregates import target_encode
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return _finalize(
+        target_encode(ev, smoothing=TE_SMOOTHING),
+        skip=("event_id", "event_type"),
+    )
+
+
+SQL_EVENTS_TARGET_ENCODE = f"""
+WITH v AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(value)
+), g AS (
+    SELECT event_type, count(*) AS n, avg(value) AS m
+    FROM v GROUP BY event_type
+), p AS (SELECT avg(value) AS prior FROM v)
+SELECT e.event_id, e.event_type,
+       round(coalesce((g.n * g.m + {TE_SMOOTHING} * p.prior)
+                          / (g.n + {TE_SMOOTHING}),
+                      p.prior), 6) AS te
+FROM events e LEFT JOIN g USING (event_type) CROSS JOIN p
+"""
+
+
 PATHS_N = 3
 PATHS_TOP = 40
 
@@ -5866,7 +5939,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in earlier driver rounds AND locally; never-checked coverage wins
     # the window slots. Everything later is green in r01-r03 driver
     # files. Round-5 note: rotate to the FRONT (a) every query in the
-    # "round-5 rotation targets" section below (events_top_types,
+    # "round-5 rotation targets" section below (events_retention,
+    # events_percent_rank, events_top_types,
     # doc_pmi_bigrams, events_transitions,
     # doc_char_entropy, events_zorder,
     # events_ks_drift, doc_editdist_dups, events_type_histogram,
@@ -5881,6 +5955,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_dedup": q_doc_line_dedup,
         "events_rolling_median": q_events_rolling_median,
         "events_paths": q_events_paths,
+        "events_autocorr": q_events_autocorr,
+        "events_target_encode": q_events_target_encode,
         "events_coverage": q_events_coverage,
         "events_throttle": q_events_throttle,
         "events_new_users": q_events_new_users,
@@ -5927,8 +6003,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_state_intervals": q_events_state_intervals,
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_quota_sample": q_doc_quota_sample,
-        "events_retention": q_events_retention,
-        "events_percent_rank": q_events_percent_rank,
         # -- headline / changed-this-round re-checks (51-55) ---------------
         "events_zscore": q_events_zscore,
         "doc_minhash_dups": q_doc_minhash_dups,
@@ -5936,6 +6010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dups": q_emb_cosine_dups,
         "rollup_1m_stats": q_rollup_1m_stats,
         # -- added after the r04 window froze: round-5 rotation targets ----
+        "events_retention": q_events_retention,
+        "events_percent_rank": q_events_percent_rank,
         "events_top_types": q_events_top_types,
         "doc_pmi_bigrams": q_doc_pmi_bigrams,
         "events_transitions": q_events_transitions,
@@ -6085,6 +6161,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "events_rolling_median": SQL_EVENTS_ROLLING_MEDIAN,
         "events_paths": SQL_EVENTS_PATHS,
+        "events_autocorr": SQL_EVENTS_AUTOCORR,
+        "events_target_encode": SQL_EVENTS_TARGET_ENCODE,
         "events_zorder": _build_sql_events_zorder(),
         "events_ks_drift": _build_sql_events_ks_drift(),
         "doc_editdist_dups": _build_sql_doc_editdist_dups(),

@@ -488,6 +488,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["events_paths"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.windows import lag_autocorr
+        from light_curve_feature_ray.pipelines.aggregates import (
+            target_encode,
+        )
+
+        t0 = time.perf_counter()
+        lag_autocorr(
+            rd.read_parquet(
+                events_path,
+                columns=["event_id", "user_id", "ts", "value"],
+            ),
+            lag=1,
+        ).count()
+        timings["events_autocorr"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        target_encode(
+            rd.read_parquet(
+                events_path, columns=["event_id", "event_type", "value"]
+            )
+        ).count()
+        timings["events_target_encode"] = round(time.perf_counter() - t0, 3)
+
         from light_curve_feature_ray.pipelines.quantiles import (
             grouped_histogram,
         )

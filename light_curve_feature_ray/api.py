@@ -78,6 +78,7 @@ from .pipelines.aggregates import (  # noqa: F401
     grouping_sets_agg,
     retention_cohorts,
     last_value_per_key,
+    target_encode,
     welch_t_ab,
 )
 
@@ -86,6 +87,7 @@ from .pipelines.windows import (  # noqa: F401
     event_path_ngrams,
     event_transitions,
     ewma,
+    lag_autocorr,
     rolling_median,
     funnel_steps,
     interval_coverage,

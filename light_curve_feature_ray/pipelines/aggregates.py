@@ -1396,3 +1396,104 @@ def welch_t_ab(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def target_encode(
+    ds,
+    *,
+    key_col: str = "event_type",
+    target_col: str = "value",
+    id_cols: tuple = ("event_id",),
+    smoothing: float = 20.0,
+    value_offset: float | None = None,
+    max_key_broadcast: int = 5_000_000,
+):
+    """Smoothed target (mean) encoding of a categorical column — the
+    classic ML-feature-prep operator (micci-barreca 2001): each row gets
+    ``te = (n_k * mean_k + m * prior) / (n_k + m)`` where n_k/mean_k are
+    its category's count/mean of the target, ``m`` = ``smoothing`` and
+    ``prior`` is the corpus mean — categories with few observations
+    shrink toward the prior.  EVERY input row emits (rows with a NULL /
+    unseen key, or whose own target is null, still get an encoding —
+    the prior for NULL keys, mirror with LEFT JOIN + COALESCE).  The
+    per-key statistics use only rows with a non-null key AND a
+    non-null/non-NaN target, and the prior averages the same row set
+    (mirror both filters in the twin's CTEs).
+
+    Returns (*id_cols, key, te).
+
+    Scale shape: pure all-aggregate statistics pass — block-local
+    per-key partial sums anchored at the global min (the welch_t_ab
+    cancellation guard; te is computed from the de-anchored means in
+    the twin's literal doubles), ONE key-cardinality groupby-sum; the
+    key->te map is broadcast ONCE via ``ray.put`` (loud
+    ``max_key_broadcast`` bound), and the encode pass is one streaming
+    vectorized left join per block — the data is never shuffled.
+    """
+    import polars as pl
+
+    import ray
+
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    if value_offset is None:
+        mn = ds.min(target_col)
+        value_offset = (
+            float(mn) if mn is not None and np.isfinite(mn) else 0.0
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[target_col]))
+        )
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        v = batch[target_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        keys, v = keys[ok], v[ok]
+        return _grouped_sums(
+            keys, batch.schema.field(key_col), {"s": v - value_offset}
+        )
+
+    agg_tbl = pa.concat_tables(
+        ray.get(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(key_col)
+            .sum(["n", "s"])
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    if agg_tbl.num_rows > max_key_broadcast:
+        raise ValueError(
+            f"{agg_tbl.num_rows} distinct keys > "
+            f"max_key_broadcast={max_key_broadcast}; bucket the long tail "
+            "or hash-partition and join instead"
+        )
+    n = agg_tbl["sum(n)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = agg_tbl["sum(s)"].to_numpy(zero_copy_only=False)
+    total_n = float(n.sum())
+    prior = (
+        value_offset + float(s.sum()) / total_n if total_n > 0 else np.nan
+    )
+    mean_k = value_offset + s / np.maximum(n, 1.0)
+    te = (n * mean_k + smoothing * prior) / (n + smoothing)
+    te_map = pl.DataFrame(
+        {
+            "__te_key": pl.from_arrow(agg_tbl[key_col].cast(pa.string())),
+            "__te": te,
+        }
+    )
+    map_ref = ray.put(te_map)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        tm = ray.get(map_ref)
+        k = pl.DataFrame(
+            {"__te_key": pl.from_arrow(batch[key_col]).cast(pl.String)}
+        )
+        joined = k.join(tm, on="__te_key", how="left", maintain_order="left")
+        out = {c: batch[c] for c in id_cols}
+        out[key_col] = batch[key_col]
+        out["te"] = joined["__te"].fill_null(prior).to_arrow()
+        return pa.table(out)
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=None)

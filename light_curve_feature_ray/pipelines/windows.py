@@ -1619,3 +1619,102 @@ def event_path_ngrams(
         .repartition(1)
         .map_batches(top_k, batch_format="pyarrow", batch_size=None)
     )
+
+
+def lag_autocorr(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lag: int = 1,
+    num_partitions: int | None = None,
+):
+    """Per-key lag-``k`` autocorrelation of an event stream — Pearson
+    correlation between each value and the value ``lag`` events later in
+    the key's (ts, id)-ordered sequence: the serial-dependence signal
+    behind periodicity/trend screening (the relational analog of the
+    reference's per-series eta/eta_e adjacency statistics).  Returns
+    (key, n_pairs, autocorr); keys whose pair count is < 2 or whose
+    either side has zero variance are dropped (DuckDB ``corr`` returns
+    NULL there — mirror with ``HAVING corr(a, b) IS NOT NULL``).
+
+    Semantics pinned for the twin: rows with NULL key / ts / NaN-or-NULL
+    value drop BEFORE adjacency (a dropped middle row joins its
+    neighbours — the :func:`event_transitions` rule; filter ahead of the
+    lead() window); duplicate timestamps order by ``id_col``.  The
+    closed form (n*Sxy - Sx*Sy)/sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) runs
+    over values shifted PER KEY by the key's first pair value (the
+    rolling_zscore segment-anchor rule — a single global anchor fails
+    when keys live at different offsets): correlation is shift-invariant
+    and the per-key anchor keeps the normal-equation form round-6
+    against the twin's natively stable corr() at mean >> std, with no
+    extra aggregate pass.
+
+    Scale shape: ONE key-hash exchange, then a single vectorized pass
+    per partition — each key's rows are co-located, so adjacency pairs
+    never span partitions and the per-key sums finish locally (lexsort +
+    masked reduceat; no second shuffle, no driver collection).
+    """
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
+        g = g[g[key_col].notna() & g[value_col].notna()]
+        v_all = g[value_col].to_numpy(dtype=np.float64)
+        g = g[~np.isnan(v_all)]
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=g[key_col].dtype if len(g) else object),
+                "n_pairs": pd.Series(dtype=np.int64),
+                "autocorr": pd.Series(dtype=np.float64),
+            }
+        )
+        m = len(g)
+        if m <= lag:
+            return empty
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        t = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        order = np.lexsort((ids, t, keys))
+        keys = keys[order]
+        v = g[value_col].to_numpy(dtype=np.float64)[order]
+        same = keys[lag:] == keys[:-lag]
+        if not same.any():
+            return empty
+        x = v[:-lag][same]
+        y = v[lag:][same]
+        pk = keys[:-lag][same]
+        first = np.r_[True, pk[1:] != pk[:-1]]
+        starts = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        # per-key anchor: both sides shift by the segment's first value
+        base = x[starts][seg_id]
+        x = x - base
+        y = y - base
+        n = np.diff(np.r_[starts, pk.size]).astype(np.float64)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        sxy = np.add.reduceat(x * y, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        syy = np.add.reduceat(y * y, starts)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = (n * sxy - sx * sy) / np.sqrt(vx * vy)
+        keep = (n >= 2) & (vx > 0) & (vy > 0)
+        return pd.DataFrame(
+            {
+                key_col: pk[starts][keep],
+                "n_pairs": n[keep].astype(np.int64),
+                "autocorr": r[keep],
+            }
+        )
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -465,3 +465,212 @@ def test_event_paths_rejects_bad_params(ray_session):
         event_path_ngrams(rd.from_pandas(df), n=1)
     with pytest.raises(ValueError):
         event_path_ngrams(rd.from_pandas(df), top=0)
+
+
+# ---------------------------------------------------------------------------
+# lag_autocorr / target_encode
+# ---------------------------------------------------------------------------
+
+
+from light_curve_feature_ray.pipelines.aggregates import (  # noqa: E402
+    target_encode,
+)
+from light_curve_feature_ray.pipelines.windows import (  # noqa: E402
+    lag_autocorr,
+)
+
+
+def test_lag_autocorr_null_parity_and_dropped_middle(ray_session):
+    df = _events_with_nulls()
+    # a dropped (NaN-value) middle row must JOIN its neighbours
+    df.loc[40, "value"] = np.nan
+    out = (
+        lag_autocorr(
+            rd.from_pandas(df).repartition(4), lag=1, num_partitions=8
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute(
+        """
+WITH e AS (
+    SELECT user_id, ts, event_id, value FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(value)
+), p AS (
+    SELECT user_id, value AS a,
+           lead(value, 1) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+    FROM e
+)
+SELECT user_id, count(*) AS n_pairs, corr(a, b) AS autocorr
+FROM p WHERE b IS NOT NULL GROUP BY user_id
+HAVING corr(a, b) IS NOT NULL
+ORDER BY user_id
+"""
+    ).df()
+    assert len(out) == len(ref)
+    np.testing.assert_array_equal(
+        out["user_id"].to_numpy(), ref["user_id"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        out["n_pairs"].to_numpy(), ref["n_pairs"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        out["autocorr"].to_numpy(), ref["autocorr"].to_numpy(), atol=5e-7
+    )
+
+
+def test_lag_autocorr_large_offset_and_constant_key(ray_session):
+    rng = np.random.default_rng(13)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.repeat([1, 2, 3], n // 3),
+            "ts": pd.to_datetime(np.arange(n), unit="s"),
+            "value": 1e6 + rng.normal(0.0, 1.0, n),
+        }
+    )
+    # key 3 constant -> zero variance -> absent (corr NULL in SQL)
+    df.loc[df["user_id"] == 3, "value"] = 42.0
+    # key 1: strong positive serial dependence
+    v = df.loc[df["user_id"] == 1, "value"].to_numpy()
+    df.loc[df["user_id"] == 1, "value"] = 1e6 + np.cumsum(
+        rng.normal(0, 0.1, v.size)
+    )
+    out = (
+        lag_autocorr(rd.from_pandas(df).repartition(3), lag=1)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert set(out["user_id"]) == {1, 2}
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute(
+        """
+WITH p AS (
+    SELECT user_id, value AS a,
+           lead(value, 1) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+    FROM events
+)
+SELECT user_id, corr(a, b) AS autocorr FROM p WHERE b IS NOT NULL
+GROUP BY user_id HAVING corr(a, b) IS NOT NULL ORDER BY user_id
+"""
+    ).df()
+    np.testing.assert_allclose(
+        np.round(out["autocorr"].to_numpy(), 6),
+        np.round(ref["autocorr"].to_numpy(), 6),
+        atol=1.5e-6,
+    )
+    assert out.set_index("user_id").loc[1, "autocorr"] > 0.8
+
+
+def test_lag_autocorr_lag2_and_partition_invariance(ray_session):
+    df = _events_with_nulls()
+    outs = []
+    for parts, nparts in ((1, 2), (5, 9)):
+        o = (
+            lag_autocorr(
+                rd.from_pandas(df).repartition(parts),
+                lag=2,
+                num_partitions=nparts,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    with pytest.raises(ValueError):
+        lag_autocorr(rd.from_pandas(df), lag=0)
+
+
+def test_target_encode_null_parity_and_prior_fallback(ray_session):
+    df = _events_with_nulls()
+    df.loc[60, "event_type"] = None  # null key -> prior
+    df.loc[61, "value"] = np.nan  # own target NaN -> still encoded
+    out = (
+        target_encode(
+            rd.from_pandas(df).repartition(4),
+            key_col="event_type",
+            target_col="value",
+            smoothing=5.0,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute(
+        """
+WITH v AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(value)
+), g AS (
+    SELECT event_type, count(*) AS n, avg(value) AS m
+    FROM v GROUP BY event_type
+), p AS (SELECT avg(value) AS prior FROM v)
+SELECT e.event_id, e.event_type,
+       coalesce((g.n * g.m + 5.0 * p.prior) / (g.n + 5.0), p.prior) AS te
+FROM events e LEFT JOIN g USING (event_type) CROSS JOIN p
+ORDER BY e.event_id
+"""
+    ).df()
+    assert len(out) == len(ref) == len(df)
+    np.testing.assert_allclose(
+        out["te"].to_numpy(), ref["te"].to_numpy(), atol=5e-7
+    )
+    # null-key row got exactly the prior
+    prior = con.execute(
+        """SELECT avg(value) FROM events WHERE event_type IS NOT NULL
+           AND value IS NOT NULL AND NOT isnan(value)"""
+    ).fetchone()[0]
+    got = out.set_index("event_id").loc[60, "te"]
+    assert abs(got - prior) < 1e-9
+
+
+def test_target_encode_shrinks_small_categories(ray_session):
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(103, dtype=np.int64),
+            "event_type": ["big"] * 100 + ["small"] * 3,
+            "value": [10.0] * 100 + [100.0] * 3,
+        }
+    )
+    out = target_encode(
+        rd.from_pandas(df).repartition(3), smoothing=10.0
+    ).to_pandas()
+    got = out.drop_duplicates("event_type").set_index("event_type")["te"]
+    prior = (100 * 10.0 + 3 * 100.0) / 103
+    # big ~ its own mean, small pulled hard toward the prior
+    assert abs(got["big"] - 10.0) < abs(got["small"] - 100.0)
+    exp_small = (3 * 100.0 + 10.0 * prior) / 13.0
+    np.testing.assert_allclose(got["small"], exp_small, atol=1e-9)
+    with pytest.raises(ValueError):
+        target_encode(rd.from_pandas(df), smoothing=-1.0)
+
+
+def test_target_encode_parallelism_invariance(ray_session):
+    df = _events_with_nulls()
+    outs = []
+    for parts in (1, 6):
+        o = (
+            target_encode(rd.from_pandas(df).repartition(parts))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    np.testing.assert_allclose(
+        np.round(outs[0]["te"].to_numpy(), 6),
+        np.round(outs[1]["te"].to_numpy(), 6),
+        atol=1e-6,
+    )
