@@ -5790,6 +5790,100 @@ HAVING corr(a, b) IS NOT NULL
 """
 
 
+VALIDATE_RULES = [
+    {"name": "user_not_null", "kind": "not_null", "col": "user_id"},
+    {
+        "name": "value_0_100",
+        "kind": "range",
+        "col": "value",
+        "lo": 0.0,
+        "hi": 100.0,
+    },
+    {
+        "name": "type_lower",
+        "kind": "regex",
+        "col": "event_type",
+        "pattern": "^[a-z_]+$",
+    },
+    {
+        "name": "type_known",
+        "kind": "in_set",
+        "col": "event_type",
+        "values": ["click", "view", "purchase"],
+    },
+    {"name": "id_unique", "kind": "unique", "col": "event_id"},
+    {"name": "user_unique", "kind": "unique", "col": "user_id"},
+]
+
+
+def q_events_validate(sf_dir: str):
+    """Declarative data-quality scorecard (pipelines/quality.py
+    validate_constraints — the dbt-test analog): row-local rules in one
+    streaming pass emitting per-(rule, block) partials; unique rules add
+    one value-cardinality (value, cnt, min_id) exchange; everything
+    reduces through ONE rule-cardinality groupby (Sum, Sum, Min).
+    min-id sampling is associative, so the scorecard is
+    partition-invariant."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quality import (
+        validate_constraints,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    return validate_constraints(ev, rules=VALIDATE_RULES)
+
+
+SQL_EVENTS_VALIDATE = """
+SELECT 'user_not_null' AS rule, count(*) AS n_checked,
+       count(*) FILTER (user_id IS NULL) AS n_violations,
+       min(event_id) FILTER (user_id IS NULL) AS min_violating_id
+FROM events
+UNION ALL
+SELECT 'value_0_100',
+       count(*) FILTER (value IS NOT NULL AND NOT isnan(value)),
+       count(*) FILTER (value IS NOT NULL AND NOT isnan(value)
+                        AND (value < 0.0 OR value > 100.0)),
+       min(event_id) FILTER (value IS NOT NULL AND NOT isnan(value)
+                             AND (value < 0.0 OR value > 100.0))
+FROM events
+UNION ALL
+SELECT 'type_lower', count(*) FILTER (event_type IS NOT NULL),
+       count(*) FILTER (event_type IS NOT NULL
+                        AND NOT regexp_matches(event_type, '^[a-z_]+$')),
+       min(event_id) FILTER (event_type IS NOT NULL
+                             AND NOT regexp_matches(event_type,
+                                                    '^[a-z_]+$'))
+FROM events
+UNION ALL
+SELECT 'type_known', count(*) FILTER (event_type IS NOT NULL),
+       count(*) FILTER (event_type IS NOT NULL
+                        AND event_type NOT IN ('click', 'view',
+                                               'purchase')),
+       min(event_id) FILTER (event_type IS NOT NULL
+                             AND event_type NOT IN ('click', 'view',
+                                                    'purchase'))
+FROM events
+UNION ALL
+SELECT 'id_unique', count(event_id),
+       count(event_id) - count(DISTINCT event_id),
+       (SELECT min(e2.event_id) FROM events e2 WHERE e2.event_id IN
+          (SELECT event_id FROM events WHERE event_id IS NOT NULL
+           GROUP BY event_id HAVING count(*) > 1))
+FROM events
+UNION ALL
+SELECT 'user_unique', count(user_id),
+       count(user_id) - count(DISTINCT user_id),
+       (SELECT min(e2.event_id) FROM events e2 WHERE e2.user_id IN
+          (SELECT user_id FROM events WHERE user_id IS NOT NULL
+           GROUP BY user_id HAVING count(*) > 1))
+FROM events
+"""
+
+
 TE_SMOOTHING = 20.0
 
 
@@ -5939,7 +6033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in earlier driver rounds AND locally; never-checked coverage wins
     # the window slots. Everything later is green in r01-r03 driver
     # files. Round-5 note: rotate to the FRONT (a) every query in the
-    # "round-5 rotation targets" section below (events_retention,
+    # "round-5 rotation targets" section below (doc_quota_sample,
+    # events_retention,
     # events_percent_rank, events_top_types,
     # doc_pmi_bigrams, events_transitions,
     # doc_char_entropy, events_zorder,
@@ -5957,6 +6052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_paths": q_events_paths,
         "events_autocorr": q_events_autocorr,
         "events_target_encode": q_events_target_encode,
+        "events_validate": q_events_validate,
         "events_coverage": q_events_coverage,
         "events_throttle": q_events_throttle,
         "events_new_users": q_events_new_users,
@@ -6002,7 +6098,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_state_intervals": q_events_state_intervals,
         "doc_weighted_sample": q_doc_weighted_sample,
-        "doc_quota_sample": q_doc_quota_sample,
         # -- headline / changed-this-round re-checks (51-55) ---------------
         "events_zscore": q_events_zscore,
         "doc_minhash_dups": q_doc_minhash_dups,
@@ -6010,6 +6105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dups": q_emb_cosine_dups,
         "rollup_1m_stats": q_rollup_1m_stats,
         # -- added after the r04 window froze: round-5 rotation targets ----
+        "doc_quota_sample": q_doc_quota_sample,
         "events_retention": q_events_retention,
         "events_percent_rank": q_events_percent_rank,
         "events_top_types": q_events_top_types,
@@ -6163,6 +6259,7 @@ def oracle_sql() -> dict[str, str]:
         "events_paths": SQL_EVENTS_PATHS,
         "events_autocorr": SQL_EVENTS_AUTOCORR,
         "events_target_encode": SQL_EVENTS_TARGET_ENCODE,
+        "events_validate": SQL_EVENTS_VALIDATE,
         "events_zorder": _build_sql_events_zorder(),
         "events_ks_drift": _build_sql_events_ks_drift(),
         "doc_editdist_dups": _build_sql_doc_editdist_dups(),

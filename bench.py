@@ -510,6 +510,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["events_target_encode"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.quality import (
+            validate_constraints,
+        )
+
+        t0 = time.perf_counter()
+        validate_constraints(
+            rd.read_parquet(
+                events_path,
+                columns=["event_id", "user_id", "event_type", "value"],
+            ),
+            rules=[
+                {"name": "u_nn", "kind": "not_null", "col": "user_id"},
+                {
+                    "name": "v_range",
+                    "kind": "range",
+                    "col": "value",
+                    "lo": 0.0,
+                    "hi": 100.0,
+                },
+                {"name": "id_uq", "kind": "unique", "col": "event_id"},
+            ],
+        ).count()
+        timings["events_validate"] = round(time.perf_counter() - t0, 3)
+
         from light_curve_feature_ray.pipelines.quantiles import (
             grouped_histogram,
         )

@@ -196,6 +196,7 @@ from .pipelines.similarity import (  # noqa: F401
 
 # --- pivot ---------------------------------------------------------------
 from .pipelines.pivot import pivot_agg, unpivot  # noqa: F401
+from .pipelines.quality import validate_constraints  # noqa: F401
 
 # --- sketches ------------------------------------------------------------
 from .pipelines.sketches import (  # noqa: F401

@@ -674,3 +674,171 @@ def test_target_encode_parallelism_invariance(ray_session):
         np.round(outs[1]["te"].to_numpy(), 6),
         atol=1e-6,
     )
+
+
+# ---------------------------------------------------------------------------
+# validate_constraints
+# ---------------------------------------------------------------------------
+
+
+from light_curve_feature_ray.pipelines.quality import (  # noqa: E402
+    validate_constraints,
+)
+
+
+def _quality_df() -> pd.DataFrame:
+    df = pd.DataFrame(
+        {
+            "event_id": pd.array(
+                np.arange(20, dtype=np.int64), dtype="Int64"
+            ),
+            "user_id": pd.array(
+                [1, 2, 3, 4, 5, 1, 2, 3, 4, 5] * 2, dtype="Int64"
+            ),
+            "event_type": ["click", "view"] * 10,
+            "value": np.linspace(-5.0, 120.0, 20),
+        }
+    )
+    df.loc[3, "user_id"] = pd.NA
+    df.loc[4, "value"] = np.nan
+    df.loc[5, "value"] = None
+    df.loc[6, "event_type"] = "WEIRD"
+    df.loc[7, "event_type"] = None
+    return df
+
+
+def test_validate_constraints_all_kinds_vs_duckdb(ray_session):
+    df = _quality_df()
+    rules = [
+        {"name": "u_nn", "kind": "not_null", "col": "user_id"},
+        {
+            "name": "v_range",
+            "kind": "range",
+            "col": "value",
+            "lo": 0.0,
+            "hi": 100.0,
+        },
+        {
+            "name": "t_lower",
+            "kind": "regex",
+            "col": "event_type",
+            "pattern": "^[a-z]+$",
+        },
+        {
+            "name": "t_set",
+            "kind": "in_set",
+            "col": "event_type",
+            "values": ["click", "view"],
+        },
+        {"name": "id_uq", "kind": "unique", "col": "event_id"},
+        {"name": "user_uq", "kind": "unique", "col": "user_id"},
+    ]
+    out = (
+        validate_constraints(
+            rd.from_pandas(df).repartition(4), rules=rules
+        )
+        .to_pandas()
+        .sort_values("rule")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute(
+        """
+SELECT 'u_nn' AS rule, count(*) AS n_checked,
+       count(*) FILTER (user_id IS NULL) AS n_violations,
+       min(event_id) FILTER (user_id IS NULL) AS min_violating_id
+FROM events
+UNION ALL
+SELECT 'v_range', count(*) FILTER (value IS NOT NULL AND NOT isnan(value)),
+       count(*) FILTER (value IS NOT NULL AND NOT isnan(value)
+                        AND (value < 0.0 OR value > 100.0)),
+       min(event_id) FILTER (value IS NOT NULL AND NOT isnan(value)
+                             AND (value < 0.0 OR value > 100.0))
+FROM events
+UNION ALL
+SELECT 't_lower', count(*) FILTER (event_type IS NOT NULL),
+       count(*) FILTER (event_type IS NOT NULL
+                        AND NOT regexp_matches(event_type, '^[a-z]+$')),
+       min(event_id) FILTER (event_type IS NOT NULL
+                             AND NOT regexp_matches(event_type, '^[a-z]+$'))
+FROM events
+UNION ALL
+SELECT 't_set', count(*) FILTER (event_type IS NOT NULL),
+       count(*) FILTER (event_type IS NOT NULL
+                        AND event_type NOT IN ('click', 'view')),
+       min(event_id) FILTER (event_type IS NOT NULL
+                             AND event_type NOT IN ('click', 'view'))
+FROM events
+UNION ALL
+SELECT 'id_uq', count(event_id), count(event_id) - count(DISTINCT event_id),
+       (SELECT min(e2.event_id) FROM events e2 WHERE e2.event_id IN
+          (SELECT event_id FROM events WHERE event_id IS NOT NULL
+           GROUP BY event_id HAVING count(*) > 1))
+FROM events
+UNION ALL
+SELECT 'user_uq', count(user_id), count(user_id) - count(DISTINCT user_id),
+       (SELECT min(e2.event_id) FROM events e2 WHERE e2.user_id IN
+          (SELECT user_id FROM events WHERE user_id IS NOT NULL
+           GROUP BY user_id HAVING count(*) > 1))
+FROM events
+ORDER BY rule
+"""
+    ).df()
+    assert list(out["rule"]) == list(ref["rule"])
+    np.testing.assert_array_equal(
+        out["n_checked"].to_numpy(), ref["n_checked"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        out["n_violations"].to_numpy(), ref["n_violations"].to_numpy()
+    )
+    a = out["min_violating_id"].astype("float64").to_numpy()
+    b = ref["min_violating_id"].astype("float64").to_numpy()
+    nn = ~(np.isnan(a) & np.isnan(b))
+    np.testing.assert_array_equal(a[nn], b[nn])
+    # spot semantics: value range violations exist, regex catches WEIRD
+    got = out.set_index("rule")
+    assert got.loc["v_range", "n_violations"] > 0
+    assert got.loc["t_lower", "n_violations"] == 1
+    assert got.loc["id_uq", "n_violations"] == 0
+    assert pd.isna(got.loc["id_uq", "min_violating_id"])
+
+
+def test_validate_constraints_partition_invariance_and_params(ray_session):
+    df = _quality_df()
+    rules = [
+        {"name": "u_uq", "kind": "unique", "col": "user_id"},
+        {
+            "name": "v",
+            "kind": "range",
+            "col": "value",
+            "lo": 0.0,
+            "hi": 50.0,
+        },
+    ]
+    outs = []
+    for parts in (1, 7):
+        o = (
+            validate_constraints(
+                rd.from_pandas(df).repartition(parts), rules=rules
+            )
+            .to_pandas()
+            .sort_values("rule")
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    for bad in (
+        [],
+        [{"name": "x", "kind": "nope", "col": "value"}],
+        [{"name": "", "kind": "not_null", "col": "value"}],
+        [
+            {"name": "a", "kind": "not_null", "col": "value"},
+            {"name": "a", "kind": "not_null", "col": "user_id"},
+        ],
+        [{"name": "r", "kind": "range", "col": "value", "lo": 0.0}],
+        [{"name": "g", "kind": "regex", "col": "event_type"}],
+        [{"name": "s", "kind": "in_set", "col": "event_type", "values": []}],
+    ):
+        with pytest.raises(ValueError):
+            validate_constraints(rd.from_pandas(df), rules=bad)
