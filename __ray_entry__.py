@@ -5790,6 +5790,95 @@ HAVING corr(a, b) IS NOT NULL
 """
 
 
+KEYWORDS = ["spark", "hash join", "window"]
+
+
+def q_doc_keyword_hits(sf_dir: str):
+    """Blocklist/keyword tagging (pipelines/text.py keyword_hits — the
+    C4 bad-words filter primitive): one Rust-regex literal counter pass
+    per keyword per block, long-form (doc, keyword, hits) out, zero-hit
+    pairs absent; no shuffle."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.text import keyword_hits
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return keyword_hits(docs, keywords=KEYWORDS)
+
+
+SQL_DOC_KEYWORD_HITS = f"""
+WITH k(kw) AS (VALUES {", ".join(f"('{k}')" for k in KEYWORDS)}),
+h AS (
+    SELECT doc_id, kw,
+           (len(text) - len(replace(text, kw, ''))) // len(kw) AS hits
+    FROM documents, k WHERE text IS NOT NULL
+)
+SELECT doc_id, kw AS keyword, hits FROM h WHERE hits > 0
+"""
+
+
+def q_events_changepoint(sf_dir: str):
+    """Exact single change-point per user (pipelines/windows.py
+    changepoint_single — the binary-segmentation base step, Cusum/Otsu
+    analog): one key shuffle, closed-form SSE for every candidate split
+    from two re-zeroed cumsums, minimum.reduceat argmin; candidate SSEs
+    quantized to round-6 before the argmin on BOTH sides so float
+    wobble can't flip the chosen split."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import (
+        changepoint_single,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return _finalize(
+        changepoint_single(ev, min_n=4),
+        skip=("user_id", "n", "split_idx", "split_t_us"),
+    )
+
+
+SQL_EVENTS_CHANGEPOINT = """
+WITH e AS (
+    SELECT user_id, ts, event_id, value FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(value)
+), o AS (
+    SELECT user_id, epoch_us(ts) AS t_us,
+           value - first_value(value) OVER w AS vs,
+           row_number() OVER w AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+    SELECT user_id, i, n, t_us,
+           sum(vs) OVER w2 AS s_i, sum(vs * vs) OVER w2 AS s2_i,
+           sum(vs) OVER (PARTITION BY user_id) AS s_n,
+           sum(vs * vs) OVER (PARTITION BY user_id) AS s2_n
+    FROM o WINDOW w2 AS (PARTITION BY user_id ORDER BY i
+                         ROWS UNBOUNDED PRECEDING)
+), s AS (
+    SELECT user_id, i, n, t_us,
+           (s2_i - s_i * s_i / i)
+               + ((s2_n - s2_i)
+                  - (s_n - s_i) * (s_n - s_i) / (n - i)) AS sse,
+           s2_n - s_n * s_n / n AS sse_total
+    FROM c WHERE i < n
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY round(sse, 6) ASC, i ASC) AS rk
+    FROM s
+)
+SELECT user_id, n, i AS split_idx, t_us AS split_t_us,
+       round(sse_total, 6) AS sse_total, round(sse, 6) AS sse_split,
+       round(sse_total - sse, 6) AS gain
+FROM r WHERE rk = 1 AND n >= 4
+"""
+
+
 VALIDATE_RULES = [
     {"name": "user_not_null", "kind": "not_null", "col": "user_id"},
     {
@@ -6033,7 +6122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in earlier driver rounds AND locally; never-checked coverage wins
     # the window slots. Everything later is green in r01-r03 driver
     # files. Round-5 note: rotate to the FRONT (a) every query in the
-    # "round-5 rotation targets" section below (doc_quota_sample,
+    # "round-5 rotation targets" section below (doc_weighted_sample,
+    # doc_quota_sample,
     # events_retention,
     # events_percent_rank, events_top_types,
     # doc_pmi_bigrams, events_transitions,
@@ -6053,6 +6143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": q_events_autocorr,
         "events_target_encode": q_events_target_encode,
         "events_validate": q_events_validate,
+        "doc_keyword_hits": q_doc_keyword_hits,
+        "events_changepoint": q_events_changepoint,
         "events_coverage": q_events_coverage,
         "events_throttle": q_events_throttle,
         "events_new_users": q_events_new_users,
@@ -6097,7 +6189,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kcenter_sample": q_emb_kcenter_sample,
         "events_funnel": q_events_funnel,
         "events_state_intervals": q_events_state_intervals,
-        "doc_weighted_sample": q_doc_weighted_sample,
         # -- headline / changed-this-round re-checks (51-55) ---------------
         "events_zscore": q_events_zscore,
         "doc_minhash_dups": q_doc_minhash_dups,
@@ -6105,6 +6196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dups": q_emb_cosine_dups,
         "rollup_1m_stats": q_rollup_1m_stats,
         # -- added after the r04 window froze: round-5 rotation targets ----
+        "doc_weighted_sample": q_doc_weighted_sample,
         "doc_quota_sample": q_doc_quota_sample,
         "events_retention": q_events_retention,
         "events_percent_rank": q_events_percent_rank,
@@ -6260,6 +6352,8 @@ def oracle_sql() -> dict[str, str]:
         "events_autocorr": SQL_EVENTS_AUTOCORR,
         "events_target_encode": SQL_EVENTS_TARGET_ENCODE,
         "events_validate": SQL_EVENTS_VALIDATE,
+        "doc_keyword_hits": SQL_DOC_KEYWORD_HITS,
+        "events_changepoint": SQL_EVENTS_CHANGEPOINT,
         "events_zorder": _build_sql_events_zorder(),
         "events_ks_drift": _build_sql_events_ks_drift(),
         "doc_editdist_dups": _build_sql_doc_editdist_dups(),

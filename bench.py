@@ -301,6 +301,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["doc_line_dedup"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.text import keyword_hits
+
+        t0 = time.perf_counter()
+        keyword_hits(
+            rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+            keywords=["spark", "hash join", "window"],
+        ).count()
+        timings["doc_keyword_hits"] = round(time.perf_counter() - t0, 3)
+
     events_path = f"{sf_dir}/events.parquet"
     if os.path.exists(events_path):
         from light_curve_feature_ray.pipelines.windows import (
@@ -533,6 +542,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ],
         ).count()
         timings["events_validate"] = round(time.perf_counter() - t0, 3)
+
+        from light_curve_feature_ray.pipelines.windows import (
+            changepoint_single,
+        )
+
+        t0 = time.perf_counter()
+        changepoint_single(
+            rd.read_parquet(
+                events_path,
+                columns=["event_id", "user_id", "ts", "value"],
+            ),
+            min_n=4,
+        ).count()
+        timings["events_changepoint"] = round(time.perf_counter() - t0, 3)
 
         from light_curve_feature_ray.pipelines.quantiles import (
             grouped_histogram,

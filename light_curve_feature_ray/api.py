@@ -84,6 +84,7 @@ from .pipelines.aggregates import (  # noqa: F401
 
 # --- windows -------------------------------------------------------------
 from .pipelines.windows import (  # noqa: F401
+    changepoint_single,
     event_path_ngrams,
     event_transitions,
     ewma,
@@ -156,6 +157,7 @@ from .pipelines.text import (  # noqa: F401
     exact_dedup,
     fingerprint,
     json_extract_fields,
+    keyword_hits,
     lang_id,
     line_dedup,
     lm_score,

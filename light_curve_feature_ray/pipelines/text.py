@@ -3024,3 +3024,72 @@ def line_dedup(
     return docs_ds.map_batches(
         rewrite, batch_format="pyarrow", batch_size=None
     )
+
+
+def keyword_hits(
+    docs_ds,
+    *,
+    keywords: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Multi-keyword occurrence tagging — the blocklist/allowlist
+    filter primitive of web-corpus curation (C4 dropped pages on a
+    "bad words" list, Raffel et al. 2020 §2.2): for every (document,
+    keyword) pair with at least one LITERAL occurrence, returns
+    (id, keyword, hits) where hits counts NON-OVERLAPPING matches
+    left-to-right — exactly DuckDB's ``(len(text) -
+    len(replace(text, kw, ''))) // len(kw)`` and polars
+    ``count_matches(literal=True)`` agree on that convention.
+    Zero-hit pairs are absent (mirror with ``WHERE hits > 0``);
+    NULL texts drop.
+
+    Scale shape: pure per-block map — one Rust-regex literal counter
+    pass per keyword over the batch (keywords are a small broadcast
+    list by contract), output long-form; no shuffle, no per-row
+    Python.  Compose with a groupby or semi-join for doc-level
+    drop decisions."""
+    import polars as pl
+
+    if not keywords:
+        raise ValueError("keywords must be a non-empty list")
+    if any(not k for k in keywords):
+        raise ValueError("keywords must be non-empty strings")
+    kws = list(dict.fromkeys(keywords))  # stable-dedup
+
+    def f(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch[text_col]).cast(pl.String)
+        ids_out, kw_out, hits_out = [], [], []
+        valid = s.is_not_null().to_numpy()
+        for kw in kws:
+            cnt = (
+                s.str.count_matches(kw, literal=True)
+                .fill_null(0)
+                .to_numpy()
+                .astype(np.int64)
+            )
+            hit = valid & (cnt > 0)
+            if not hit.any():
+                continue
+            idx = np.flatnonzero(hit)
+            ids_out.append(idx)
+            kw_out.extend([kw] * idx.size)
+            hits_out.append(cnt[idx])
+        if not ids_out:
+            return pa.table(
+                {
+                    id_col: batch[id_col].slice(0, 0),
+                    "keyword": pa.array([], type=pa.string()),
+                    "hits": pa.array(np.empty(0, dtype=np.int64)),
+                }
+            )
+        take = pa.array(np.concatenate(ids_out))
+        return pa.table(
+            {
+                id_col: batch[id_col].take(take),
+                "keyword": pa.array(kw_out, type=pa.string()),
+                "hits": pa.array(np.concatenate(hits_out)),
+            }
+        )
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=None)

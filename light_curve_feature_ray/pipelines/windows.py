@@ -1718,3 +1718,131 @@ def lag_autocorr(
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def changepoint_single(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    min_n: int = 4,
+    num_partitions: int | None = None,
+):
+    """Exact single change-point detection per key — the binary-
+    segmentation base step (the relational analog of the reference's
+    Cusum/OtsuSplit level-shift features): over each key's (ts, id)-
+    ordered values, find the split ``i`` (left = rows 1..i, right =
+    i+1..n) minimizing SSE_left + SSE_right, i.e. the maximum-
+    between-variance breakpoint.  Returns (key, n, split_idx,
+    split_t_us, sse_total, sse_split, gain) — split_t_us is the
+    timestamp of the LAST left row, gain = sse_total - sse_split >= 0;
+    keys with n < ``min_n`` clean rows are dropped.
+
+    Determinism/parity contract: candidate SSEs are quantized to
+    round-6 (DuckDB half-away-from-zero, via pyarrow) BEFORE the
+    argmin, ties break to the SMALLEST i — the twin mirrors with
+    ``ORDER BY round(sse, 6), i`` — so a sub-round-6 float wobble
+    between engines cannot flip the chosen split.  NULL key / ts /
+    NaN-or-NULL value rows drop BEFORE ordering.  Values are anchored
+    per key at the key's first value (``value - first_value(value)
+    OVER w`` in the twin — SSE is shift-invariant, the rolling_zscore
+    cancellation rule), and per-key prefix sums come from one global
+    cumsum re-zeroed at segment starts (error ~eps x partition prefix
+    magnitude; fine at round-6 for anchored values).
+
+    Scale shape: ONE key-hash exchange, then a single vectorized pass
+    per partition — lexsort, two cumsums, closed-form SSE for every
+    candidate split at once, one ``minimum.reduceat`` argmin per key.
+    O(n) per partition, no per-key Python.
+    """
+    if min_n < 2:
+        raise ValueError(f"min_n must be >= 2, got {min_n}")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = _drop_null_ts(g, ts_col)
+        g = g[g[key_col].notna() & g[value_col].notna()]
+        v_chk = g[value_col].to_numpy(dtype=np.float64)
+        g = g[~np.isnan(v_chk)]
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series(
+                    dtype=g[key_col].dtype if len(g) else object
+                ),
+                "n": pd.Series(dtype=np.int64),
+                "split_idx": pd.Series(dtype=np.int64),
+                "split_t_us": pd.Series(dtype=np.int64),
+                "sse_total": pd.Series(dtype=np.float64),
+                "sse_split": pd.Series(dtype=np.float64),
+                "gain": pd.Series(dtype=np.float64),
+            }
+        )
+        m = len(g)
+        if m == 0:
+            return empty
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        t = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        order = np.lexsort((ids, t, keys))
+        keys, t = keys[order], t[order]
+        v = g[value_col].to_numpy(dtype=np.float64)[order]
+        idx = np.arange(m)
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        seg_id = np.cumsum(new_key) - 1
+        starts = np.flatnonzero(new_key)
+        ends = np.r_[starts[1:], m] - 1
+        n_seg = (ends - starts + 1).astype(np.float64)
+        vs = v - v[seg_start]
+        cs = np.cumsum(vs)
+        cs2 = np.cumsum(vs * vs)
+        off = np.where(starts > 0, cs[starts - 1], 0.0)
+        off2 = np.where(starts > 0, cs2[starts - 1], 0.0)
+        s_i = cs - off[seg_id]
+        s2_i = cs2 - off2[seg_id]
+        i = (idx - seg_start + 1).astype(np.float64)
+        n_at = n_seg[seg_id]
+        s_n = s_i[ends][seg_id]
+        s2_n = s2_i[ends][seg_id]
+        valid = i < n_at
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sse = (s2_i - s_i * s_i / i) + (
+                (s2_n - s2_i) - (s_n - s_i) ** 2 / (n_at - i)
+            )
+        sse_r = pc.round(
+            pa.array(np.where(valid, sse, np.inf)),
+            ndigits=6,
+            round_mode="half_towards_infinity",
+        ).to_numpy(zero_copy_only=False)
+        seg_min = np.minimum.reduceat(sse_r, starts)
+        hit = valid & (sse_r == seg_min[seg_id])
+        hit_pos = np.flatnonzero(hit)
+        if hit_pos.size == 0:
+            return empty
+        _, first_of = np.unique(seg_id[hit_pos], return_index=True)
+        pos = hit_pos[first_of]  # smallest i per key with the min SSE
+        sid = seg_id[pos]
+        n_out = n_seg[sid]
+        keep = n_out >= min_n
+        pos, sid, n_out = pos[keep], sid[keep], n_out[keep]
+        if pos.size == 0:
+            return empty
+        sse_total = s2_n[pos] - s_n[pos] * s_n[pos] / n_at[pos]
+        return pd.DataFrame(
+            {
+                key_col: keys[starts[sid]],
+                "n": n_out.astype(np.int64),
+                "split_idx": i[pos].astype(np.int64),
+                "split_t_us": t[pos],
+                "sse_total": sse_total,
+                "sse_split": sse[pos],
+                "gain": sse_total - sse[pos],
+            }
+        )
+
+    return (
+        _with_part(events_ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -842,3 +842,171 @@ def test_validate_constraints_partition_invariance_and_params(ray_session):
     ):
         with pytest.raises(ValueError):
             validate_constraints(rd.from_pandas(df), rules=bad)
+
+
+# ---------------------------------------------------------------------------
+# keyword_hits / changepoint_single
+# ---------------------------------------------------------------------------
+
+
+from light_curve_feature_ray.pipelines.text import keyword_hits  # noqa: E402
+from light_curve_feature_ray.pipelines.windows import (  # noqa: E402
+    changepoint_single,
+)
+
+
+def test_keyword_hits_counts_and_null_text(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "aba abab caba",  # 'ab' non-overlapping: aba->1, abab->2
+                "no hits here",
+                None,
+                "ab ab ab",
+            ],
+        }
+    )
+    out = (
+        keyword_hits(
+            rd.from_pandas(df).repartition(3), keywords=["ab", "caba"]
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "keyword"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    ref = con.execute(
+        """
+WITH k(kw) AS (VALUES ('ab'), ('caba')),
+h AS (
+    SELECT doc_id, kw,
+           (len(text) - len(replace(text, kw, ''))) // len(kw) AS hits
+    FROM documents, k WHERE text IS NOT NULL
+)
+SELECT doc_id, kw AS keyword, hits FROM h WHERE hits > 0
+ORDER BY doc_id, keyword
+"""
+    ).df()
+    assert list(out["doc_id"]) == list(ref["doc_id"])
+    assert list(out["keyword"]) == list(ref["keyword"])
+    np.testing.assert_array_equal(
+        out["hits"].to_numpy(), ref["hits"].to_numpy()
+    )
+    got = out.set_index(["doc_id", "keyword"])["hits"]
+    assert got.loc[(1, "ab")] == 4  # aba=1 + abab=2 + caba=1
+    assert got.loc[(4, "ab")] == 3
+    assert 2 not in out["doc_id"].values and 3 not in out["doc_id"].values
+    with pytest.raises(ValueError):
+        keyword_hits(rd.from_pandas(df), keywords=[])
+    with pytest.raises(ValueError):
+        keyword_hits(rd.from_pandas(df), keywords=["ok", ""])
+
+
+def test_changepoint_recovers_planted_shift(ray_session):
+    rng = np.random.default_rng(21)
+    rows = []
+    eid = 0
+    for uid, split_at, n in ((1, 30, 80), (2, 10, 40), (3, 55, 60)):
+        for j in range(n):
+            level = 0.0 if j < split_at else 25.0
+            rows.append(
+                (eid, uid, 1_700_000_000 + j, level + rng.normal(0, 1.0))
+            )
+            eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "value"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    out = (
+        changepoint_single(rd.from_pandas(df).repartition(4), min_n=4)
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert out.loc[1, "split_idx"] == 30
+    assert out.loc[2, "split_idx"] == 10
+    assert out.loc[3, "split_idx"] == 55
+    assert (out["gain"] > 0).all()
+    # gain dominates noise: the planted shift explains most variance
+    assert (out["gain"] / out["sse_total"] > 0.9).all()
+
+
+def test_changepoint_null_parity_vs_duckdb(ray_session):
+    df = _events_with_nulls()
+    out = (
+        changepoint_single(
+            rd.from_pandas(df).repartition(4), min_n=4, num_partitions=8
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute(
+        """
+WITH e AS (
+    SELECT user_id, ts, event_id, value FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(value)
+), o AS (
+    SELECT user_id, epoch_us(ts) AS t_us,
+           value - first_value(value) OVER w AS vs,
+           row_number() OVER w AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+    SELECT user_id, i, n, t_us,
+           sum(vs) OVER w2 AS s_i, sum(vs * vs) OVER w2 AS s2_i,
+           sum(vs) OVER (PARTITION BY user_id) AS s_n,
+           sum(vs * vs) OVER (PARTITION BY user_id) AS s2_n
+    FROM o WINDOW w2 AS (PARTITION BY user_id ORDER BY i
+                         ROWS UNBOUNDED PRECEDING)
+), s AS (
+    SELECT user_id, i, n, t_us,
+           (s2_i - s_i * s_i / i)
+               + ((s2_n - s2_i)
+                  - (s_n - s_i) * (s_n - s_i) / (n - i)) AS sse,
+           s2_n - s_n * s_n / n AS sse_total
+    FROM c WHERE i < n
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY round(sse, 6) ASC, i ASC) AS rk
+    FROM s
+)
+SELECT user_id, n, i AS split_idx, t_us AS split_t_us,
+       sse_total, sse AS sse_split FROM r WHERE rk = 1 AND n >= 4
+ORDER BY user_id
+"""
+    ).df()
+    assert len(out) == len(ref)
+    for c in ("user_id", "n", "split_idx", "split_t_us"):
+        np.testing.assert_array_equal(
+            out[c].to_numpy(), ref[c].to_numpy(), err_msg=c
+        )
+    for c in ("sse_total", "sse_split"):
+        np.testing.assert_allclose(
+            out[c].to_numpy(), ref[c].to_numpy(), atol=5e-7, err_msg=c
+        )
+
+
+def test_changepoint_partition_invariance_and_min_n(ray_session):
+    df = _events_with_nulls()
+    outs = []
+    for parts, nparts in ((1, 2), (6, 9)):
+        o = (
+            changepoint_single(
+                rd.from_pandas(df).repartition(parts),
+                min_n=6,
+                num_partitions=nparts,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0]["n"] >= 6).all()
+    with pytest.raises(ValueError):
+        changepoint_single(rd.from_pandas(df), min_n=1)
