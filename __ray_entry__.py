@@ -1324,6 +1324,7 @@ SELECT event_id, user_id, epoch_us(ts) AS t_us,
        round(value - lag(value) OVER o, 6) AS delta_value,
        CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER o AS DOUBLE) AS delta_t_us
 FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
        o AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1452,6 +1453,7 @@ SELECT event_id, user_id, epoch_us(ts) AS t_us,
              THEN (value - avg(value) OVER w) / (stddev_samp(value) OVER w)
              END, 6) AS zscore
 FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
@@ -1489,7 +1491,8 @@ WITH RECURSIVE base AS (
     SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
            row_number() OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) - 1 AS rn
-    FROM events WHERE value IS NOT NULL
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 rec AS (
     SELECT user_id, event_id, t_us, value, rn, value AS e
@@ -1506,7 +1509,8 @@ FROM rec
 UNION ALL
 SELECT event_id, user_id, epoch_us(ts) AS t_us, NULL AS value,
        NULL AS ewma
-FROM events WHERE value IS NULL
+FROM events
+WHERE value IS NULL AND ts IS NOT NULL AND user_id IS NOT NULL
 """
 
 
@@ -2080,6 +2084,7 @@ SELECT event_id, user_id, epoch_us(ts) AS t_us,
        round(sum(value) OVER o, 6) AS run_sum,
        round(max(value) OVER o, 6) AS run_max
 FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
 WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
@@ -3556,8 +3561,8 @@ WITH tok AS (
     FROM tok
 )
 SELECT doc_id, n_tokens,
-       p // {PACK_BUDGET} AS pack_id,
-       p % {PACK_BUDGET} AS pack_offset
+       CAST(p // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(p % {PACK_BUDGET} AS BIGINT) AS pack_offset
 FROM pre
 """
 
@@ -3662,7 +3667,8 @@ pre AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
     FROM tok
 )
-SELECT doc_id, n_tokens, p // 256 AS pack_id, p % 256 AS pack_offset,
+SELECT doc_id, n_tokens, CAST(p // 256 AS BIGINT) AS pack_id,
+       CAST(p % 256 AS BIGINT) AS pack_offset,
        {case} AS split
 FROM pre
 """
@@ -5417,6 +5423,7 @@ SELECT event_id, user_id, epoch_us(ts) AS t_us,
        round(sum(value) OVER w, 6) AS rolling_sum,
        round(avg(value) OVER w, 6) AS rolling_mean
 FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
@@ -5752,6 +5759,7 @@ SELECT event_id, user_id, epoch_us(ts) AS t_us,
        count(value) OVER w AS rolling_n,
        round(median(value) OVER w, 6) AS rolling_median
 FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
@@ -6110,92 +6118,24 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the external driver materializes only the first
-    # ~50 entries per round into CORRECTNESS_r{N}.json. Rotation plan
-    # (round 4): positions 1-4 are the four latest round-4 operators
-    # (coverage/throttle/new-users/chi2), 5-31 the 27 queries that had
-    # never appeared in any driver correctness file through r03 (the
-    # round-3 curation/sketch/packing family), 32-50 this round's other
-    # new queries (rollup_full_tiers_sql .. doc_char_entropy). The
-    # changed-code re-checks (events_zscore's cancellation fix, the
-    # Arrow-native minhash/simhash rewrites, the packed rollup
-    # exchange) now sit just past the window at 51-54 — they are green
-    # in earlier driver rounds AND locally; never-checked coverage wins
-    # the window slots. Everything later is green in r01-r03 driver
-    # files. Round-5 note: rotate to the FRONT (a) every query in the
-    # "round-5 rotation targets" section below (doc_weighted_sample,
-    # doc_quota_sample,
-    # events_retention,
-    # events_percent_rank, events_top_types,
-    # doc_pmi_bigrams, events_transitions,
-    # doc_char_entropy, events_zorder,
-    # events_ks_drift, doc_editdist_dups, events_type_histogram,
-    # events_audience_overlap, events_conversion_latency,
-    # events_trimmed_mean, events_twa, events_lag_deltas, doc_bm25,
-    # doc_triangles, doc_pagerank, events_disc_quantiles,
-    # events_entropy, doc_containment, + any later additions) and
-    # (b) any first-50 entry that missed r04.
+    # ~50 entries per round into CORRECTNESS_r{N}.json.  Round-5 plan:
+    # positions 1-2 are the two r04 FAILs (doc_pack/doc_curation — the
+    # oracle twins' HUGEINT->float64 pack_id/pack_offset are now CAST AS
+    # BIGINT; the engine values were verified identical), 3-31 the 29
+    # queries that had never appeared in ANY driver correctness file
+    # through r04 (union coverage becomes 146/146 once this round's file
+    # lands), 32-40 the re-checks whose engine or twin changed this round
+    # (welch/autocorr constant-arm variance snap; rolling-family null-key
+    # drops + twin WHERE filters; validate_constraints zero-row partial),
+    # 41-44 headline re-checks.  New round-5 queries are inserted right
+    # after position 44 so they land inside the window; everything past
+    # ~50 is green in r01-r04 driver files with unchanged code.
     return {
-        # -- newest round-4 operators (8) ----------------------------------
-        "events_welch_ab": q_events_welch_ab,
-        "doc_line_dedup": q_doc_line_dedup,
-        "events_rolling_median": q_events_rolling_median,
-        "events_paths": q_events_paths,
-        "events_autocorr": q_events_autocorr,
-        "events_target_encode": q_events_target_encode,
-        "events_validate": q_events_validate,
-        "doc_keyword_hits": q_doc_keyword_hits,
-        "events_changepoint": q_events_changepoint,
-        "events_coverage": q_events_coverage,
-        "events_throttle": q_events_throttle,
-        "events_new_users": q_events_new_users,
-        "events_chi2": q_events_chi2,
-        # -- never driver-checked through r03 (27) ------------------------
-        "events_approx_quantiles": q_events_approx_quantiles,
-        "events_type_quantiles": q_events_type_quantiles,
-        "events_hll_users": q_events_hll_users,
-        "events_cms_users": q_events_cms_users,
-        "events_pivot": q_events_pivot,
-        "events_top_users": q_events_top_users,
-        "doc_normalize": q_doc_normalize,
-        "doc_top_terms": q_doc_top_terms,
-        "doc_tfidf": q_doc_tfidf,
-        "doc_hash_sample": q_doc_hash_sample,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_split": q_doc_split,
+        # -- r04 driver FAILs, twins fixed this round (1-2) ---------------
         "doc_pack": q_doc_pack,
-        "doc_shuffle": q_doc_shuffle,
         "doc_curation": q_doc_curation,
-        "doc_top_k_per_lang": q_doc_top_k_per_lang,
-        "doc_dedup_groups": q_doc_dedup_groups,
-        "doc_canonical": q_doc_canonical,
-        "doc_repetition": q_doc_repetition,
-        "doc_chunks": q_doc_chunks,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_lm_score": q_doc_lm_score,
-        "doc_quality_filter": q_doc_quality_filter,
-        "lineitem_bloom": q_lineitem_bloom,
-        "emb_group_centroid": q_emb_group_centroid,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        # -- new this round (28-33) ----------------------------------------
-        "rollup_full_tiers_sql": q_rollup_full_tiers_sql,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
-        "doc_boilerplate": q_doc_boilerplate,
-        "events_heavy_users": q_events_heavy_users,
-        "events_winsorized": q_events_winsorized,
-        "events_mad_outliers": q_events_mad_outliers,
-        "events_mode": q_events_mode,
-        "doc_dsir_weights": q_doc_dsir_weights,
-        "emb_kcenter_sample": q_emb_kcenter_sample,
-        "events_funnel": q_events_funnel,
+        # -- never driver-checked through r04 (3-31) ----------------------
         "events_state_intervals": q_events_state_intervals,
-        # -- headline / changed-this-round re-checks (51-55) ---------------
-        "events_zscore": q_events_zscore,
-        "doc_minhash_dups": q_doc_minhash_dups,
-        "doc_simhash_dups": q_doc_simhash_dups,
-        "emb_cosine_dups": q_emb_cosine_dups,
-        "rollup_1m_stats": q_rollup_1m_stats,
-        # -- added after the r04 window froze: round-5 rotation targets ----
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_quota_sample": q_doc_quota_sample,
         "events_retention": q_events_retention,
@@ -6224,17 +6164,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouped_approx": q_events_grouped_approx,
         "events_resample": q_events_resample,
         "doc_bm25_search": q_doc_bm25_search,
-        # -- green in r01-r03 driver files ---------------------------------
+        # -- engine/twin changed this round: re-check (32-40) -------------
+        "events_welch_ab": q_events_welch_ab,
+        "events_autocorr": q_events_autocorr,
+        "events_rolling_median": q_events_rolling_median,
+        "events_rolling": q_events_rolling,
+        "events_rolling_time": q_events_rolling_time,
+        "events_zscore": q_events_zscore,
+        "events_running": q_events_running,
+        "events_ewma": q_events_ewma,
+        "events_validate": q_events_validate,
+        # -- headline re-checks (41-44) -----------------------------------
+        "rollup_full_tiers_sql": q_rollup_full_tiers_sql,
+        "rollup_1m_stats": q_rollup_1m_stats,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "emb_kcenter_sample": q_emb_kcenter_sample,
+        # -- new round-5 queries go here (45+) ----------------------------
+        # -- green in r01-r04 driver files, code unchanged ----------------
+        "doc_line_dedup": q_doc_line_dedup,
+        "events_paths": q_events_paths,
+        "events_target_encode": q_events_target_encode,
+        "doc_keyword_hits": q_doc_keyword_hits,
+        "events_changepoint": q_events_changepoint,
+        "events_coverage": q_events_coverage,
+        "events_throttle": q_events_throttle,
+        "events_new_users": q_events_new_users,
+        "events_chi2": q_events_chi2,
+        "events_approx_quantiles": q_events_approx_quantiles,
+        "events_type_quantiles": q_events_type_quantiles,
+        "events_hll_users": q_events_hll_users,
+        "events_cms_users": q_events_cms_users,
+        "events_pivot": q_events_pivot,
+        "events_top_users": q_events_top_users,
+        "doc_normalize": q_doc_normalize,
+        "doc_top_terms": q_doc_top_terms,
+        "doc_tfidf": q_doc_tfidf,
+        "doc_hash_sample": q_doc_hash_sample,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_split": q_doc_split,
+        "doc_shuffle": q_doc_shuffle,
+        "doc_top_k_per_lang": q_doc_top_k_per_lang,
+        "doc_dedup_groups": q_doc_dedup_groups,
+        "doc_canonical": q_doc_canonical,
+        "doc_repetition": q_doc_repetition,
+        "doc_chunks": q_doc_chunks,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_lm_score": q_doc_lm_score,
+        "doc_quality_filter": q_doc_quality_filter,
+        "lineitem_bloom": q_lineitem_bloom,
+        "emb_group_centroid": q_emb_group_centroid,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "doc_boilerplate": q_doc_boilerplate,
+        "events_heavy_users": q_events_heavy_users,
+        "events_winsorized": q_events_winsorized,
+        "events_mad_outliers": q_events_mad_outliers,
+        "events_mode": q_events_mode,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "events_funnel": q_events_funnel,
+        "doc_minhash_dups": q_doc_minhash_dups,
+        "doc_simhash_dups": q_doc_simhash_dups,
+        "emb_cosine_dups": q_emb_cosine_dups,
         "rollup_incremental": q_rollup_incremental,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "rollup_1d_gapfill_linear": q_rollup_1d_gapfill_linear,
         "rollup_full_tiers": q_rollup_full_tiers,
-        # (doc_exact_dedup / events_grouping_sets / events_value_quantiles
-        #  / events_asof_join / events_interval_join / lineitem_orders_join
-        #  / conv_advanced / knn_* / turns_clean moved below the ~50-entry
-        #  window for the seven round-4 query additions above: all appeared
-        #  in r01-r03 driver files and their code is unchanged this round)
         "turns_clean": q_turns_clean,
         "conv_advanced": q_conv_advanced,
         "knn_cosine": q_knn_cosine,
@@ -6267,12 +6262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": q_events_sliding_window,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessions": q_events_sessions,
-        "events_rolling": q_events_rolling,
-        "events_rolling_time": q_events_rolling_time,
-        "events_ewma": q_events_ewma,
         "events_user_trend": q_events_user_trend,
         "events_last_state": q_events_last_state,
-        "events_running": q_events_running,
         "events_value_histogram": q_events_value_histogram,
         "events_json_props": q_events_json_props,
         "events_distinct_users": q_events_distinct_users,

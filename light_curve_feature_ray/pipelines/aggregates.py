@@ -14,10 +14,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _grouped_sums(keys, key_field: pa.Field, cols: dict) -> pa.Table:
+def _grouped_sums(
+    keys, key_field: pa.Field, cols: dict, minmax: dict | None = None
+) -> pa.Table:
     """Block-local per-key partial sums (the combiner both aggregates
     share): one stable argsort + ``add.reduceat`` per numeric column,
-    plus the per-key row count ``n``."""
+    plus the per-key row count ``n``.  ``minmax`` adds per-key
+    ``{name}_min``/``{name}_max`` partials (minimum/maximum.reduceat over
+    the same order) — mergeable downstream via Min/Max aggregates; used
+    to snap exactly-constant groups to zero variance (the rolling_zscore
+    win min==max rule) where the closed form would leave ±1e-12 noise."""
+    minmax = minmax or {}
     if keys.size == 0:
         out = {
             key_field.name: pa.array(keys).cast(key_field.type),
@@ -25,6 +32,9 @@ def _grouped_sums(keys, key_field: pa.Field, cols: dict) -> pa.Table:
         }
         for name in cols:
             out[name] = pa.array(np.empty(0, dtype=np.float64))
+        for name in minmax:
+            out[name + "_min"] = pa.array(np.empty(0, dtype=np.float64))
+            out[name + "_max"] = pa.array(np.empty(0, dtype=np.float64))
         return pa.table(out)
     uniq, inv = np.unique(keys, return_inverse=True)
     order = np.argsort(inv, kind="stable")
@@ -35,6 +45,9 @@ def _grouped_sums(keys, key_field: pa.Field, cols: dict) -> pa.Table:
     }
     for name, arr in cols.items():
         out[name] = pa.array(np.add.reduceat(arr[order], starts))
+    for name, arr in minmax.items():
+        out[name + "_min"] = pa.array(np.minimum.reduceat(arr[order], starts))
+        out[name + "_max"] = pa.array(np.maximum.reduceat(arr[order], starts))
     return pa.table(out)
 
 
@@ -1319,6 +1332,7 @@ def welch_t_ab(
                 keys[mask],
                 key_field,
                 {"s1": vs[mask], "s2": vs[mask] * vs[mask]},
+                minmax={"v": vs[mask]},
             )
             parts.append(
                 t.append_column(
@@ -1327,10 +1341,14 @@ def welch_t_ab(
             )
         return pa.concat_tables(parts)
 
+    from ray.data.aggregate import Max, Min, Sum
+
     agg = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby([key_col, "ia"])
-        .sum(["n", "s1", "s2"])
+        .aggregate(
+            Sum("n"), Sum("s1"), Sum("s2"), Min("v_min"), Max("v_max")
+        )
         .repartition(1)
     )
 
@@ -1353,6 +1371,9 @@ def welch_t_ab(
         n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.float64)
         s1 = t["sum(s1)"].to_numpy(zero_copy_only=False)
         s2 = t["sum(s2)"].to_numpy(zero_copy_only=False)
+        const = t["min(v_min)"].to_numpy(zero_copy_only=False) == t[
+            "max(v_max)"
+        ].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(keys, return_inverse=True)
         k = uniq.size
         na = np.zeros(k)
@@ -1361,13 +1382,24 @@ def welch_t_ab(
         sb1 = np.zeros(k)
         sa2 = np.zeros(k)
         sb2 = np.zeros(k)
+        ca = np.zeros(k, dtype=bool)
+        cb = np.zeros(k, dtype=bool)
         na[inv[ia]], sa1[inv[ia]], sa2[inv[ia]] = n[ia], s1[ia], s2[ia]
         nb[inv[~ia]], sb1[inv[~ia]], sb2[inv[~ia]] = n[~ia], s1[~ia], s2[~ia]
+        ca[inv[ia]] = const[ia]
+        cb[inv[~ia]] = const[~ia]
         with np.errstate(invalid="ignore", divide="ignore"):
             ma = value_offset + sa1 / na
             mb = value_offset + sb1 / nb
             va = (sa2 - sa1 * sa1 / na) / (na - 1.0)
             vb = (sb2 - sb1 * sb1 / nb) / (nb - 1.0)
+            # exactly-constant arms snap to variance 0 (arm min == max,
+            # the rolling_zscore rule): the closed form leaves ±1e-12
+            # epsilon for a constant arm whose value != the global-min
+            # anchor, flipping the `pooled > 0` presence filter vs the
+            # twin's var_samp (exactly 0) and emitting a garbage t_stat
+            va[ca] = 0.0
+            vb[cb] = 0.0
             pooled = va / na + vb / nb
             # mean difference from the SHIFTED sums (offset cancels
             # algebraically) — subtracting the two reconstructed means

@@ -206,6 +206,28 @@ def validate_constraints(
             )
         )
 
+    # one constant zero-row partial per rule (n_checked=0, n_violations=0,
+    # min_id=_NO_ID): a `unique` rule over an all-NULL column (or an empty
+    # dataset) yields an EMPTY grouped dataset, so no ustat partial is
+    # emitted and the rule would silently vanish from the scorecard —
+    # reading as "passed" rather than "checked nothing".  The twin's
+    # UNION ALL arm always emits (rule, 0, 0, NULL); mirror it.  Zeros
+    # are identities of the (Sum, Sum, Min) reduce, so this never changes
+    # a non-empty rule's row.
+    from ray.data import from_arrow
+
+    n_rules = len(rules)
+    partials.append(
+        from_arrow(
+            _stats_table(
+                [r["name"] for r in rules],
+                [0] * n_rules,
+                [0] * n_rules,
+                [_NO_ID] * n_rules,
+            )
+        )
+    )
+
     combined = partials[0]
     for p in partials[1:]:
         combined = combined.union(p)

@@ -103,7 +103,7 @@ def _word_hashes_flat(texts) -> tuple[np.ndarray, np.ndarray]:
     s = _texts_as_polars(texts)
     words = s.str.to_lowercase().str.extract_all(r"\S+")
     lens = words.list.len().to_numpy().astype(np.int64)
-    flat = words.explode().drop_nulls()  # empty lists explode to one null
+    flat = words.explode(empty_as_null=True).drop_nulls()
     h = flat.hash(seed=_HASH_SEED).to_numpy().astype(np.uint64)
     return h, lens
 
@@ -416,7 +416,7 @@ def top_terms(docs_ds, k: int = 20):
         toks = (
             s.str.to_lowercase()
             .str.extract_all(_TOKEN_RE_POLARS)
-            .explode()
+            .explode(empty_as_null=True)
             .drop_nulls()  # empty token lists explode to one null
             .alias("term")
         )
@@ -483,7 +483,7 @@ def tfidf_top_terms(docs_ds, k: int = 3, max_vocab_broadcast: int = 5_000_000):
                 .alias("term")
             )
             .drop("text")
-            .explode("term")
+            .explode("term", empty_as_null=True)
             .drop_nulls("term")
         )
 
@@ -584,7 +584,7 @@ def bm25_top_terms(
                 .alias("term")
             )
             .drop("text")
-            .explode("term")
+            .explode("term", empty_as_null=True)
             .drop_nulls("term")
         )
 
@@ -703,7 +703,7 @@ def bm25_search(
                 .alias("term")
             )
             .drop("text")
-            .explode("term")
+            .explode("term", empty_as_null=True)
             .drop_nulls("term")
         )
 
@@ -829,7 +829,7 @@ def pmi_bigrams(
                 {"toks": s.str.to_lowercase().str.extract_all(_TOKEN_RE_POLARS)}
             )
             .with_row_index("i")
-            .explode("toks")
+            .explode("toks", empty_as_null=True)
             .drop_nulls("toks")  # empty token lists explode to one null
         )
         uni = d["toks"].value_counts()
@@ -1670,7 +1670,7 @@ def _word_poly_hashes_flat(texts) -> tuple[np.ndarray, np.ndarray]:
     s = _texts_as_polars(texts)
     words = s.str.to_lowercase().str.extract_all(r"\S+")
     lens = words.list.len().to_numpy().astype(np.int64)
-    flat = words.explode().drop_nulls()
+    flat = words.explode(empty_as_null=True).drop_nulls()
     wl = flat.str.len_chars().to_numpy().astype(np.int64)
     joined = "".join(flat.to_list())
     cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
@@ -2267,7 +2267,7 @@ def _tokens_long(texts):
                 "w": s.str.to_lowercase().str.extract_all(_TOKEN_RE_POLARS),
             }
         )
-        .explode("w")
+        .explode("w", empty_as_null=True)
         .drop_nulls("w")
     )
 
@@ -2899,12 +2899,12 @@ def _lines_long(batch: pa.Table, text_col: str, line_tokens: int | None):
     ).filter(pl.col("t").is_not_null())
     if line_tokens is None:
         e = d.with_columns(pl.col("t").str.split("\n").alias("line"))
-        e = e.drop("t").explode("line")
+        e = e.drop("t").explode("line", empty_as_null=True)
         return e.with_columns(
             ln=pl.int_range(pl.len(), dtype=pl.Int64).over("i")
         )
     e = d.with_columns(pl.col("t").str.split(" ").alias("w"))
-    e = e.drop("t").explode("w")
+    e = e.drop("t").explode("w", empty_as_null=True)
     e = e.with_columns(j=pl.int_range(pl.len(), dtype=pl.Int64).over("i"))
     e = e.with_columns(ln=pl.col("j") // line_tokens)
     return (

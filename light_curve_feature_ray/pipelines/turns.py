@@ -157,10 +157,17 @@ def _unpack_settle(batch: pa.Table) -> pa.Table:
     return _dedup_sort_partition(merged)
 
 
-def clean_turns(ds, num_partitions: int = 64):
+def clean_turns(ds, num_partitions: int | None = None):
     """Dedup (conv_id, turn_idx) first-wins; turns ordered by turn_idx
     within each conversation. All six input columns pass through untouched
-    (byte equality verified by tests and the driver oracle)."""
+    (byte equality verified by tests and the driver oracle).
+    ``num_partitions=None`` auto-sizes to the cluster
+    (``auto_shuffle_partitions`` — 2 per CPU, floored at 32); outputs are
+    invariant to the value."""
+    if num_partitions is None:
+        from .windows import auto_shuffle_partitions
+
+        num_partitions = auto_shuffle_partitions()
 
     parcels = ds.map_batches(
         lambda b: _pack_parcels(b, num_partitions),

@@ -207,6 +207,10 @@ def rolling_agg(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = _drop_null_ts(g, ts_col)
+        # NULL keys drop too (twin: WHERE key IS NOT NULL) — a None
+        # string key crashes lexsort; a NaN numeric key would become its
+        # own segment per NaN vs SQL's single NULL partition
+        g = g[g[key_col].notna()]
         t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key_col].to_numpy()
         ids = g[id_col].to_numpy()
@@ -313,6 +317,9 @@ def rolling_time_agg(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = _drop_null_ts(g, ts_col)
+        # NULL keys drop (twin: WHERE key IS NOT NULL) — a null would
+        # poison the int64 cast below
+        g = g[g[key_col].notna()]
         t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key_col].to_numpy(dtype=np.int64)
         ids = g[id_col].to_numpy()
@@ -463,6 +470,10 @@ def ewma(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = _drop_null_ts(g, ts_col)
+        # NULL keys drop too (twin: WHERE key IS NOT NULL) — a None
+        # string key crashes lexsort; a NaN numeric key would become its
+        # own segment per NaN vs SQL's single NULL partition
+        g = g[g[key_col].notna()]
         t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key_col].to_numpy()
         ids = g[id_col].to_numpy()
@@ -523,6 +534,10 @@ def rolling_zscore(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = _drop_null_ts(g, ts_col)
+        # NULL keys drop too (twin: WHERE key IS NOT NULL) — a None
+        # string key crashes lexsort; a NaN numeric key would become its
+        # own segment per NaN vs SQL's single NULL partition
+        g = g[g[key_col].notna()]
         t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key_col].to_numpy()
         ids = g[id_col].to_numpy()
@@ -633,6 +648,10 @@ def running_agg(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = _drop_null_ts(g, ts_col)
+        # NULL keys drop too (twin: WHERE key IS NOT NULL) — a None
+        # string key crashes lexsort; a NaN numeric key would become its
+        # own segment per NaN vs SQL's single NULL partition
+        g = g[g[key_col].notna()]
         t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key_col].to_numpy()
         ids = g[id_col].to_numpy()
@@ -1457,7 +1476,11 @@ def rolling_median(
     two middle values (the quantile_cont 0.5 convention DuckDB's
     ``median`` shares with ``np.nanmedian``).  NaN/NULL values are
     skipped like SQL NULLs (median over the non-null window rows;
-    all-null window -> NULL); NULL-ts rows drop (``_drop_null_ts``).
+    all-null window -> NULL); NULL-ts rows drop (``_drop_null_ts``) and
+    NULL-key rows drop too (the lag_autocorr/changepoint rule — a None
+    string key crashes lexsort, a NaN numeric key would become its own
+    segment per NaN vs SQL's single NULL partition; twin mirrors with
+    ``WHERE ts IS NOT NULL AND key IS NOT NULL``).
 
     Returns (id, key, t_us, rolling_n, rolling_median).
 
@@ -1474,6 +1497,10 @@ def rolling_median(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = _drop_null_ts(g, ts_col)
+        # NULL keys drop too (twin: WHERE key IS NOT NULL) — a None
+        # string key crashes lexsort; a NaN numeric key would become its
+        # own segment per NaN vs SQL's single NULL partition
+        g = g[g[key_col].notna()]
         t_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key_col].to_numpy()
         ids = g[id_col].to_numpy()
@@ -1702,6 +1729,14 @@ def lag_autocorr(
         syy = np.add.reduceat(y * y, starts)
         vx = n * sxx - sx * sx
         vy = n * syy - sy * sy
+        # exactly-constant sides snap to variance 0 (seg min == max, the
+        # rolling_zscore/welch rule): y is anchored at x's first value, so
+        # a constant-y segment whose value != the anchor leaves ±eps in
+        # the closed form and would flip the `vy > 0` presence filter vs
+        # the twin's corr() (NULL on zero variance).  x's anchor is its
+        # own first value (constant x is exactly 0), snapped for symmetry.
+        vx[np.minimum.reduceat(x, starts) == np.maximum.reduceat(x, starts)] = 0.0
+        vy[np.minimum.reduceat(y, starts) == np.maximum.reduceat(y, starts)] = 0.0
         with np.errstate(invalid="ignore", divide="ignore"):
             r = (n * sxy - sx * sy) / np.sqrt(vx * vy)
         keep = (n >= 2) & (vx > 0) & (vy > 0)

@@ -43,8 +43,36 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(keys, kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class the driver's hash canonicalization distinguishes:
+    int-vs-float divergence between the engine and its oracle (e.g. DuckDB
+    HUGEINT surfacing as float64) hash-mismatches even when every value is
+    numerically identical — so it must fail here too."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     problems = []
+    # dtype-kind parity BEFORE normalization (normalize() casts both sides
+    # to common widths, which is exactly what masked the doc_pack driver
+    # fail in round 4 — the driver hash is not dtype-blind)
+    for c in sorted(set(ray_df.columns) & set(sql_df.columns)):
+        ka, kb = _dtype_kind(ray_df[c]), _dtype_kind(sql_df[c])
+        if ka != kb:
+            problems.append(
+                f"col {c}: dtype kind differs ray={ka}({ray_df[c].dtype}) "
+                f"sql={kb}({sql_df[c].dtype}) — driver hash would mismatch"
+            )
+    if problems:
+        return problems
     a, b = normalize(ray_df), normalize(sql_df)
     if list(a.columns) != list(b.columns):
         problems.append(f"columns differ: ray={list(a.columns)} sql={list(b.columns)}")

@@ -1,0 +1,302 @@
+"""Round-5 fixes: constant-arm variance snapping (welch/autocorr), the
+rolling-family NULL-key drops, and the validate_constraints always-emit
+contract — each pinned against the actual oracle semantics the driver
+testdata (null-free, variance-rich) can never exercise."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from light_curve_feature_ray.pipelines.aggregates import welch_t_ab
+from light_curve_feature_ray.pipelines.quality import validate_constraints
+from light_curve_feature_ray.pipelines.sampling import lehmer_hash
+from light_curve_feature_ray.pipelines.windows import (
+    lag_autocorr,
+    rolling_agg,
+    rolling_median,
+)
+
+
+def _parity_ids(n: int, want_even: bool, start: int = 100000) -> np.ndarray:
+    ids = np.arange(start, start + 80 * n, dtype=np.int64)
+    mask = lehmer_hash(ids) % 2 == (0 if want_even else 1)
+    sel = ids[mask]
+    assert sel.size >= n
+    return sel[:n]
+
+
+def test_welch_constant_arm_snaps_to_zero_variance(ray_session):
+    # Arm values constant at 5.0 while the GLOBAL min anchor is 0.0:
+    # the closed form (s2 - s1^2/n) over shifted values leaves ±1e-12
+    # epsilon, which must snap to exactly 0 (arm min == max) so the
+    # `pooled > 0` presence filter agrees with var_samp = 0.
+    ia = _parity_ids(3, True)
+    ib = _parity_ids(3, False)
+    rows = []
+    # key "anchor" pins the global min at 0.0 (both arms varying)
+    rows += [
+        ("anchor", int(i), float(v))
+        for i, v in zip(_parity_ids(3, True, 500000), (0.0, 1.0, 2.0))
+    ]
+    rows += [
+        ("anchor", int(i), float(v))
+        for i, v in zip(_parity_ids(3, False, 900000), (0.5, 1.5, 2.5))
+    ]
+    # key "bothconst": BOTH arms constant at 5.0 -> pooled == 0 -> absent
+    rows += [("bothconst", int(i), 5.0) for i in ia]
+    rows += [("bothconst", int(i), 5.0) for i in ib]
+    # key "oneconst": arm a constant 5.0, arm b varying -> present, and
+    # t/df must match the var_samp twin where v_a is exactly 0
+    rows += [("oneconst", int(i), 5.0) for i in _parity_ids(3, True, 1300000)]
+    rows += [
+        ("oneconst", int(i), float(v))
+        for i, v in zip(_parity_ids(3, False, 1700000), (4.0, 5.0, 6.0))
+    ]
+    df = pd.DataFrame(rows, columns=["key", "id", "value"])
+
+    out = (
+        welch_t_ab(
+            rd.from_pandas(df).repartition(4),
+            key_col="key",
+            value_col="value",
+            id_col="id",
+        )
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert "bothconst" not in set(out["key"])
+    assert "oneconst" in set(out["key"])
+
+    from light_curve_feature_ray.pipelines.sampling import lehmer_sql
+
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.execute(
+        f"""
+WITH s AS (
+    SELECT key, value,
+           CASE WHEN ({lehmer_sql("id")}) % 2 = 0 THEN 1 ELSE 0 END AS ia
+    FROM t
+), g AS (
+    SELECT key,
+           count(*) FILTER (WHERE ia = 1) AS n_a,
+           count(*) FILTER (WHERE ia = 0) AS n_b,
+           avg(value) FILTER (WHERE ia = 1) AS m_a,
+           avg(value) FILTER (WHERE ia = 0) AS m_b,
+           var_samp(value) FILTER (WHERE ia = 1) AS v_a,
+           var_samp(value) FILTER (WHERE ia = 0) AS v_b
+    FROM s GROUP BY key
+)
+SELECT key, n_a, n_b,
+       (m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) AS t_stat
+FROM g
+WHERE n_a >= 2 AND n_b >= 2 AND (v_a / n_a + v_b / n_b) > 0
+ORDER BY key
+"""
+    ).df()
+    assert list(out["key"]) == list(ref["key"])
+    np.testing.assert_allclose(
+        np.round(out["t_stat"].to_numpy(), 6),
+        np.round(ref["t_stat"].to_numpy(), 6),
+        atol=1.5e-6,
+        rtol=0,
+    )
+
+
+def test_lag_autocorr_constant_y_side_dropped(ray_session):
+    # key "cy": x varies (first pair value 7 anchors both sides) but the
+    # y side is constant at 3 -> vy must snap to exactly 0 and the key
+    # drop, matching DuckDB corr() = NULL on a zero-variance side.
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(10, dtype=np.int64),
+            "user_id": ["cy"] * 5 + ["ok"] * 5,
+            "ts": pd.to_datetime(np.arange(10), unit="s"),
+            "value": [7.0, 3.0, 3.0, 3.0, 3.0] + [1.0, 4.0, 2.0, 8.0, 5.0],
+        }
+    )
+    out = (
+        lag_autocorr(rd.from_pandas(df).repartition(3), lag=1)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert "cy" not in set(out["user_id"])
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute(
+        """
+WITH p AS (
+    SELECT user_id, value AS x,
+           lead(value) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS y
+    FROM events
+)
+SELECT user_id, corr(x, y) AS autocorr
+FROM p WHERE y IS NOT NULL
+GROUP BY user_id
+HAVING corr(x, y) IS NOT NULL
+ORDER BY user_id
+"""
+    ).df()
+    assert list(out["user_id"]) == list(ref["user_id"]) == ["ok"]
+    np.testing.assert_allclose(
+        np.round(out["autocorr"].to_numpy(), 6),
+        np.round(ref["autocorr"].to_numpy(), 6),
+        atol=1.5e-6,
+        rtol=0,
+    )
+
+
+def test_rolling_family_drops_null_keys(ray_session):
+    # a None STRING key used to crash np.lexsort ('<' unsupported vs
+    # NoneType); now the row drops, mirroring the twins' new
+    # WHERE key IS NOT NULL filter
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": ["a", None, "a", "b", None, "b"],
+            "ts": pd.to_datetime(np.arange(6), unit="s"),
+            "value": [1.0, 99.0, 2.0, 3.0, 88.0, 4.0],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(2)
+    med = rolling_median(ds, k=3, num_partitions=4).to_pandas()
+    assert len(med) == 4 and med["user_id"].notna().all()
+    rag = rolling_agg(ds, k=3, num_partitions=4).to_pandas()
+    assert len(rag) == 4 and rag["user_id"].notna().all()
+    # NaN NUMERIC keys drop too (each NaN would otherwise become its own
+    # segment vs SQL's single NULL partition)
+    dfn = df.assign(user_id=[1.0, np.nan, 1.0, 2.0, np.nan, 2.0])
+    medn = rolling_median(
+        rd.from_pandas(dfn).repartition(2), k=3, num_partitions=4
+    ).to_pandas()
+    assert len(medn) == 4
+
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute(
+        """
+SELECT event_id, median(value) OVER w AS rolling_median
+FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+    ).df()
+    got = med.sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_array_equal(
+        got["event_id"].to_numpy(), ref["event_id"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        got["rolling_median"].to_numpy(), ref["rolling_median"].to_numpy()
+    )
+
+
+def test_validate_constraints_unique_all_null_still_emits(ray_session):
+    # a `unique` rule over an all-NULL column yields an EMPTY grouped
+    # dataset — the rule must still appear as (0, 0, NULL), not vanish
+    # (vanishing reads as "passed" rather than "checked nothing")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "allnull": pd.array([None] * 4, dtype="Int64"),
+            "v": [1.0, 2.0, 2.0, 3.0],
+        }
+    )
+    out = validate_constraints(
+        rd.from_pandas(df).repartition(2),
+        rules=[
+            {"name": "u_allnull", "kind": "unique", "col": "allnull"},
+            {"name": "u_v", "kind": "unique", "col": "v"},
+            {"name": "nn", "kind": "not_null", "col": "allnull"},
+        ],
+        id_col="event_id",
+    ).to_pandas()
+    out = out.set_index("rule")
+    assert set(out.index) == {"u_allnull", "u_v", "nn"}
+    assert out.loc["u_allnull", "n_checked"] == 0
+    assert out.loc["u_allnull", "n_violations"] == 0
+    assert pd.isna(out.loc["u_allnull", "min_violating_id"])
+    assert out.loc["u_v", "n_checked"] == 4
+    assert out.loc["u_v", "n_violations"] == 1
+    assert out.loc["u_v", "min_violating_id"] == 1
+    assert out.loc["nn", "n_violations"] == 4
+
+
+def test_validate_constraints_empty_dataset_emits_all_rules(ray_session):
+    df = pd.DataFrame(
+        {
+            "event_id": pd.array([], dtype="int64"),
+            "v": pd.array([], dtype="float64"),
+        }
+    )
+    out = validate_constraints(
+        rd.from_pandas(df),
+        rules=[
+            {"name": "r1", "kind": "range", "col": "v", "lo": 0, "hi": 1},
+            {"name": "u1", "kind": "unique", "col": "v"},
+        ],
+        id_col="event_id",
+    ).to_pandas()
+    assert set(out["rule"]) == {"r1", "u1"}
+    assert (out["n_checked"] == 0).all()
+    assert (out["n_violations"] == 0).all()
+    assert out["min_violating_id"].isna().all()
+
+
+def test_semantic_dedup_within_cell_bruteforce_parity(ray_session):
+    # the within-cell prune must be EXACTLY the naive all-pairs rule
+    # over the same cells: mark i a duplicate of the smallest-id j < i
+    # in its cell with cosine >= threshold (the kcenter driver-vs-rounds
+    # parity pattern, applied to semantic_dedup's non-SQL core)
+    from light_curve_feature_ray.pipelines.similarity import semantic_dedup
+
+    rng = np.random.default_rng(23)
+    # moderate dimension + a LOW threshold so random vectors produce a
+    # healthy mix of dups and keepers inside cells
+    vecs = rng.normal(size=(300, 8))
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [v.astype(np.float32) for v in vecs],
+        }
+    )
+    threshold = 0.6
+    out = (
+        semantic_dedup(
+            rd.from_pandas(df).repartition(5),
+            threshold=threshold,
+            n_centroids=6,
+            seed=9,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(vecs)
+    # some dups and some keepers, or the test proves nothing
+    assert 0 < int(out["keep"].sum()) < len(vecs)
+
+    # naive recomputation over the SAME cell assignment (float32-rounded
+    # vectors normalized in float64, matching the kernel's _normalize)
+    mat = np.stack([v.astype(np.float32).astype(np.float64) for v in vecs])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    for cell, grp in out.groupby("cell"):
+        ids = grp["vec_id"].to_numpy()
+        assert list(ids) == sorted(ids)
+        sub = mat[ids]
+        cos = sub @ sub.T
+        for i in range(len(ids)):
+            below = np.flatnonzero(cos[i, :i] >= threshold)
+            if below.size:
+                assert not bool(grp["keep"].iloc[i]), (cell, ids[i])
+                assert int(grp["rep_id"].iloc[i]) == int(ids[below[0]])
+            else:
+                assert bool(grp["keep"].iloc[i]), (cell, ids[i])
+                assert int(grp["rep_id"].iloc[i]) == int(ids[i])
