@@ -99,6 +99,39 @@ def q_turns_clean(sf_dir: str):
     )
 
 
+def q_turns_assemble(sf_dir: str):
+    """Training-document assembly (pipelines/aggregates.py
+    group_collect): each conversation's turns concatenated in turn_idx
+    order into ONE document row — exactly SQL's string_agg(text, chr(10)
+    ORDER BY turn_idx, text) per conv_id with count(text) non-null
+    semantics. One key-hash exchange, vectorized polars sort +
+    group_by/str.join per partition."""
+    from light_curve_feature_ray.pipelines.aggregates import group_collect
+
+    turns = _turns(sf_dir)
+    return group_collect(
+        turns.map_batches(
+            lambda b: b.select(["conv_id", "turn_idx", "text"]),
+            batch_format="pyarrow",
+        ),
+        key_col="conv_id",
+        order_cols=("turn_idx",),
+        value_col="text",
+        sep="\n",
+        num_partitions=16,
+    )
+
+
+SQL_TURNS_ASSEMBLE = f"""
+WITH turns AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, count(text) AS n_values,
+       string_agg(text, chr(10) ORDER BY turn_idx, text) AS doc
+FROM turns
+WHERE conv_id IS NOT NULL
+GROUP BY conv_id
+"""
+
+
 def _rollup(sf_dir: str, **cfg_kwargs):
     from light_curve_feature_ray.stages.rollup import RollupConfig, RollupWorker
 
@@ -6180,6 +6213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "emb_kcenter_sample": q_emb_kcenter_sample,
         # -- new round-5 queries go here (45+) ----------------------------
+        "turns_assemble": q_turns_assemble,
         # -- green in r01-r04 driver files, code unchanged ----------------
         "doc_line_dedup": q_doc_line_dedup,
         "events_paths": q_events_paths,
@@ -6289,6 +6323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "turns_clean": f"WITH turns AS ({TRANSCRIPTS_SQL}) SELECT * FROM turns",
+        "turns_assemble": SQL_TURNS_ASSEMBLE,
         "rollup_1m_stats": SQL_ROLLUP_1M_STATS,
         "rollup_1m_quantiles": SQL_ROLLUP_1M_QUANTILES,
         "rollup_1h_cascade": SQL_ROLLUP_1H_CASCADE,

@@ -1529,3 +1529,80 @@ def target_encode(
         return pa.table(out)
 
     return ds.map_batches(encode, batch_format="pyarrow", batch_size=None)
+
+
+def group_collect(
+    ds,
+    *,
+    key_col: str,
+    order_cols: tuple = ("ts",),
+    value_col: str = "text",
+    sep: str = "\n",
+    num_partitions: int | None = None,
+):
+    """Per-key ORDERED string concatenation — the training-document
+    assembly primitive (turn streams -> one document per conversation,
+    log lines -> one trace per request): exactly SQL's
+    ``string_agg(value, sep ORDER BY order_cols..., value)`` per key.
+    Returns (key, n_values, doc) where ``n_values`` counts NON-NULL
+    values (string_agg's skip rule) and ``doc`` is NULL when every value
+    of the key is NULL.  The reference's per-series layout step is the
+    same shape: gather one series' points in time order into a single
+    row (cf. light-curve-feature TimeSeries construction) — here the
+    payload is text rather than floats.
+
+    Determinism contract: the sort key is (order_cols..., value) with
+    nulls LAST (the DuckDB default null order) — appending ``value``
+    makes the concat total-order deterministic even when ``order_cols``
+    has duplicates, at any parallelism.  NULL keys drop (the
+    grouped_quantile_cont rule; twin: ``WHERE key IS NOT NULL``).
+
+    Scale shape: ONE key-hash exchange co-locates each key, then a
+    single vectorized polars sort + group_by/str.join pass per
+    partition; no driver collection.  Documents the usual skew caveat:
+    one key's assembled doc must fit a task's heap (same bound as any
+    per-key holistic op here).
+    """
+    import polars as pl
+
+    from .windows import _with_part
+
+    ocols = list(order_cols)
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        cols = [key_col, *ocols, value_col]
+        d = pl.from_arrow(t.select(cols))
+        d = d.filter(pl.col(key_col).is_not_null())
+        d = d.sort(
+            [*ocols, value_col], nulls_last=True, maintain_order=True
+        )
+        g = d.group_by(key_col, maintain_order=False).agg(
+            pl.col(value_col).count().alias("n_values"),
+            pl.col(value_col)
+            .drop_nulls()
+            .str.join(sep)
+            .alias("doc"),
+        )
+        g = g.with_columns(
+            pl.when(pl.col("n_values") > 0)
+            .then(pl.col("doc"))
+            .otherwise(None)
+            .alias("doc")
+        ).sort(key_col)
+        out = g.to_arrow()
+        return pa.table(
+            {
+                key_col: out[key_col].cast(t.schema.field(key_col).type),
+                "n_values": out["n_values"].cast(pa.int64()),
+                "doc": out["doc"].cast(pa.string()),
+            }
+        )
+
+    return (
+        _with_part(ds, key_col, num_partitions)
+        .groupby("part")
+        .map_groups(
+            lambda t: per_partition(t.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -300,3 +300,58 @@ def test_semantic_dedup_within_cell_bruteforce_parity(ray_session):
             else:
                 assert bool(grp["keep"].iloc[i]), (cell, ids[i])
                 assert int(grp["rep_id"].iloc[i]) == int(ids[i])
+
+
+def test_group_collect_matches_string_agg(ray_session):
+    from light_curve_feature_ray.pipelines.aggregates import group_collect
+
+    rng = np.random.default_rng(31)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "conv_id": rng.choice(["a", "b", "c", "dup"], n),
+            "turn_idx": rng.integers(0, 50, n),  # deliberate duplicates
+            "text": rng.choice(["x", "yy", "zzz", None], n),
+        }
+    )
+    df.loc[3, "conv_id"] = None
+    # one key whose every value is NULL -> doc NULL, n_values 0
+    allnull = pd.DataFrame(
+        {"conv_id": ["nul"] * 3, "turn_idx": [0, 1, 2], "text": [None] * 3}
+    )
+    df = pd.concat([df, allnull], ignore_index=True)
+
+    outs = []
+    for parts, nparts in ((2, 4), (7, 11)):
+        o = (
+            group_collect(
+                rd.from_pandas(df).repartition(parts),
+                key_col="conv_id",
+                order_cols=("turn_idx",),
+                value_col="text",
+                sep="\n",
+                num_partitions=nparts,
+            )
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # layout-invariant
+
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.execute(
+        """
+SELECT conv_id, count(text) AS n_values,
+       string_agg(text, chr(10) ORDER BY turn_idx, text) AS doc
+FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id ORDER BY conv_id
+"""
+    ).df()
+    got = outs[0]
+    assert got["conv_id"].tolist() == ref["conv_id"].tolist()
+    assert got["n_values"].tolist() == ref["n_values"].tolist()
+    assert [x if isinstance(x, str) else None for x in got["doc"]] == [
+        x if isinstance(x, str) else None for x in ref["doc"]
+    ]
+    assert got.loc[got["conv_id"] == "nul", "doc"].isna().all()
