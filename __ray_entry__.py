@@ -132,6 +132,42 @@ GROUP BY conv_id
 """
 
 
+def q_events_gap_report(sf_dir: str):
+    """Per-user missing-minute diagnostic (pipelines/windows.py
+    gap_report) — the inverse of the rollup gap-fill: occupied 60 s
+    slots per key, span, missing count and longest empty run, all in
+    integer slot arithmetic (bit-exact twin). Block-local distinct
+    (key, slot) combiner, one pair exchange, segment kernel."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.windows import gap_report
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return gap_report(ev, slot_s=60, num_partitions=16)
+
+
+SQL_EVENTS_GAP_REPORT = """
+WITH v AS (
+    SELECT user_id, CAST(floor(epoch(ts)/60) AS BIGINT) AS slot
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), d AS (
+    SELECT DISTINCT user_id, slot FROM v
+), g AS (
+    SELECT user_id, slot,
+           slot - lag(slot) OVER (PARTITION BY user_id ORDER BY slot) - 1
+               AS gap
+    FROM d
+)
+SELECT user_id, count(*) AS n_present,
+       max(slot) - min(slot) + 1 AS span_slots,
+       max(slot) - min(slot) + 1 - count(*) AS n_missing,
+       coalesce(max(gap), 0) AS longest_gap_slots
+FROM g GROUP BY user_id
+"""
+
+
 def _rollup(sf_dir: str, **cfg_kwargs):
     from light_curve_feature_ray.stages.rollup import RollupConfig, RollupWorker
 
@@ -6214,6 +6250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kcenter_sample": q_emb_kcenter_sample,
         # -- new round-5 queries go here (45+) ----------------------------
         "turns_assemble": q_turns_assemble,
+        "events_gap_report": q_events_gap_report,
         # -- green in r01-r04 driver files, code unchanged ----------------
         "doc_line_dedup": q_doc_line_dedup,
         "events_paths": q_events_paths,
@@ -6324,6 +6361,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "turns_clean": f"WITH turns AS ({TRANSCRIPTS_SQL}) SELECT * FROM turns",
         "turns_assemble": SQL_TURNS_ASSEMBLE,
+        "events_gap_report": SQL_EVENTS_GAP_REPORT,
         "rollup_1m_stats": SQL_ROLLUP_1M_STATS,
         "rollup_1m_quantiles": SQL_ROLLUP_1M_QUANTILES,
         "rollup_1h_cascade": SQL_ROLLUP_1H_CASCADE,

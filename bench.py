@@ -167,6 +167,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     clean_turns(read_transcripts(path, for_rollup=False), 64).count()
     timings["turns_clean"] = round(time.perf_counter() - t0, 3)
 
+    from light_curve_feature_ray.pipelines.aggregates import group_collect
+
+    t0 = time.perf_counter()
+    group_collect(
+        read_transcripts(path, for_rollup=False).map_batches(
+            lambda b: b.select(["conv_id", "turn_idx", "text"]),
+            batch_format="pyarrow",
+        ),
+        key_col="conv_id",
+        order_cols=("turn_idx",),
+        value_col="text",
+    ).count()
+    timings["turns_assemble"] = round(time.perf_counter() - t0, 3)
+
     # ---- incremental update (job level): fold a ~0.1%-of-convs suffix
     # delta into an on-disk checkpointed store; only the partitions that
     # contain affected conversations are read beyond their conv_id column
@@ -663,6 +677,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timings["events_windowed_distinct"] = round(
             time.perf_counter() - t0, 3
         )
+
+        from light_curve_feature_ray.pipelines.windows import gap_report
+
+        t0 = time.perf_counter()
+        gap_report(
+            rd.read_parquet(events_path, columns=["user_id", "ts"]),
+            slot_s=60,
+        ).count()
+        timings["events_gap_report"] = round(time.perf_counter() - t0, 3)
 
         from light_curve_feature_ray.pipelines.quantiles import (
             grouped_approx_quantiles,

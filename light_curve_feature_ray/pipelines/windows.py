@@ -1881,3 +1881,109 @@ def changepoint_single(
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def gap_report(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    slot_s: int = 60,
+    num_partitions: int | None = None,
+):
+    """Per-key MISSING-bucket diagnostic — the inverse of the rollup
+    engine's gap-fill (stages/rollup.py ``_gap_fill``; reference analog:
+    the cadence statistics behind light-curve-feature's
+    MaximumTimeInterval / median-cadence Nyquist rules,
+    freq.rs:28-77): bucket each key's events into ``slot_s``-second
+    slots and report, per key, how complete and how gappy the series is.
+    Returns (key, n_present, span_slots, n_missing, longest_gap_slots):
+    n_present = DISTINCT occupied slots, span_slots = max-min+1,
+    n_missing = span - present, longest_gap_slots = max run of empty
+    slots between consecutive occupied slots (0 when none).  ALL
+    arithmetic is integer (slot = floor(epoch_s/slot_s), the tumbling
+    convention) so the SQL twin is bit-exact.  NULL key / ts rows drop
+    (``WHERE ... IS NOT NULL`` twin).
+
+    Scale shape: block-local DISTINCT (key, slot) combiner — the
+    exchange carries occupied-slot pairs, not events (the
+    windowed_count_distinct rule), then ONE pair-keyed exchange and a
+    vectorized per-partition segment kernel (re-distinct after the
+    exchange — block-local distinct partials can duplicate a pair
+    across blocks, the retention_cohorts rule; then sorted diff +
+    maximum.reduceat).  No driver collection.
+    """
+    import pyarrow.compute as pc
+
+    if slot_s <= 0:
+        raise ValueError(f"slot_s must be positive, got {slot_s}")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, ts_col]).combine_chunks()
+        t = t.filter(
+            pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col]))
+        )
+        slot = _epoch_seconds(t[ts_col].to_pandas()) // slot_s
+        p = pa.table(
+            {key_col: t[key_col], "slot": pa.array(slot, type=pa.int64())}
+        )
+        return p.group_by([key_col, "slot"]).aggregate([])
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        key_type = t.schema.field(key_col).type
+        empty = pa.table(
+            {
+                key_col: pa.array([], type=key_type),
+                "n_present": pa.array([], type=pa.int64()),
+                "span_slots": pa.array([], type=pa.int64()),
+                "n_missing": pa.array([], type=pa.int64()),
+                "longest_gap_slots": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        kd = pc.dictionary_encode(t[key_col].combine_chunks())
+        codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        slot = t["slot"].to_numpy(zero_copy_only=False)
+        # re-distinct across blocks: composite sort then unique mask
+        order = np.lexsort((slot, codes))
+        codes, slot = codes[order], slot[order]
+        first = np.r_[True, (codes[1:] != codes[:-1]) | (slot[1:] != slot[:-1])]
+        codes, slot = codes[first], slot[first]
+        seg = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(seg)
+        ends = np.r_[starts[1:], codes.size]
+        n_present = ends - starts
+        span = slot[ends - 1] - slot[starts] + 1
+        gap = np.diff(slot) - 1  # empty slots between neighbours
+        gap[ends[:-1] - 1] = 0  # cross-key boundaries contribute nothing
+        # per-segment max of the WITHIN-key gaps (last position of each
+        # segment has no following gap -> mask it to 0 via the boundary
+        # trick above; single-slot keys reduce over an empty range -> 0)
+        gap_full = np.r_[gap, 0]
+        longest = np.maximum.reduceat(gap_full, starts)
+        longest[n_present == 1] = 0
+        return pa.table(
+            {
+                key_col: kd.dictionary.take(
+                    pa.array(codes[starts].astype(np.int32))
+                ).cast(key_type),
+                "n_present": pa.array(n_present.astype(np.int64)),
+                "span_slots": pa.array(span.astype(np.int64)),
+                "n_missing": pa.array((span - n_present).astype(np.int64)),
+                "longest_gap_slots": pa.array(longest.astype(np.int64)),
+            }
+        )
+
+    return (
+        _with_part(
+            events_ds.map_batches(
+                pairs, batch_format="pyarrow", batch_size=None
+            ),
+            key_col,
+            num_partitions,
+        )
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )

@@ -355,3 +355,81 @@ FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id ORDER BY conv_id
         x if isinstance(x, str) else None for x in ref["doc"]
     ]
     assert got.loc[got["conv_id"] == "nul", "doc"].isna().all()
+
+
+def test_gap_report_matches_sql_and_is_layout_invariant(ray_session):
+    from light_curve_feature_ray.pipelines.windows import gap_report
+
+    rng = np.random.default_rng(41)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(1, 20, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 3600 * 6, n) * 1_000_000, unit="us"
+            ),
+        }
+    )
+    # single-slot key, null key, null ts
+    extra = pd.DataFrame(
+        {
+            "user_id": pd.array([99, None, 5], dtype="Int64"),
+            "ts": pd.to_datetime([7_000_000_000, 1, None], unit="us"),
+        }
+    )
+    df = pd.concat([df, extra], ignore_index=True)
+
+    outs = []
+    for parts, nparts in ((2, 4), (9, 13)):
+        o = (
+            gap_report(
+                rd.from_pandas(df).repartition(parts),
+                slot_s=60,
+                num_partitions=nparts,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    pd.testing.assert_frame_equal(
+        outs[0].astype({"user_id": "int64"}),
+        outs[1].astype({"user_id": "int64"}),
+    )
+
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute(
+        """
+WITH v AS (
+    SELECT user_id, CAST(floor(epoch(ts)/60) AS BIGINT) AS slot
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), d AS (SELECT DISTINCT user_id, slot FROM v),
+g AS (
+    SELECT user_id, slot,
+           slot - lag(slot) OVER (PARTITION BY user_id ORDER BY slot) - 1
+               AS gap
+    FROM d
+)
+SELECT user_id, count(*) AS n_present,
+       max(slot) - min(slot) + 1 AS span_slots,
+       max(slot) - min(slot) + 1 - count(*) AS n_missing,
+       coalesce(max(gap), 0) AS longest_gap_slots
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+    ).df()
+    got = outs[0]
+    for c in ref.columns:
+        np.testing.assert_array_equal(
+            got[c].to_numpy().astype(np.int64),
+            ref[c].to_numpy().astype(np.int64),
+            err_msg=c,
+        )
+    # the single-slot key reports span 1, no gaps
+    row = got[got["user_id"] == 99].iloc[0]
+    assert (
+        row["n_present"],
+        row["span_slots"],
+        row["n_missing"],
+        row["longest_gap_slots"],
+    ) == (1, 1, 0, 0)
