@@ -168,6 +168,59 @@ FROM g GROUP BY user_id
 """
 
 
+def q_events_profile(sf_dir: str):
+    """Column-profile scorecard (pipelines/quality.py profile_table):
+    per-column n_rows / n_nonnull / exact distinct count / clean-value
+    min/max/avg over events — one streaming numeric-partials pass plus
+    a distinct-bounded (col, value) pair exchange; col-cardinality
+    broadcast-join finish."""
+    import ray.data as rd
+
+    from light_curve_feature_ray.pipelines.quality import profile_table
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value", "event_type"],
+    )
+    return _finalize(
+        profile_table(
+            ev, columns=["event_id", "user_id", "value", "event_type"]
+        ),
+        skip=("col", "n_rows", "n_nonnull", "n_distinct"),
+    )
+
+
+def _profile_arm(col: str, numeric: bool) -> str:
+    if numeric:
+        stats = f"""
+       round(min(CASE WHEN NOT isnan(CAST({col} AS DOUBLE))
+                 THEN CAST({col} AS DOUBLE) END), 6) AS min_value,
+       round(max(CASE WHEN NOT isnan(CAST({col} AS DOUBLE))
+                 THEN CAST({col} AS DOUBLE) END), 6) AS max_value,
+       round(avg(CASE WHEN NOT isnan(CAST({col} AS DOUBLE))
+                 THEN CAST({col} AS DOUBLE) END), 6) AS avg_value"""
+    else:
+        stats = """
+       CAST(NULL AS DOUBLE) AS min_value,
+       CAST(NULL AS DOUBLE) AS max_value,
+       CAST(NULL AS DOUBLE) AS avg_value"""
+    return f"""
+SELECT '{col}' AS col, count(*) AS n_rows, count({col}) AS n_nonnull,
+       count(DISTINCT {col}) AS n_distinct,{stats}
+FROM events"""
+
+
+SQL_EVENTS_PROFILE = " UNION ALL ".join(
+    _profile_arm(c, num)
+    for c, num in (
+        ("event_id", True),
+        ("user_id", True),
+        ("value", True),
+        ("event_type", False),
+    )
+)
+
+
 def _rollup(sf_dir: str, **cfg_kwargs):
     from light_curve_feature_ray.stages.rollup import RollupConfig, RollupWorker
 
@@ -6251,6 +6304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new round-5 queries go here (45+) ----------------------------
         "turns_assemble": q_turns_assemble,
         "events_gap_report": q_events_gap_report,
+        "events_profile": q_events_profile,
         # -- green in r01-r04 driver files, code unchanged ----------------
         "doc_line_dedup": q_doc_line_dedup,
         "events_paths": q_events_paths,
@@ -6362,6 +6416,7 @@ def oracle_sql() -> dict[str, str]:
         "turns_clean": f"WITH turns AS ({TRANSCRIPTS_SQL}) SELECT * FROM turns",
         "turns_assemble": SQL_TURNS_ASSEMBLE,
         "events_gap_report": SQL_EVENTS_GAP_REPORT,
+        "events_profile": SQL_EVENTS_PROFILE,
         "rollup_1m_stats": SQL_ROLLUP_1M_STATS,
         "rollup_1m_quantiles": SQL_ROLLUP_1M_QUANTILES,
         "rollup_1h_cascade": SQL_ROLLUP_1H_CASCADE,

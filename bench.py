@@ -687,6 +687,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         timings["events_gap_report"] = round(time.perf_counter() - t0, 3)
 
+        from light_curve_feature_ray.pipelines.quality import profile_table
+
+        t0 = time.perf_counter()
+        profile_table(
+            rd.read_parquet(
+                events_path,
+                columns=["event_id", "user_id", "value", "event_type"],
+            ),
+            columns=["event_id", "user_id", "value", "event_type"],
+        ).count()
+        timings["events_profile"] = round(time.perf_counter() - t0, 3)
+
         from light_curve_feature_ray.pipelines.quantiles import (
             grouped_approx_quantiles,
         )

@@ -253,3 +253,154 @@ def validate_constraints(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def profile_table(
+    ds,
+    *,
+    columns: list[str],
+    num_partitions: int | None = None,
+):
+    """Column-profile scorecard — the dbt-docs / Great-Expectations
+    "profile" complement of :func:`validate_constraints`: one row per
+    profiled column with (col, n_rows, n_nonnull, n_distinct, min_value,
+    max_value, avg_value).  ``n_nonnull`` counts SQL-style non-NULL
+    (float NaN IS a value); ``n_distinct`` is the EXACT distinct count
+    of non-null values (count(DISTINCT col)); min/max/avg are DOUBLE
+    stats over non-null non-NaN values of NUMERIC columns (the twin's
+    ``CASE WHEN NOT isnan(...)`` guard — SQL min/max would otherwise
+    sort NaN greatest) and NULL for non-numeric columns.
+
+    Scale shape: ONE streaming pass emits two partial families —
+    (a) per-(col) numeric partials (n, nonnull, sum/min/max over clean
+    values) combined by a col-cardinality groupby, and (b) block-local
+    DISTINCT (col, value-as-string) pairs (Arrow's float->string cast is
+    shortest-round-trip, hence injective) whose global re-distinct +
+    count rides one pair-keyed exchange — the distinct traffic is
+    bounded by the true distinct cardinality, never the row count (the
+    windowed_count_distinct rule).  No driver collection.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    if not columns:
+        raise ValueError("columns must be a non-empty list")
+
+    def num_partial(batch: pa.Table) -> pa.Table:
+        names, ns, nn, s1, mins, maxs, cleans, isnum = (
+            [], [], [], [], [], [], [], [],
+        )
+        for c in columns:
+            col = batch[c]
+            names.append(c)
+            ns.append(batch.num_rows)
+            nn.append(batch.num_rows - col.null_count)
+            numeric = pa.types.is_integer(col.type) or pa.types.is_floating(
+                col.type
+            )
+            isnum.append(numeric)
+            if numeric:
+                v = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+                v = v[~np.isnan(v)]
+                cleans.append(v.size)
+                s1.append(float(v.sum()) if v.size else 0.0)
+                mins.append(float(v.min()) if v.size else np.inf)
+                maxs.append(float(v.max()) if v.size else -np.inf)
+            else:
+                cleans.append(0)
+                s1.append(0.0)
+                mins.append(np.inf)
+                maxs.append(-np.inf)
+        return pa.table(
+            {
+                "col": pa.array(names, type=pa.string()),
+                "n": pa.array(np.asarray(ns, dtype=np.int64)),
+                "nonnull": pa.array(np.asarray(nn, dtype=np.int64)),
+                "clean": pa.array(np.asarray(cleans, dtype=np.int64)),
+                "s1": pa.array(np.asarray(s1, dtype=np.float64)),
+                "vmin": pa.array(np.asarray(mins, dtype=np.float64)),
+                "vmax": pa.array(np.asarray(maxs, dtype=np.float64)),
+                "isnum": pa.array(
+                    np.asarray(isnum, dtype=np.int64)
+                ),
+            }
+        )
+
+    nums = (
+        ds.map_batches(num_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("col")
+        .aggregate(
+            Sum("n"), Sum("nonnull"), Sum("clean"), Sum("s1"),
+            Min("vmin"), Max("vmax"), Max("isnum"),
+        )
+    )
+
+    def dist_pairs(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in columns:
+            col = batch[c].combine_chunks()
+            col = col.filter(pc.is_valid(col))
+            if pa.types.is_floating(col.type):
+                # -0.0 + 0.0 == +0.0: SQL DISTINCT treats -0.0 = 0.0 but
+                # the string cast would split them ("-0" vs "0"); NaNs
+                # all cast to one "nan" token, matching SQL's
+                # NaN-equals-NaN DISTINCT rule
+                col = pc.add(col, 0.0)
+            sv = pc.cast(col, pa.string())
+            t = pa.table(
+                {
+                    "col": pa.array(
+                        np.repeat(c, len(sv)), type=pa.string()
+                    ),
+                    "val": sv,
+                }
+            )
+            parts.append(t.group_by(["col", "val"]).aggregate([]))
+        return pa.concat_tables(parts)
+
+    def dist_count(batch: pa.Table) -> pa.Table:
+        # after the global (col, val) dedup: count per col
+        return (
+            batch.select(["col"])
+            .group_by("col")
+            .aggregate([([], "count_all")])
+            .rename_columns(["col", "n_distinct"])
+        )
+
+    dists = (
+        ds.map_batches(dist_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["col", "val"])
+        .count()
+        .map_batches(dist_count, batch_format="pyarrow", batch_size=None)
+        .groupby("col")
+        .sum("n_distinct")
+    )
+
+    # both sides are col-cardinality tiny; a broadcast join keeps the
+    # finish shuffle-free
+    from .joins import broadcast_join
+
+    joined = broadcast_join(nums, dists, left_on="col", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        isnum = t["max(isnum)"].to_numpy(zero_copy_only=False) > 0
+        clean = t["sum(clean)"].to_numpy(zero_copy_only=False)
+        s1 = t["sum(s1)"].to_numpy(zero_copy_only=False)
+        vmin = t["min(vmin)"].to_numpy(zero_copy_only=False)
+        vmax = t["max(vmax)"].to_numpy(zero_copy_only=False)
+        ok = isnum & (clean > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = np.where(ok, s1 / clean, np.nan)
+        nd = pc.fill_null(t["sum(n_distinct)"], 0)
+        return pa.table(
+            {
+                "col": t["col"],
+                "n_rows": t["sum(n)"],
+                "n_nonnull": t["sum(nonnull)"],
+                "n_distinct": nd.cast(pa.int64()),
+                "min_value": pa.array(np.where(ok, vmin, np.nan)),
+                "max_value": pa.array(np.where(ok, vmax, np.nan)),
+                "avg_value": pa.array(avg),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)

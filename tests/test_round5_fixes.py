@@ -6,6 +6,7 @@ testdata (null-free, variance-rich) can never exercise."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray.data as rd
@@ -433,3 +434,128 @@ FROM g GROUP BY user_id ORDER BY user_id
         row["n_missing"],
         row["longest_gap_slots"],
     ) == (1, 1, 0, 0)
+
+
+def test_profile_table_matches_sql(ray_session):
+    from light_curve_feature_ray.pipelines.quality import profile_table
+
+    df = pd.DataFrame(
+        {
+            "i": pd.array([1, 2, 2, None, 5], dtype="Int64"),
+            "f": [1.5, np.nan, -0.0, 0.0, 2.5],
+            "s": ["x", "y", None, "x", "z"],
+            "allnull": pd.array([None] * 5, dtype="Int64"),
+        }
+    )
+    out = (
+        profile_table(
+            rd.from_pandas(df).repartition(3),
+            columns=["i", "f", "s", "allnull"],
+        )
+        .to_pandas()
+        .sort_values("col")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+
+    def arm(c, numeric):
+        if numeric:
+            stats = f"""
+           min(CASE WHEN NOT isnan(CAST({c} AS DOUBLE))
+               THEN CAST({c} AS DOUBLE) END) AS min_value,
+           max(CASE WHEN NOT isnan(CAST({c} AS DOUBLE))
+               THEN CAST({c} AS DOUBLE) END) AS max_value,
+           avg(CASE WHEN NOT isnan(CAST({c} AS DOUBLE))
+               THEN CAST({c} AS DOUBLE) END) AS avg_value"""
+        else:
+            stats = """
+           CAST(NULL AS DOUBLE) AS min_value,
+           CAST(NULL AS DOUBLE) AS max_value,
+           CAST(NULL AS DOUBLE) AS avg_value"""
+        return f"""
+    SELECT '{c}' AS col, count(*) AS n_rows, count({c}) AS n_nonnull,
+           count(DISTINCT {c}) AS n_distinct,{stats}
+    FROM t"""
+
+    ref = (
+        con.execute(
+            " UNION ALL ".join(
+                arm(c, n)
+                for c, n in (
+                    ("i", True),
+                    ("f", True),
+                    ("s", False),
+                    ("allnull", True),
+                )
+            )
+            + " ORDER BY col"
+        )
+        .df()
+        .sort_values("col")
+        .reset_index(drop=True)
+    )
+    assert out["col"].tolist() == ref["col"].tolist()
+    for c in ("n_rows", "n_nonnull", "n_distinct"):
+        np.testing.assert_array_equal(
+            out[c].to_numpy().astype(np.int64),
+            ref[c].to_numpy().astype(np.int64),
+            err_msg=c,
+        )
+    for c in ("min_value", "max_value", "avg_value"):
+        a = out[c].to_numpy()
+        b = ref[c].to_numpy()
+        both = np.isnan(a) & np.isnan(b)
+        np.testing.assert_allclose(a[~both], b[~both], atol=1e-9, err_msg=c)
+        assert np.isnan(a).sum() == np.isnan(b).sum(), c
+    # the -0.0==0.0 DISTINCT rule: f arrives as {1.5, NULL, -0.0, 0.0,
+    # 2.5} (the pandas->Arrow path maps NaN to NULL on BOTH sides) and
+    # -0.0 collapses into 0.0 -> 3 distinct, matching SQL
+    assert int(out.set_index("col").loc["f", "n_distinct"]) == 3
+    # all-null column still appears with zero distinct
+    assert int(out.set_index("col").loc["allnull", "n_distinct"]) == 0
+
+
+def test_profile_table_parquet_nan_path(ray_session, tmp_path):
+    # via parquet, NaN survives as a real DOUBLE value on BOTH sides:
+    # it is non-null (counted), all NaNs are ONE distinct value (the
+    # SQL NaN-equals-NaN rule), and min/max/avg exclude it (the isnan
+    # guard on both sides)
+    import pyarrow.parquet as pq
+
+    from light_curve_feature_ray.pipelines.quality import profile_table
+
+    t = pa.table(
+        {
+            "f": pa.array(
+                [1.0, float("nan"), float("nan"), 3.0, None],
+                type=pa.float64(),
+            )
+        }
+    )
+    path = str(tmp_path / "nan.parquet")
+    pq.write_table(t, path)
+    out = (
+        profile_table(rd.read_parquet(path), columns=["f"])
+        .to_pandas()
+        .set_index("col")
+    )
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""
+SELECT count(*) AS n_rows, count(f) AS n_nonnull,
+       count(DISTINCT f) AS n_distinct,
+       min(CASE WHEN NOT isnan(f) THEN f END) AS min_value,
+       max(CASE WHEN NOT isnan(f) THEN f END) AS max_value,
+       avg(CASE WHEN NOT isnan(f) THEN f END) AS avg_value
+FROM '{path}'
+"""
+    ).df().iloc[0]
+    row = out.loc["f"]
+    assert (row["n_rows"], row["n_nonnull"], row["n_distinct"]) == (
+        ref["n_rows"],
+        ref["n_nonnull"],
+        ref["n_distinct"],
+    ) == (5, 4, 3)
+    for c in ("min_value", "max_value", "avg_value"):
+        np.testing.assert_allclose(row[c], ref[c], atol=1e-12)
