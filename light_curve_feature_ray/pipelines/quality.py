@@ -271,14 +271,18 @@ def profile_table(
     ``CASE WHEN NOT isnan(...)`` guard — SQL min/max would otherwise
     sort NaN greatest) and NULL for non-numeric columns.
 
-    Scale shape: ONE streaming pass emits two partial families —
-    (a) per-(col) numeric partials (n, nonnull, sum/min/max over clean
-    values) combined by a col-cardinality groupby, and (b) block-local
-    DISTINCT (col, value-as-string) pairs (Arrow's float->string cast is
-    shortest-round-trip, hence injective) whose global re-distinct +
-    count rides one pair-keyed exchange — the distinct traffic is
-    bounded by the true distinct cardinality, never the row count (the
-    windowed_count_distinct rule).  No driver collection.
+    Scale shape: two partial families ride ONE final col-cardinality
+    groupby (the audience_overlap kind-tagged-partials pattern, no join,
+    no materialization): (a) per-(col, block) numeric partials (n,
+    nonnull, sum/min/max over clean values), and (b) distinct-count
+    partials — block-local DISTINCT (col, value-as-string) pairs
+    (Arrow's float->string cast is shortest-round-trip, hence injective)
+    routed by hash(val) into an int32-keyed exchange (a (col, val)
+    sorted groupby of a near-unique id column would shuffle-sort one
+    pair per ROW), re-distincted per partition (exact: equal values
+    co-locate), counted, and padded with the numeric identities (0 sums,
+    ±inf min/max) so they sum into the same reduce.  No driver
+    collection at any size.
     """
     from ray.data.aggregate import Max, Min, Sum
 
@@ -322,21 +326,27 @@ def profile_table(
                 "isnum": pa.array(
                     np.asarray(isnum, dtype=np.int64)
                 ),
+                "nd": pa.array(np.zeros(len(names), dtype=np.int64)),
             }
         )
 
-    nums = (
-        ds.map_batches(num_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("col")
-        .aggregate(
-            Sum("n"), Sum("nonnull"), Sum("clean"), Sum("s1"),
-            Min("vmin"), Max("vmax"), Max("isnum"),
-        )
+    nums = ds.map_batches(
+        num_partial, batch_format="pyarrow", batch_size=None
     )
 
+    from ..stages.rollup import hash_strings
+    from .windows import auto_shuffle_partitions
+
+    dist_parts = num_partitions or auto_shuffle_partitions()
+
     def dist_pairs(batch: pa.Table) -> pa.Table:
+        # a (col, val)-sorted groupby of near-unique columns (ids) would
+        # shuffle-sort one pair per ROW; instead route pairs by
+        # hash(val) so the exchange key is a small int32 — the same val
+        # always lands in the same partition, so a per-partition unique
+        # is globally exact
         parts = []
-        for c in columns:
+        for ci, c in enumerate(columns):
             col = batch[c].combine_chunks()
             col = col.filter(pc.is_valid(col))
             if pa.types.is_floating(col.type):
@@ -348,38 +358,62 @@ def profile_table(
             sv = pc.cast(col, pa.string())
             t = pa.table(
                 {
-                    "col": pa.array(
-                        np.repeat(c, len(sv)), type=pa.string()
+                    "ci": pa.array(
+                        np.full(len(sv), ci, dtype=np.int32),
+                        type=pa.int32(),
                     ),
                     "val": sv,
                 }
+            ).group_by(["ci", "val"]).aggregate([])
+            part = (
+                hash_strings(t["val"]) % np.uint64(dist_parts)
+            ).astype(np.int32)
+            parts.append(
+                t.append_column("part", pa.array(part, type=pa.int32()))
             )
-            parts.append(t.group_by(["col", "val"]).aggregate([]))
         return pa.concat_tables(parts)
 
-    def dist_count(batch: pa.Table) -> pa.Table:
-        # after the global (col, val) dedup: count per col
-        return (
-            batch.select(["col"])
-            .group_by("col")
+    def dist_count(t: pa.Table) -> pa.Table:
+        # one partition group: re-distinct (ci, val) across blocks, then
+        # count per column
+        g = (
+            t.select(["ci", "val"])
+            .group_by(["ci", "val"])
+            .aggregate([])
+            .select(["ci"])
+            .group_by("ci")
             .aggregate([([], "count_all")])
-            .rename_columns(["col", "n_distinct"])
+        )
+        ci = g["ci"].to_numpy(zero_copy_only=False)
+        k = len(ci)
+        # padded to the numeric-partial schema with reduce identities so
+        # both families sum through the SAME final groupby
+        return pa.table(
+            {
+                "col": pa.array(
+                    np.asarray(columns, dtype=object)[ci], type=pa.string()
+                ),
+                "n": pa.array(np.zeros(k, dtype=np.int64)),
+                "nonnull": pa.array(np.zeros(k, dtype=np.int64)),
+                "clean": pa.array(np.zeros(k, dtype=np.int64)),
+                "s1": pa.array(np.zeros(k, dtype=np.float64)),
+                "vmin": pa.array(np.full(k, np.inf)),
+                "vmax": pa.array(np.full(k, -np.inf)),
+                "isnum": pa.array(np.zeros(k, dtype=np.int64)),
+                "nd": g["count_all"].cast(pa.int64()),
+            }
         )
 
     dists = (
         ds.map_batches(dist_pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["col", "val"])
-        .count()
-        .map_batches(dist_count, batch_format="pyarrow", batch_size=None)
-        .groupby("col")
-        .sum("n_distinct")
+        .groupby("part")
+        .map_groups(dist_count, batch_format="pyarrow")
     )
 
-    # both sides are col-cardinality tiny; a broadcast join keeps the
-    # finish shuffle-free
-    from .joins import broadcast_join
-
-    joined = broadcast_join(nums, dists, left_on="col", how="left")
+    agg = nums.union(dists).groupby("col").aggregate(
+        Sum("n"), Sum("nonnull"), Sum("clean"), Sum("s1"),
+        Min("vmin"), Max("vmax"), Max("isnum"), Sum("nd"),
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         isnum = t["max(isnum)"].to_numpy(zero_copy_only=False) > 0
@@ -390,7 +424,7 @@ def profile_table(
         ok = isnum & (clean > 0)
         with np.errstate(invalid="ignore", divide="ignore"):
             avg = np.where(ok, s1 / clean, np.nan)
-        nd = pc.fill_null(t["sum(n_distinct)"], 0)
+        nd = pc.fill_null(t["sum(nd)"], 0)
         return pa.table(
             {
                 "col": t["col"],
@@ -403,4 +437,4 @@ def profile_table(
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
