@@ -171,6 +171,49 @@ def rollup_dataset(
     )
 
 
+def rollup_dataset_streaming(
+    ds,
+    config: RollupConfig | None = None,
+    *,
+    num_reducers: int | None = None,
+    hot_list=None,
+):
+    """EXPERIMENTAL: the rollup over the actor-based streaming hash
+    exchange (stages/streaming_exchange.py) instead of the Dataset sort
+    shuffle — reducer ingestion overlaps the map wave; see the module
+    doc for the semantics/determinism argument and BASELINE.md for the
+    measured A/B vs :func:`rollup_dataset`. Output is bit-identical.
+
+    Hot-conv detection pre-pass is NOT run here (pass ``hot_list``
+    explicitly); production path remains :func:`rollup_dataset`."""
+    from ..stages.streaming_exchange import rollup_streaming_exchange
+
+    config = config or RollupConfig()
+    config = (
+        config.resolved(ds.count())
+        if config.num_partitions is None
+        else config
+    )
+    hot_ref = ray.put(list(hot_list)) if hot_list else None
+    packed = ds.map_batches(
+        _derive_fn(config, hot_ref),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    ).map_batches(
+        pack_derived,
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+    return rollup_streaming_exchange(
+        packed,
+        config,
+        num_reducers=num_reducers,
+        hot_list=list(hot_list) if hot_list else None,
+    )
+
+
 def rollup_table(table: pa.Table, config: RollupConfig | None = None) -> pa.Table:
     """In-process reference path (no Ray): derive + single-partition worker.
 
