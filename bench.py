@@ -993,6 +993,12 @@ def main():
         n_lo = int(os.environ.get("SCALE_N", "2"))
         n_hi = 4 * n_lo
         repeats = int(os.environ.get("SCALE_REPEATS", "3"))
+        # the scaling legs run 2-16 cpus, where the actor-based
+        # streaming exchange is the engine's measured-best config
+        # (sized-to-parallelism routing; BASELINE.md round-5 A/B:
+        # 1.23x at 8 cpus, neutral at 2, crossover by 32). Override
+        # with SCALE_EXCHANGE=sort; output is bit-identical either way.
+        os.environ.setdefault("SCALE_EXCHANGE", "streaming")
         # alternate legs and take per-leg minima: this sandbox VM drifts
         # 2-4x BETWEEN processes (page-cache / plasma / reclaim state), so
         # a single pair of runs measures machine state, not scaling

@@ -559,3 +559,29 @@ FROM '{path}'
     ) == (5, 4, 3)
     for c in ("min_value", "max_value", "avg_value"):
         np.testing.assert_allclose(row[c], ref[c], atol=1e-12)
+
+
+def test_profile_table_layout_invariance(ray_session):
+    from light_curve_feature_ray.pipelines.quality import profile_table
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 40, 300),
+            "b": rng.normal(size=300).round(2),
+        }
+    )
+    outs = []
+    for parts, nparts in ((1, 4), (8, 11)):
+        o = (
+            profile_table(
+                rd.from_pandas(df).repartition(parts),
+                columns=["a", "b"],
+                num_partitions=nparts,
+            )
+            .to_pandas()
+            .sort_values("col")
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
