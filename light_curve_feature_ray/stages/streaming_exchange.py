@@ -78,6 +78,10 @@ def _route(block: pa.Table, reducers: list) -> int:
     """Split one packed map block by ``part % R`` and push each slice to
     its reducer — runs as a task, so routing parallelizes with the map
     wave and data never touches the driver."""
+    # a 0-row input can surface as an empty block carrying the INPUT
+    # schema (Ray may skip the map fn on empty blocks) — nothing to route
+    if block.num_rows == 0 or "part" not in block.column_names:
+        return 0
     n_red = len(reducers)
     part = block["part"].to_numpy(zero_copy_only=False).astype(np.int64)
     dest = part % n_red

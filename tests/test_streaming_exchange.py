@@ -63,3 +63,19 @@ def test_streaming_exchange_duplicates_and_salting(ray_session):
         )
     )
     pd.testing.assert_frame_equal(base, got)
+
+
+def test_streaming_exchange_empty_input(ray_session):
+    import pyarrow as pa
+
+    empty = synth_transcripts_table(n_convs=1, seed=1).slice(0, 0)
+    out = rollup_dataset_streaming(
+        rd.from_arrow(empty),
+        RollupConfig(num_partitions=3, hot_threshold=None),
+        num_reducers=2,
+    )
+    assert out.count() == 0
+    # schema survives (to_pandas of an all-empty Dataset drops columns —
+    # a Ray quirk, not an engine one)
+    names = out.schema().names
+    assert "conv_id" in names and "points" in names
