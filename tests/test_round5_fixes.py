@@ -585,3 +585,33 @@ def test_profile_table_layout_invariance(ray_session):
         )
         outs.append(o)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_group_collect_parcel_rows_identical(ray_session):
+    from light_curve_feature_ray.pipelines.aggregates import group_collect
+
+    rng = np.random.default_rng(61)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "conv_id": rng.choice(["a", "b", "c", None], n),
+            "turn_idx": rng.integers(0, 40, n),
+            "text": rng.choice(["xx", "yyy", None, "zzzz"], n),
+        }
+    )
+    outs = {}
+    for ex in ("rows", "parcel"):
+        outs[ex] = (
+            group_collect(
+                rd.from_pandas(df).repartition(4),
+                key_col="conv_id",
+                order_cols=("turn_idx",),
+                value_col="text",
+                num_partitions=6,
+                exchange=ex,
+            )
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["rows"], outs["parcel"])
