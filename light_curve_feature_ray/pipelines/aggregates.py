@@ -1581,6 +1581,15 @@ def group_collect(
 
     def per_partition(t: pa.Table) -> pa.Table:
         cols = [key_col, *ocols, value_col]
+        # an all-null block/partition arrives null-typed (the
+        # dsir_weights rule) — pin the value column to string so the
+        # polars str ops and the output schema stay stable
+        if pa.types.is_null(t.schema.field(value_col).type):
+            t = t.set_column(
+                t.column_names.index(value_col),
+                value_col,
+                t[value_col].cast(pa.string()),
+            )
         d = pl.from_arrow(t.select(cols))
         d = d.filter(pl.col(key_col).is_not_null())
         d = d.sort(
@@ -1670,7 +1679,11 @@ def group_collect(
             pa.ipc.open_stream(p.as_py()).read_all()
             for p in batch["payload"]
         ]
-        return per_partition(pa.concat_tables(tables))
+        # permissive: a block whose value column is entirely null ships
+        # a null-typed parcel; promote it into the string schema
+        return per_partition(
+            pa.concat_tables(tables, promote_options="permissive")
+        )
 
     return (
         ds.map_batches(pack, batch_format="pyarrow", batch_size=None)

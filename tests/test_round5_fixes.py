@@ -615,3 +615,119 @@ def test_group_collect_parcel_rows_identical(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs["rows"], outs["parcel"])
+
+
+def test_gap_report_fuzz_vs_duckdb(ray_session):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from light_curve_feature_ray.pipelines.windows import gap_report
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=5),  # key
+                st.integers(min_value=0, max_value=900),  # seconds
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(rows):
+        df = pd.DataFrame(
+            {
+                "user_id": [k for k, _ in rows],
+                "ts": pd.to_datetime([s * 1_000_000 for _, s in rows], unit="us"),
+            }
+        )
+        got = (
+            gap_report(
+                rd.from_pandas(df).repartition(2), slot_s=60, num_partitions=3
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        ref = con.execute(
+            """
+WITH v AS (
+    SELECT user_id, CAST(floor(epoch(ts)/60) AS BIGINT) AS slot
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), d AS (SELECT DISTINCT user_id, slot FROM v),
+g AS (
+    SELECT user_id, slot,
+           slot - lag(slot) OVER (PARTITION BY user_id ORDER BY slot) - 1
+               AS gap
+    FROM d
+)
+SELECT user_id, count(*) AS n_present,
+       max(slot) - min(slot) + 1 AS span_slots,
+       max(slot) - min(slot) + 1 - count(*) AS n_missing,
+       coalesce(max(gap), 0) AS longest_gap_slots
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+        ).df()
+        for c in ref.columns:
+            np.testing.assert_array_equal(
+                got[c].to_numpy().astype(np.int64),
+                ref[c].to_numpy().astype(np.int64),
+                err_msg=c,
+            )
+
+    run()
+
+
+def test_group_collect_fuzz_vs_duckdb(ray_session):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from light_curve_feature_ray.pipelines.aggregates import group_collect
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),  # key
+                st.integers(min_value=0, max_value=8),  # order (dups likely)
+                st.one_of(
+                    st.none(), st.text(alphabet="xyz|", max_size=4)
+                ),  # value
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def run(rows):
+        df = pd.DataFrame(rows, columns=["k", "o", "v"])
+        got = (
+            group_collect(
+                rd.from_pandas(df).repartition(3),
+                key_col="k",
+                order_cols=("o",),
+                value_col="v",
+                sep="\n",
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        ref = con.execute(
+            """
+SELECT k, count(v) AS n_values,
+       string_agg(v, chr(10) ORDER BY o, v) AS doc
+FROM t WHERE k IS NOT NULL GROUP BY k ORDER BY k
+"""
+        ).df()
+        assert got["k"].tolist() == ref["k"].tolist()
+        assert got["n_values"].tolist() == ref["n_values"].tolist()
+        assert [x if isinstance(x, str) else None for x in got["doc"]] == [
+            x if isinstance(x, str) else None for x in ref["doc"]
+        ]
+
+    run()
